@@ -1,0 +1,245 @@
+package graft.feature
+
+import graft.stats.{MRMR, MutualInformation, RowMRMR, RowScore, SelectionScore}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+
+import scala.collection.mutable
+
+/** Candidate state for the alternate (row-wise) encoding: one record per
+  * feature, carrying its value vector across all instances plus the
+  * incrementally-accumulated mRMR terms.
+  */
+case class RowCandidate(id: Long, vec: Vector, rel: Double, redSum: Double)
+
+/** Greedy iterative feature selection (IFS) with the mRMR criterion, in both
+  * physical layouts of the data matrix.
+  *
+  * Re-expression of the reference algorithm
+  * (`reference:src/main/scala/ifs/ml/feature/IterativeFeatureSelection.scala`)
+  * in idiomatic Spark SQL. Differences are physical, never semantic:
+  *
+  *   - Pair counting (reference `:65-97`, an RDD `mapPartitions` +
+  *     `countByValue` that collects every distinct tuple to the driver)
+  *     becomes `explode(transform(...))` → `groupBy().count()` →
+  *     a windowed MI aggregation, all planned by Catalyst. Only one MI value
+  *     per (candidate, other) pair ever reaches the driver, so driver memory
+  *     is O(features), not O(features · levels²) — the property that lets
+  *     this run against 100 TB inputs.
+  *   - MI terms are memoized across rounds (reference recomputes every round
+  *     from scratch, SURVEY.md §2.4 Q5): round 0 computes MI(cand, label)
+  *     for every candidate; round r>0 computes only MI(cand, s_{r-1}) against
+  *     the newest selected feature. Identical results, k× less work.
+  *   - Ties break toward the lowest feature index/id (documented deviation
+  *     from the reference's hash-order ties, SURVEY.md §2.4 Q1).
+  *   - The alternate path caches its input and fetches the winner in the
+  *     same job (reference re-scans the source 3× per round, `:151-185`).
+  *   - Alternate-encoding ids stay Long end-to-end (fixes the reference's
+  *     Int truncation, SURVEY.md §2.4 Q6).
+  */
+object IterativeFeatureSelection {
+
+  /** Max distinct levels per column, same default as the reference's guard
+    * (`reference:IterativeFeatureSelection.scala:57`).
+    */
+  val DefaultMaxCategories = 10000
+
+  /** Columns per distributed counting job
+    * (`reference:IterativeFeatureSelection.scala:57`).
+    */
+  val DefaultBatchSize = 1000
+
+  /** Conventional encoding: instances are rows, features are columns.
+    *
+    * @param df          input with a numeric label column and a VectorType
+    *                    features column
+    * @param num         number of features to select (clamped to the vector
+    *                    width, reference `:30-31`)
+    * @return            selected (featureIndex, scoreAtSelectionTime) in
+    *                    selection order
+    */
+  def selectColumns(df: DataFrame, labelCol: String, featuresCol: String,
+                    num: Int, score: SelectionScore = MRMR,
+                    batchSize: Int = DefaultBatchSize,
+                    maxCategories: Int = DefaultMaxCategories)
+  : Seq[(Int, Double)] = {
+    val data = df.select(
+      col(labelCol).cast(DoubleType).as("label"),
+      vector_to_array(col(featuresCol), "float64").as("f")).cache()
+    try {
+      val numCols = data.select(size(col("f"))).head().getInt(0)
+      val k = math.min(num, numCols)
+      // (cand, other) -> MI; other = -1 encodes the label column.
+      val memo = mutable.Map.empty[(Int, Int), Double]
+      val selected = mutable.ArrayBuffer.empty[(Int, Double)]
+      while (selected.size < k) {
+        val selIdx = selected.map(_._1).toSeq
+        val cands = (0 until numCols).filterNot(selIdx.contains)
+        val newest = if (selected.isEmpty) -1 else selIdx.last
+        cands.grouped(batchSize).foreach { batch =>
+          pairMI(data, batch, newest, maxCategories).foreach {
+            case (c, mi) => memo((c, newest)) = mi
+          }
+        }
+        val scored = cands.map { c =>
+          c -> score.score(memo((c, -1)), selIdx.map(s => memo((c, s))))
+        }
+        val best =
+          if (score.higherIsBetter) scored.minBy { case (c, s) => (-s, c) }
+          else scored.minBy { case (c, s) => (s, c) }
+        selected += best
+      }
+      selected.toSeq
+    } finally { data.unpersist(); () }
+  }
+
+  /** One distributed job: MI(cand, other) for every candidate in `batch`.
+    *
+    * `other == -1` means the label column; otherwise a feature index.
+    * Shape: explode each row into (cand, candValue, otherValue) triples with
+    * a constant-size expression tree (the candidate list is a literal array,
+    * so whole-stage codegen survives any batch size), hash-aggregate the
+    * distinct triples (partial map-side combine bounds the shuffle by the
+    * number of distinct tuples, not rows), then window-aggregate marginals
+    * and fold into one MI value per candidate — fully distributed; the
+    * driver receives exactly |batch| doubles.
+    */
+  private[graft] def pairMI(data: DataFrame, batch: Seq[Int], other: Int,
+                            maxCategories: Int): Map[Int, Double] = {
+    val otherVal =
+      if (other < 0) col("label") else element_at(col("f"), other + 1)
+    val candTuples = transform(
+      lit(batch.toArray),
+      c => struct(c.as("cand"), element_at(col("f"), c + 1).as("cv")))
+    val counts = data
+      .select(explode(candTuples).as("t"), otherVal.as("ov"))
+      .groupBy(col("t.cand").as("cand"), col("t.cv").as("cv"), col("ov"))
+      .agg(count(lit(1)).as("c"))
+    val n = sum("c").over(Window.partitionBy("cand"))
+    val cx = sum("c").over(Window.partitionBy("cand", "cv"))
+    val cy = sum("c").over(Window.partitionBy("cand", "ov"))
+    val mi = counts
+      .select(col("cand"), col("cv"), col("c"),
+        n.as("n"), cx.as("cx"), cy.as("cy"))
+      .groupBy("cand")
+      .agg(
+        sum((col("c") / col("n")) *
+          log((col("c") / col("n")) /
+            ((col("cx") / col("n")) * (col("cy") / col("n"))))).as("mi"),
+        count_distinct(col("cv")).as("levels"))
+      .collect()
+    mi.foreach { r =>
+      val levels = r.getLong(2)
+      if (levels > maxCategories) throw new IllegalArgumentException(
+        s"column ${r.getInt(0)} has $levels distinct values, " +
+          s"more than maxCategories = $maxCategories")
+    }
+    mi.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Alternate encoding: features are rows, instances are columns. Each
+    * record is (featureId, valueVector); per-instance class labels arrive as
+    * a driver-side vector (`labelsRow`), broadcast to executors.
+    *
+    * @return selected (featureId, scoreAtSelectionTime) in selection order
+    */
+  def selectRows(df: DataFrame, idCol: String, featuresCol: String, num: Int,
+                 labelsRow: Vector, score: RowScore = RowMRMR)
+  : Seq[(Long, Double)] = score match {
+    case RowMRMR => selectRowsIncremental(df, idCol, featuresCol, num,
+      labelsRow)
+    case s => selectRowsGeneric(df, idCol, featuresCol, num, labelsRow, s)
+  }
+
+  /** Fast path for mRMR: relevance is computed once, and each round folds
+    * only MI(candidate, newestSelected) into a running redundancy sum —
+    * O(candidates) vector-MI evaluations per round instead of the
+    * reference's O(candidates · |selected|).
+    */
+  private def selectRowsIncremental(df: DataFrame, idCol: String,
+                                    featuresCol: String, num: Int,
+                                    labelsRow: Vector)
+  : Seq[(Long, Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val bLabels = sc.broadcast(labelsRow)
+    var cands: Dataset[RowCandidate] = df
+      .select(col(idCol).cast(LongType).as("id"), col(featuresCol).as("vec"))
+      .as[(Long, Vector)]
+      .map { case (id, v) =>
+        RowCandidate(id, v, MutualInformation.fromVectors(v, bLabels.value),
+          0.0)
+      }.cache()
+    val k = math.min(num.toLong, cands.count()).toInt
+    val selected = mutable.ArrayBuffer.empty[(Long, Double)]
+    while (selected.size < k) {
+      val sSize = selected.size
+      val winner: Row = cands
+        .map(c => (c.id,
+          if (sSize == 0) c.rel else c.rel - c.redSum / sSize, c.vec))
+        .toDF("id", "score", "vec")
+        .orderBy(col("score").desc, col("id").asc)
+        .head()
+      val wid = winner.getLong(0)
+      selected += ((wid, winner.getDouble(1)))
+      if (selected.size < k) {
+        val bWin = sc.broadcast(winner.getAs[Vector](2))
+        val next = cands
+          .filter(_.id != wid)
+          .map(c => c.copy(
+            redSum = c.redSum + MutualInformation.fromVectors(c.vec,
+              bWin.value)))
+          .cache()
+        next.count() // materialize before dropping the parent
+        cands.unpersist()
+        cands = next
+      }
+    }
+    cands.unpersist()
+    selected.toSeq
+  }
+
+  /** General path for user-supplied row scores: the reference's shape
+    * (broadcast all selected vectors, score every candidate each round) with
+    * the physical fixes — cached input, and winner id+score+vector fetched
+    * in a single TakeOrderedAndProject job instead of three scans.
+    */
+  private def selectRowsGeneric(df: DataFrame, idCol: String,
+                                featuresCol: String, num: Int,
+                                labelsRow: Vector, score: RowScore)
+  : Seq[(Long, Double)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val bLabels = sc.broadcast(labelsRow)
+    val data = df
+      .select(col(idCol).cast(LongType).as("id"), col(featuresCol).as("vec"))
+      .as[(Long, Vector)].cache()
+    val k = math.min(num.toLong, data.count()).toInt
+    val selected = mutable.ArrayBuffer.empty[(Long, Double)]
+    val selectedVecs = mutable.ArrayBuffer.empty[Vector]
+    val desc = score.higherIsBetter
+    while (selected.size < k) {
+      val bSel = sc.broadcast(selectedVecs.toSeq)
+      val selIds = selected.map(_._1).toSet
+      val winner = data
+        .filter { case (id, _) => !selIds.contains(id) }
+        .map { case (id, v) =>
+          (id, score.score(v, bLabels.value, bSel.value), v)
+        }
+        .toDF("id", "score", "vec")
+        .orderBy(if (desc) col("score").desc else col("score").asc,
+          col("id").asc)
+        .head()
+      selected += ((winner.getLong(0), winner.getDouble(1)))
+      selectedVecs += winner.getAs[Vector](2)
+    }
+    data.unpersist()
+    selected.toSeq
+  }
+}

@@ -1,0 +1,131 @@
+package graft.feature
+
+import graft.SparkTestBase
+import graft.stats.MutualInformation
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import scala.util.Random
+
+class IterativeFeatureSelectionSpec extends AnyFunSuite with Matchers
+  with SparkTestBase {
+
+  /** Random single-digit integer matrix, reference-fixture style
+    * (`reference:src/main/scala/ifs/util/functions.scala:53-54`).
+    */
+  private def randomMatrix(seed: Int, rows: Int, cols: Int)
+  : (Array[Double], Array[Array[Double]]) = {
+    val rnd = new Random(seed)
+    val labels = Array.fill(rows)(rnd.nextInt(3).toDouble)
+    val m = Array.fill(rows, cols)(rnd.nextInt(4).toDouble)
+    (labels, m)
+  }
+
+  /** Driver-side greedy mRMR oracle with naive full-contingency MI; ties
+    * break toward the lowest index (the engine's documented rule).
+    */
+  private def greedyOracle(labels: Array[Double], m: Array[Array[Double]],
+                           k: Int): Seq[(Int, Double)] = {
+    val cols = m.head.length
+    def colv(c: Int): Array[Double] = m.map(_(c))
+    def mi(a: Array[Double], b: Array[Double]): Double =
+      MutualInformation.fromVectors(Vectors.dense(a), Vectors.dense(b))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    while (selected.size < math.min(k, cols)) {
+      val sel = selected.map(_._1)
+      val scored = (0 until cols).filterNot(sel.contains).map { c =>
+        val rel = mi(colv(c), labels)
+        val red =
+          if (sel.isEmpty) 0.0
+          else sel.map(s => mi(colv(c), colv(s))).sum / sel.size
+        c -> (rel - red)
+      }
+      selected += scored.minBy { case (c, s) => (-s, c) }
+    }
+    selected.toSeq
+  }
+
+  private def conventionalDF(labels: Array[Double], m: Array[Array[Double]]) = {
+    import spark.implicits._
+    m.zip(labels).toSeq
+      .map { case (row, l) => (l.toInt, Vectors.dense(row)) }
+      .toDF("label", "features")
+  }
+
+  private def alternateDF(labels: Array[Double], m: Array[Array[Double]]) = {
+    import spark.implicits._
+    val cols = m.head.length
+    (0 until cols).map { c =>
+      (c.toLong, Vectors.dense(m.map(_(c))): Vector)
+    }.toDF("id", "features")
+  }
+
+  test("selectColumns matches the driver-side greedy oracle") {
+    val (labels, m) = randomMatrix(seed = 7, rows = 120, cols = 8)
+    val got = IterativeFeatureSelection.selectColumns(
+      conventionalDF(labels, m), "label", "features", num = 4)
+    val want = greedyOracle(labels, m, 4)
+    got.map(_._1) shouldBe want.map(_._1)
+    got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+      gs shouldBe ws +- 1e-9
+    }
+  }
+
+  test("selectRows matches the oracle and the conventional path " +
+    "(the reference's own cross-encoding invariant)") {
+    val (labels, m) = randomMatrix(seed = 11, rows = 90, cols = 7)
+    val conv = IterativeFeatureSelection.selectColumns(
+      conventionalDF(labels, m), "label", "features", num = 3)
+    val alt = IterativeFeatureSelection.selectRows(
+      alternateDF(labels, m), "id", "features", num = 3,
+      labelsRow = Vectors.dense(labels))
+    alt.map(_._1.toInt) shouldBe conv.map(_._1)
+    alt.zip(conv).foreach { case ((_, as), (_, cs)) =>
+      as shouldBe cs +- 1e-9
+    }
+  }
+
+  test("k is clamped to the number of features (Q4)") {
+    val (labels, m) = randomMatrix(seed = 3, rows = 40, cols = 3)
+    val got = IterativeFeatureSelection.selectColumns(
+      conventionalDF(labels, m), "label", "features", num = 99)
+    got.size shouldBe 3
+    val alt = IterativeFeatureSelection.selectRows(
+      alternateDF(labels, m), "id", "features", num = 99,
+      labelsRow = Vectors.dense(labels))
+    alt.size shouldBe 3
+  }
+
+  test("round 1 picks the max-relevance feature, batching preserved") {
+    val (labels, m) = randomMatrix(seed = 5, rows = 100, cols = 6)
+    // batchSize=2 forces multiple counting jobs per round
+    val got = IterativeFeatureSelection.selectColumns(
+      conventionalDF(labels, m), "label", "features", num = 2, batchSize = 2)
+    got shouldBe IterativeFeatureSelection.selectColumns(
+      conventionalDF(labels, m), "label", "features", num = 2)
+  }
+
+  test("maxCategories guard rejects high-cardinality columns") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (i % 2, Vectors.dense(i.toDouble)))
+      .toDF("label", "features")
+    an[IllegalArgumentException] should be thrownBy
+      IterativeFeatureSelection.selectColumns(
+        df, "label", "features", num = 1, maxCategories = 10)
+  }
+
+  test("sparse feature vectors work in both encodings") {
+    val (labels, m) = randomMatrix(seed = 13, rows = 80, cols = 5)
+    // zero out ~half the cells to make sparsity meaningful
+    val rnd = new Random(99)
+    val sm = m.map(_.map(v => if (rnd.nextBoolean()) 0.0 else v))
+    import spark.implicits._
+    val convSparse = sm.zip(labels).toSeq
+      .map { case (row, l) => (l.toInt, Vectors.dense(row).toSparse: Vector) }
+      .toDF("label", "features")
+    val got = IterativeFeatureSelection.selectColumns(
+      convSparse, "label", "features", num = 3)
+    got.map(_._1) shouldBe greedyOracle(labels, sm, 3).map(_._1)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * tolerance of difference:
+  *
+  *   - exact: hash-groupBy on md5(text) — one shuffle bounded by
+  *     #distinct texts; the only correct O(n) exact method at 100 TB.
+  *   - n-gram Jaccard (brute force): quadratic within a blocking key —
+  *     the accuracy baseline, usable when blocks are small.
+  *   - MinHash + LSH: the scale path — per-doc signature is O(tokens),
+  *     candidate generation is an equi-join on (band, hash) buckets, so
+  *     total cost is near-linear and fully shuffled-parallel. Built on
+  *     Spark ML's MinHashLSH (seeded → deterministic).
+  *   - SimHash: 64-bit signed projection; near-dups differ in few bits.
+  *     Bucketing on the top 16 bits gives an O(n) candidate filter.
+  *
+  * All operators take the canonical whitespace tokenization from
+  * [[TextAnalysis]].
+  */
+object Dedup {
+
+  /** Exact-duplicate classes: (text_hash, n_docs, min_doc_id). */
+  def exactDupClasses(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Brute-force token-n-gram Jaccard similarity for all pairs sharing a
+    * blocking key. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    * Quadratic in block size — the exactness baseline for near-dup.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int,
+                        minJaccard: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      TextAnalysis.shingles(col(textCol), n).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("blk"),
+      col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("blk").as("blk_b"),
+      col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(inter / union, 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs at Jaccard distance ≤
+    * `maxDistance`, over token `n`-gram shingle sets (the same similarity
+    * definition as [[ngramJaccardPairs]], so LSH recall is directly
+    * measurable against the exact quadratic baseline). Deterministic for a
+    * fixed seed. Returns (id_a, id_b, jaccard_dist) with id_a < id_b.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDistance: Double, n: Int = 3, numHashTables: Int = 8,
+                   seed: Long = 42L): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+        TextAnalysis.shingles(col(textCol), n).as("toks"))
+      .filter(size(col("toks")) > 0) // MinHashLSH requires ≥1 non-zero entry
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val featured = tf.transform(docs)
+    val mh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = mh.fit(featured)
+    model.approxSimilarityJoin(featured, featured, maxDistance, "dist")
+      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+        round(col("dist"), 6).as("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** 64-bit SimHash of a token array (deterministic: token hash is a
+    * 64-bit FNV-1a, bit-vote aggregation). Column-level UDF.
+    */
+  val simHash64: Column => Column = {
+    val f = udf { toks: Seq[String] =>
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) {
+          h ^= t.charAt(i).toLong
+          h *= 0x100000001b3L
+          i += 1
+        }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    toks => f(toks)
+  }
+
+  /** SimHash signatures per doc: (id, simhash, bucket16) — bucket16 is the
+    * top-16-bit LSH bucket used as the candidate-blocking key at scale.
+    */
+  def simHashSignatures(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        simHash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+      .withColumn("bucket16", shiftrightunsigned(col("simhash"), 48))
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.ops.Similarity
+import graft.queries.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity-search queries over `embeddings` (64-dim float vectors):
+  * exact brute-force cosine top-k (DuckDB-oracled via list_dot_product),
+  * per-label centroids, and the LSH approximate path (rows-only; recall
+  * is asserted against brute force in ScalaTest).
+  */
+object EmbeddingQueries {
+
+  private val K = 5
+  private val NQueries = 5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact cosine top-5 neighbors for the first 5 vectors.
+    "q_emb_knn" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K)
+        .orderBy("qid", "rnk")
+    },
+
+    // Per-label centroid norm + cohesion stats.
+    "q_emb_centroid" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), col("embedding").cast("array<double>").as("e"))
+      val dims = e.select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("label")
+        .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"))
+      val counts = e.groupBy("label").agg(count(lit(1)).as("n"))
+      counts.join(dims, "label")
+        .select("label", "n", "centroid_norm")
+        .orderBy("label")
+    },
+
+    // LSH candidate generation for the same 5 queries (rows-only check;
+    // recall vs brute force is asserted in SimilaritySpec).
+    "q_emb_lsh_ann" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshCandidates(emb,
+          emb.filter(col("vec_id") < NQueries), "vec_id", "embedding",
+          maxL2 = 1.3)
+        .orderBy("qid", "nid")
+    },
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_emb_knn" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < $NQueries),
+         |p AS (
+         |  SELECT q.qid, e.vec_id,
+         |    round(list_dot_product(e.e, q.qe) /
+         |      (sqrt(list_dot_product(e.e, e.e)) *
+         |       sqrt(list_dot_product(q.qe, q.qe))), 6) AS sim
+         |  FROM e, q WHERE e.vec_id <> q.qid),
+         |r AS (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM p)
+         |SELECT qid, rnk, vec_id, sim FROM r
+         |WHERE rnk <= $K
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "q_emb_centroid" ->
+      """WITH dims AS (
+        |  SELECT label, i, avg(v) AS m FROM (
+        |    SELECT label,
+        |      unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |      unnest(range(len(embedding))) AS i
+        |    FROM embeddings)
+        |  GROUP BY label, i),
+        |norms AS (
+        |  SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+        |  FROM dims GROUP BY label),
+        |counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+        |SELECT c.label, c.n, norms.centroid_norm
+        |FROM counts c JOIN norms ON c.label = norms.label
+        |ORDER BY c.label""".stripMargin,
+  )
+}

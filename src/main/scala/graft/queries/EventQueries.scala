@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.queries.Q._
+import graft.streaming.Sessionize
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Event-stream analytics over the `events` table: sessionization (both
+  * lag-gap and the built-in `session_window`, checked against the same
+  * oracle), event-time daily windows, JSON prop extraction, and a
+  * time-bounded funnel self-join.
+  *
+  * Timestamps: the parquet column is nanosecond-precision; Spark and DuckDB
+  * both truncate to microseconds (Spark at read, the oracle via an explicit
+  * CAST to TIMESTAMP), and all arithmetic is done in integral microseconds
+  * (`unix_micros` / `epoch_us`) so the two engines agree bit-for-bit.
+  *
+  * Scale: sessionization shuffles once on user_id (hash-partitioned window;
+  * no global sort); the funnel join shuffles both sides on user_id and
+  * applies the time predicate post-join — the standard shape AQE handles
+  * well under skew.
+  */
+object EventQueries {
+
+  private val GapUs: Long = 1800L * 1000000L // 30 min session gap
+
+  /** events with per-user break flags: brk=1 starts a new session. */
+  private def withBreaks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapUs, 1).otherwise(0))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Lag-gap sessionization: sessions and events per user.
+    "q_sessionize" -> { (s, dir) =>
+      withBreaks(s, dir)
+        .groupBy("user_id")
+        .agg(sum(col("brk")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // Session-level stats via a running session id; durations in exact µs.
+    "q_session_stats" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withBreaks(s, dir)
+        .withColumn("sid", sum(col("brk")).over(w))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_ev"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("dur_us"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          (sum(col("n_ev")).cast("double") / count(lit(1)))
+            .as("avg_events_per_session"),
+          (sum(col("dur_us")).cast("double") / count(lit(1)))
+            .as("avg_dur_us"),
+          max(col("n_ev")).as("max_events"))
+    },
+
+    // Built-in session_window (shared with the streaming pipeline) must
+    // agree with the lag-gap oracle on session counts per user.
+    "q_session_window" -> { (s, dir) =>
+      Sessionize.sessionCounts(events(s, dir), "30 minutes")
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // JSON property extraction + aggregation.
+    "q_json_props" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // Event-time daily windows: activity per day.
+    "q_daily_active" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("day")
+    },
+
+    // Funnel: users with a purchase within 1h after a view.
+    "q_funnel_1h" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("u"), unix_micros(col("ts")).as("t_view"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u2"), unix_micros(col("ts")).as("t_buy"))
+      views.join(buys,
+          col("u") === col("u2") &&
+            col("t_buy") > col("t_view") &&
+            col("t_buy") - col("t_view") <= 3600L * 1000000L)
+        .agg(count_distinct(col("u")).as("n_users"),
+          count(lit(1)).as("n_view_buy_pairs"))
+    },
+  )
+
+  private val breaksSql =
+    s"""SELECT user_id, event_id,
+       |  CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs
+       |       THEN 1 ELSE 0 END AS brk, us
+       |FROM (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+       |      PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+       |  FROM events)""".stripMargin
+
+  private val sessionizeSql =
+    s"""SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+       |  count(*) AS n_events
+       |FROM ($breaksSql)
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_sessionize" -> sessionizeSql,
+    "q_session_window" -> sessionizeSql,
+
+    "q_session_stats" ->
+      s"""WITH b AS (
+         |  SELECT user_id, brk, us,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM ($breaksSql)),
+         |s AS (
+         |  SELECT user_id, sid, count(*) AS n_ev,
+         |    max(us) - min(us) AS dur_us
+         |  FROM b GROUP BY user_id, sid)
+         |SELECT count(*) AS n_sessions,
+         |  CAST(sum(n_ev) AS DOUBLE) / count(*) AS avg_events_per_session,
+         |  CAST(sum(dur_us) AS DOUBLE) / count(*) AS avg_dur_us,
+         |  max(n_ev) AS max_events
+         |FROM s""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |       AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_daily_active" ->
+      s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         |  count(DISTINCT user_id) AS n_users,
+         |  count(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1
+         |ORDER BY day""".stripMargin,
+
+    "q_funnel_1h" ->
+      """SELECT count(DISTINCT v.user_id) AS n_users,
+        |  count(*) AS n_view_buy_pairs
+        |FROM (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_view
+        |      FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_buy
+        |      FROM events WHERE event_type = 'purchase') b
+        |  ON v.user_id = b.user_id
+        | AND b.t_buy > v.t_view
+        | AND b.t_buy - v.t_view <= 3600000000""".stripMargin,
+  )
+}

@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.feature.{IterativeFeatureSelection, RowSelector}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The IFS/mRMR query family — the reference engine's core capability
+  * (SURVEY.md §2.1) exercised end-to-end over the driver's lineitem table,
+  * with DuckDB oracles for everything including the greedy selection itself.
+  *
+  * The data matrix is a deterministic discretization of lineitem:
+  * label = l_returnflag (A/N/R → 0/1/2) and six categorical features
+  * (quantity, discount%, tax%, ship month, linestatus, linenumber). The
+  * oracle SQL is generated programmatically: mutual information of a column
+  * pair is a window-function aggregation over the pair's co-occurrence
+  * counts, and the greedy k-round mRMR selection is unrolled into k chained
+  * CTEs, each picking `argmax(relevance − avg redundancy)` over the
+  * remaining candidates. Scores are rounded to 6 decimals on both sides;
+  * cross-engine FP deltas are ~1e-12 relative.
+  */
+object IfsQueries {
+
+  /** (name, spark expression, duckdb expression) per matrix column.
+    * Discretizations avoid engine-divergent casts: DuckDB CAST(double AS
+    * INT) rounds while Spark truncates, so `floor` is explicit everywhere.
+    */
+  private val featureDefs: Seq[(String, String, String)] = Seq(
+    ("f0_qty", "floor(l_quantity)", "floor(l_quantity)"),
+    ("f1_disc", "round(l_discount * 100)", "round(l_discount * 100)"),
+    ("f2_tax", "round(l_tax * 100)", "round(l_tax * 100)"),
+    ("f3_month", "month(l_shipdate)", "month(l_shipdate)"),
+    ("f4_status", "CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END",
+      "CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END"),
+    ("f5_lineno", "l_linenumber", "l_linenumber"),
+  )
+  private val labelSpark =
+    "CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END"
+  private val labelDuck =
+    "CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END"
+
+  val featureNames: Seq[String] = featureDefs.map(_._1)
+  private val k = 4
+
+  /** The conventional-encoding matrix: (label, f: array<double>), plus the
+    * deterministic instance ordering key (lineitem's natural PK).
+    */
+  def matrix(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "lineitem").select(
+      expr(labelSpark).cast(DoubleType).as("label"),
+      array(featureDefs.map(d => expr(d._2).cast(DoubleType)): _*).as("f"),
+      col("l_orderkey"), col("l_linenumber"))
+
+  /** Alternate-encoding matrix: one record per feature, its values across
+    * all instances as a vector, built distributedly (explode → shuffle by
+    * feature id → sort_array re-assembly). The transpose is the one
+    * operation whose output row width equals the instance count — at the
+    * 100 TB design point this encoding is only usable when
+    * instances-per-feature fits a record, which is the same contract as the
+    * reference's alternate input files (SURVEY.md §1.1).
+    */
+  def rowMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("l_orderkey", "l_linenumber")
+    matrix(s, dir)
+      .withColumn("idx", row_number().over(w).cast(LongType) - 1)
+      .select(col("idx"), col("label"), posexplode(col("f")).as(Seq("fid", "v")))
+      .groupBy("fid")
+      .agg(collect_list(struct(col("idx"), col("v"))).as("cells"))
+      .select(
+        col("fid").cast(LongType).as("id"),
+        array_to_vector(transform(sort_array(col("cells")),
+          c => c.getField("v"))).as("features"))
+  }
+
+  /** Per-instance labels in the same deterministic order as [[rowMatrix]]
+    * vector positions (the reference passes this as a Param, not data —
+    * `reference:RowSelector.scala:23-24`).
+    */
+  def labelsRow(s: SparkSession, dir: String): Array[Double] =
+    matrix(s, dir).orderBy("l_orderkey", "l_linenumber")
+      .select(col("label")).collect().map(_.getDouble(0))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O3+O4: MI(feature, label) for every feature — one distributed job.
+    "ifs_mi_relevance" -> { (s, dir) =>
+      import s.implicits._
+      val mi = IterativeFeatureSelection.pairMI(
+        matrix(s, dir).select("label", "f"), featureDefs.indices, -1,
+        IterativeFeatureSelection.DefaultMaxCategories)
+      mi.toSeq.map { case (i, v) =>
+        (featureNames(i), math.rint(v * 1e6) / 1e6)
+      }.toDF("feature", "mi").orderBy("feature")
+    },
+
+    // O3+O4 full pair table: MI for all feature×feature and feature×label
+    // pairs (the quantities the greedy rounds consume).
+    "ifs_mi_pairwise" -> { (s, dir) =>
+      import s.implicits._
+      val data = matrix(s, dir).select("label", "f").cache()
+      try {
+        val maxCat = IterativeFeatureSelection.DefaultMaxCategories
+        val rows =
+          IterativeFeatureSelection.pairMI(data, featureDefs.indices, -1,
+            maxCat).toSeq.map { case (i, v) => (featureNames(i), "label", v)
+          } ++
+            featureDefs.indices.flatMap { j =>
+              val batch = (j + 1) until featureDefs.size
+              if (batch.isEmpty) Nil
+              else IterativeFeatureSelection.pairMI(data, batch, j, maxCat)
+                .toSeq.map { case (i, v) =>
+                  (featureNames(j), featureNames(i), v)
+                }
+            }
+        rows.map { case (a, b, v) => (a, b, math.rint(v * 1e6) / 1e6) }
+          .toDF("a", "b", "mi").orderBy("a", "b")
+      } finally { data.unpersist(); () }
+    },
+
+    // O1/O3/O6/O8: greedy mRMR selection, conventional encoding.
+    "ifs_select_topk" -> { (s, dir) =>
+      import s.implicits._
+      val data = matrix(s, dir)
+        .select(col("label").cast("int").as("label"),
+          array_to_vector(col("f")).as("features"))
+      val sel = IterativeFeatureSelection.selectColumns(
+        data, "label", "features", k)
+      sel.zipWithIndex.map { case ((fidx, score), r) =>
+        (r + 1, featureNames(fidx), math.rint(score * 1e6) / 1e6)
+      }.toDF("rnk", "feature", "score").orderBy("rnk")
+    },
+
+    // O2/O7: the same selection through the alternate (transposed)
+    // encoding — cross-encoding agreement is the reference's own
+    // self-check (`reference:CommandLine.scala:167-169`); here both
+    // encodings are additionally checked against the same SQL oracle.
+    "ifs_select_rows" -> { (s, dir) =>
+      import s.implicits._
+      val sel = IterativeFeatureSelection.selectRows(
+        rowMatrix(s, dir), "id", "features", k,
+        org.apache.spark.ml.linalg.Vectors.dense(labelsRow(s, dir)))
+      sel.zipWithIndex.map { case ((fid, score), r) =>
+        (r + 1, featureNames(fid.toInt), math.rint(score * 1e6) / 1e6)
+      }.toDF("rnk", "feature", "score").orderBy("rnk")
+    },
+
+    // P3/P4: the ML Estimator/Model surface — fit a RowSelector, flag the
+    // selected feature-rows (boolean outputCol), same oracle winners.
+    "ifs_row_model_flags" -> { (s, dir) =>
+      val model = new RowSelector()
+        .setNumTopRows(k)
+        .setIdCol("id")
+        .setFeaturesCol("features")
+        .setLabelVector(labelsRow(s, dir))
+        .setOutputCol("selected")
+        .fit(rowMatrix(s, dir))
+      model.transform(rowMatrix(s, dir))
+        .select(col("id"), col("selected"))
+        .orderBy("id")
+    },
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Scalar subquery: MI in nats between two SQL expressions over lineitem,
+    * via co-occurrence counts + window marginals (same formula as
+    * `graft.stats.MutualInformation`, re-expressed relationally).
+    */
+  private def miSql(xExpr: String, yExpr: String): String =
+    s"""(SELECT sum((c / n) * ln((c * n) / (cx * cy))) FROM (
+       |  SELECT c, sum(c) OVER () AS n,
+       |         sum(c) OVER (PARTITION BY x) AS cx,
+       |         sum(c) OVER (PARTITION BY y) AS cy
+       |  FROM (SELECT $xExpr AS x, $yExpr AS y,
+       |               CAST(count(*) AS DOUBLE) AS c
+       |        FROM lineitem GROUP BY 1, 2)))""".stripMargin
+
+  /** CTE with one row per (a, b, mi): all feature pairs in both directions
+    * plus (feature, 'label') rows.
+    */
+  private def pmiCte: String = {
+    val rows =
+      featureDefs.map { case (n, _, d) =>
+        s"SELECT '$n' AS a, 'label' AS b, ${miSql(d, labelDuck)} AS mi"
+      } ++
+        (for {
+          i <- featureDefs.indices
+          j <- featureDefs.indices if i != j
+        } yield {
+          val (ni, _, di) = featureDefs(i)
+          val (nj, _, dj) = featureDefs(j)
+          s"SELECT '$ni' AS a, '$nj' AS b, ${miSql(di, dj)} AS mi"
+        })
+    rows.mkString("\nUNION ALL\n")
+  }
+
+  /** The greedy k-round mRMR selection unrolled into chained CTEs. */
+  private def greedyCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH pmi AS (\n$pmiCte\n),\n"
+    sb ++= "rel AS (SELECT a AS f, mi FROM pmi WHERE b = 'label'),\n"
+    sb ++= "w1 AS (SELECT f, mi AS score FROM rel ORDER BY score DESC, f LIMIT 1),\n"
+    sb ++= "sel1 AS (SELECT f FROM w1)"
+    for (r <- 2 to k) {
+      sb ++= s""",
+        |s$r AS (
+        |  SELECT rel.f,
+        |    rel.mi - (SELECT avg(p.mi) FROM pmi p
+        |              WHERE p.a = rel.f
+        |                AND p.b IN (SELECT f FROM sel${r - 1})) AS score
+        |  FROM rel WHERE rel.f NOT IN (SELECT f FROM sel${r - 1})),
+        |w$r AS (SELECT f, score FROM s$r ORDER BY score DESC, f LIMIT 1),
+        |sel$r AS (SELECT f FROM sel${r - 1} UNION ALL SELECT f FROM w$r)""".stripMargin
+    }
+    sb.result()
+  }
+
+  private def greedySelectionSql: String = {
+    val finalRows = (1 to k)
+      .map(r => s"SELECT $r AS rnk, f AS feature, round(score, 6) AS score FROM w$r")
+      .mkString("\nUNION ALL\n")
+    s"$greedyCtes\n$finalRows\nORDER BY rnk"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "ifs_mi_relevance" ->
+      (featureDefs.map { case (n, _, d) =>
+        s"SELECT '$n' AS feature, round(${miSql(d, labelDuck)}, 6) AS mi"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY feature")),
+
+    "ifs_mi_pairwise" -> {
+      val rows =
+        featureDefs.map { case (n, _, d) =>
+          s"SELECT '$n' AS a, 'label' AS b, round(${miSql(d, labelDuck)}, 6) AS mi"
+        } ++
+          (for {
+            j <- featureDefs.indices
+            i <- (j + 1) until featureDefs.size
+          } yield {
+            val (nj, _, dj) = featureDefs(j)
+            val (ni, _, di) = featureDefs(i)
+            s"SELECT '$nj' AS a, '$ni' AS b, round(${miSql(di, dj)}, 6) AS mi"
+          })
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY a, b")
+    },
+
+    "ifs_select_topk" -> greedySelectionSql,
+    "ifs_select_rows" -> greedySelectionSql,
+
+    "ifs_row_model_flags" -> {
+      val values = featureNames.zipWithIndex
+        .map { case (n, i) => s"($i, '$n')" }.mkString(", ")
+      s"""$greedyCtes
+         |SELECT CAST(v.id AS BIGINT) AS id,
+         |       v.fname IN (SELECT f FROM sel$k) AS selected
+         |FROM (VALUES $values) AS v(id, fname)
+         |ORDER BY id""".stripMargin
+    },
+  )
+}

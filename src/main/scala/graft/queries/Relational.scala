@@ -1,0 +1,311 @@
+package graft.queries
+
+import graft.queries.Q._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Relational query suite over the TPC-H-ish tables.
+  *
+  * The reference engine has no relational surface beyond scans/filters
+  * (SURVEY.md §2.5) — these queries exercise the §2.5 categories (joins,
+  * windows, rollup, distinct agg, set ops, anti joins) end-to-end through
+  * built-in Spark SQL so a user of the rebuilt engine gets the full
+  * relational toolbox alongside the IFS operators.
+  *
+  * Scale notes (100 TB design point):
+  *   - dimension joins (region/nation/supplier/customer) are broadcast —
+  *     Spark's planner picks BroadcastHashJoin for them automatically under
+  *     the 10 MB threshold, and `broadcast()` hints force it where the
+  *     statistics might not be available;
+  *   - fact-fact joins (orders⋈lineitem) shuffle on the join key only after
+  *     filters are pushed into the parquet scan;
+  *   - aggregations are partial (map-side) before the shuffle, so shuffle
+  *     volume is bounded by (#groups × partitions), not rows.
+  */
+object Relational {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1: pricing summary report.
+    "q1_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q3-style: top revenue orders for one market segment.
+    "q3_top_orders" -> { (s, dir) =>
+      val customer = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1999-01-01"))
+      val lineitem = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1999-01-01"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5-style: revenue by supplier nation within two regions.
+    "q5_nation_revenue" -> { (s, dir) =>
+      val region = t(s, dir, "region")
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+      val nation = t(s, dir, "nation")
+      val supplier = t(s, dir, "supplier")
+      t(s, dir, "lineitem")
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+
+    // Aggregates with exact-decimal average per market segment.
+    "q_mktseg_stats" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("sum_acctbal"),
+          count_distinct(col("c_nationkey")).as("n_nations"))
+        .withColumn("avg_acctbal",
+          round(col("sum_acctbal") / col("n_customers"), 4))
+        .orderBy("c_mktsegment")
+    },
+
+    // Window function: top-3 orders per customer by total price.
+    "q_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ROLLUP over returnflag × linestatus (grouping-sets family).
+    "q_rollup_flags" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // Multiple distinct aggregates in one pass.
+    "q_distinct_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count_distinct(col("l_suppkey")).as("n_supp"),
+          count_distinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // Anti join: customers with no currently-open ('O') order, per segment.
+    "q_anti_join" -> { (s, dir) =>
+      val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select("o_custkey")
+      t(s, dir, "customer")
+        .join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_without_open"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Set operation: BUILDING customers who have an urgent order.
+    "q_intersect" -> { (s, dir) =>
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      building.intersect(urgent).orderBy("custkey")
+    },
+
+    // Conditional aggregation (pivot-style) of order status per month.
+    "q_orders_by_month" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("month")
+    },
+
+    // Scan with pushed filter + projection pruning; min/max are FP-exact.
+    "q_part_brand_stats" -> { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_size") >= 25)
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("p_retailprice")).as("min_price"),
+          max(col("p_retailprice")).as("max_price"))
+        .orderBy("p_brand")
+    },
+
+    // Fact-fact join + dimension broadcast: order priority × supplier nation.
+    "q_priority_nation" -> { (s, dir) =>
+      val nation = t(s, dir, "nation")
+      val supplier = t(s, dir, "supplier")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("o_orderpriority", "n_name")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority", "n_name")
+    },
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      s"""SELECT o_orderkey,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01'
+         |  AND l_shipdate > TIMESTAMP '1999-01-01'
+         |GROUP BY o_orderkey
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name IN ('ASIA', 'EUROPE')
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
+
+    "q_mktseg_stats" ->
+      s"""SELECT c_mktsegment,
+         |  count(*) AS n_customers,
+         |  ${dsumSql("c_acctbal")} AS sum_acctbal,
+         |  count(DISTINCT c_nationkey) AS n_nations,
+         |  round(${dsumSql("c_acctbal")} / count(*), 4) AS avg_acctbal
+         |FROM customer
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_rollup_flags" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         |  coalesce(l_linestatus, 'ALL') AS ls,
+         |  count(*) AS n,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_without_open
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_orders_by_month" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |  count(*) AS n_orders,
+         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY 1
+         |ORDER BY month""".stripMargin,
+
+    "q_part_brand_stats" ->
+      """SELECT p_brand, count(*) AS n,
+        |  min(p_retailprice) AS min_price,
+        |  max(p_retailprice) AS max_price
+        |FROM part
+        |WHERE p_size >= 25
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q_priority_nation" ->
+      s"""SELECT o_orderpriority, n_name,
+         |  count(*) AS n_items,
+         |  ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY o_orderpriority, n_name
+         |ORDER BY o_orderpriority, n_name""".stripMargin,
+  )
+}

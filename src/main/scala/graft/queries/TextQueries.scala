@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.ops.{Dedup, TextAnalysis}
+import graft.queries.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis + deduplication queries over `documents`: per-language
+  * stats, token frequency, quality scoring, exact dedup, brute-force
+  * n-gram-Jaccard near-dup (oracle-checked), and the LSH-family operators
+  * (MinHash, SimHash) plus language-ID/fingerprinting, which are
+  * non-SQL-expressible and covered by seeded determinism tests.
+  */
+object TextQueries {
+
+  private val stopListSql =
+    TextAnalysis.Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-language corpus stats.
+    "q_doc_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("n_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("avg_chars"))
+        .orderBy("lang")
+    },
+
+    // Global token frequency top-15.
+    "q_token_topk" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(15)
+    },
+
+    // Quality scoring per source: docs, good docs, exact-summed score.
+    "q_quality_score" -> { (s, dir) =>
+      val toks = TextAnalysis.tokenCount(col("text")).cast("double")
+      val stopR = TextAnalysis.stopwordCount(col("text")).cast("double") / toks
+      val distR =
+        TextAnalysis.distinctTokenCount(col("text")).cast("double") / toks
+      val good = toks.between(20, 1000) && stopR <= 0.5 && distR >= 0.3
+      t(s, dir, "documents")
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .withColumn("good", good)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("good"), 1).otherwise(0)).cast("long").as("n_good"),
+          sum(col("q").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("sum_quality"))
+        .orderBy("source")
+    },
+
+    // Exact dedup classes per source.
+    "q_exact_dedup" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(md5(col("text"))).as("n_distinct"))
+        .withColumn("n_dups", col("n_docs") - col("n_distinct"))
+        .orderBy("source")
+    },
+
+    // Brute-force 3-gram Jaccard near-dup pairs within a source block.
+    "q_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          "source", 3, 0.2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Multimodal plumbing: opaque bytes → typed metadata (decode stubbed
+    // deterministically; see graft.ops.Multimodal for the binary path).
+    "q_media_meta" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          substring(md5(col("text")), 1, 8).as("md5_8"),
+          (lit(64) + ascii(substring(col("text"), 1, 1)) % 32)
+            .cast("long").as("fake_width"),
+          (lit(64) + ascii(substring(col("text"), 3, 1)) % 32)
+            .cast("long").as("fake_height"))
+        .orderBy("doc_id")
+    },
+
+    // MinHash-LSH near-dup candidates (seeded → deterministic; rows-only).
+    "q_minhash_neardup" -> { (s, dir) =>
+      Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text", 0.2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash bucket profile (rows-only; determinism spec in ScalaTest).
+    "q_simhash_buckets" -> { (s, dir) =>
+      Dedup.simHashSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy("bucket16")
+        .agg(count(lit(1)).as("n_docs"), min("id").as("min_doc"))
+        .orderBy("bucket16")
+    },
+
+    // Language-ID heuristic distribution vs labeled lang (rows-only).
+    "q_lang_id" -> { (s, dir) =>
+      val langId = udf(TextAnalysis.langIdOf _)
+      t(s, dir, "documents")
+        .withColumn("pred", langId(col("text")))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+
+    // Winnowing fingerprint collision classes (rows-only).
+    "q_fingerprint" -> { (s, dir) =>
+      val fp = udf((text: String) => TextAnalysis.fingerprintOf(text, 5))
+      t(s, dir, "documents")
+        .withColumn("fp", fp(col("text")))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("fp")
+    },
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_doc_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q_token_topk" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 15""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x IN $stopListSql)) AS DOUBLE) AS n_stop,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      AS n_dist
+         |  FROM documents),
+         |q AS (
+         |  SELECT source,
+         |    round(least(n_tok / 100.0, 1.0) * 0.4 +
+         |          (1.0 - n_stop / n_tok) * 0.3 +
+         |          (n_dist / n_tok) * 0.3, 6) AS q,
+         |    (n_tok BETWEEN 20 AND 1000 AND n_stop / n_tok <= 0.5
+         |     AND n_dist / n_tok >= 0.3) AS good
+         |  FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+         |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+         |FROM q
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
+
+    "q_exact_dedup" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |      AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        |      AS jaccard
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p
+        |WHERE jaccard >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  substr(md5(text), 1, 8) AS md5_8,
+        |  CAST(64 + ascii(substr(text, 1, 1)) % 32 AS BIGINT) AS fake_width,
+        |  CAST(64 + ascii(substr(text, 3, 1)) % 32 AS BIGINT) AS fake_height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

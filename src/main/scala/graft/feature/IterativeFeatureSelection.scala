@@ -98,34 +98,48 @@ object IterativeFeatureSelection {
   }
 
   /** One distributed job: MI(cand, other) for every candidate in `batch`.
-    *
-    * `other == -1` means the label column; otherwise a feature index.
-    * Shape: explode each row into (cand, candValue, otherValue) triples with
-    * a constant-size expression tree (the candidate list is a literal array,
-    * so whole-stage codegen survives any batch size), hash-aggregate the
-    * distinct triples (partial map-side combine bounds the shuffle by the
-    * number of distinct tuples, not rows), then window-aggregate marginals
-    * and fold into one MI value per candidate — fully distributed; the
-    * driver receives exactly |batch| doubles.
+    * `other == -1` means the label column. Thin wrapper over [[pairMIMulti]].
     */
   private[graft] def pairMI(data: DataFrame, batch: Seq[Int], other: Int,
-                            maxCategories: Int): Map[Int, Double] = {
-    val otherVal =
-      if (other < 0) col("label") else element_at(col("f"), other + 1)
-    val candTuples = transform(
-      lit(batch.toArray),
-      c => struct(c.as("cand"), element_at(col("f"), c + 1).as("cv")))
+                            maxCategories: Int): Map[Int, Double] =
+    pairMIMulti(data, batch.map(c => (c, other)), maxCategories)
+      .map { case ((c, _), v) => c -> v }
+
+  /** One distributed job: MI for an arbitrary list of (cand, other) column
+    * pairs (`other == -1` is the label column).
+    *
+    * Shape: explode each row into one (cand, candValue, other, otherValue)
+    * struct per requested pair — the pair list is baked into the expression
+    * tree as literals, so whole-stage codegen survives any batch size —
+    * hash-aggregate the distinct tuples (partial map-side combine bounds
+    * the shuffle by distinct-tuple count, not rows), then window-aggregate
+    * marginals and fold into one MI value per pair, all distributed; the
+    * driver receives exactly |pairs| doubles. This is what keeps driver
+    * memory O(pairs) instead of the reference's O(pairs · levels²)
+    * (`reference:IterativeFeatureSelection.scala:97` collects every
+    * distinct tuple).
+    */
+  private[graft] def pairMIMulti(data: DataFrame, pairs: Seq[(Int, Int)],
+                                 maxCategories: Int)
+  : Map[(Int, Int), Double] = {
+    require(pairs.nonEmpty, "pairs must be non-empty")
+    val tuples = array(pairs.map { case (c, o) =>
+      struct(lit(c).as("cand"), element_at(col("f"), c + 1).as("cv"),
+        lit(o).as("other"),
+        (if (o < 0) col("label") else element_at(col("f"), o + 1)).as("ov"))
+    }: _*)
     val counts = data
-      .select(explode(candTuples).as("t"), otherVal.as("ov"))
-      .groupBy(col("t.cand").as("cand"), col("t.cv").as("cv"), col("ov"))
+      .select(explode(tuples).as("t"))
+      .groupBy(col("t.cand").as("cand"), col("t.other").as("other"),
+        col("t.cv").as("cv"), col("t.ov").as("ov"))
       .agg(count(lit(1)).as("c"))
-    val n = sum("c").over(Window.partitionBy("cand"))
-    val cx = sum("c").over(Window.partitionBy("cand", "cv"))
-    val cy = sum("c").over(Window.partitionBy("cand", "ov"))
+    val n = sum("c").over(Window.partitionBy("cand", "other"))
+    val cx = sum("c").over(Window.partitionBy("cand", "other", "cv"))
+    val cy = sum("c").over(Window.partitionBy("cand", "other", "ov"))
     val mi = counts
-      .select(col("cand"), col("cv"), col("c"),
+      .select(col("cand"), col("other"), col("cv"), col("c"),
         n.as("n"), cx.as("cx"), cy.as("cy"))
-      .groupBy("cand")
+      .groupBy("cand", "other")
       .agg(
         sum((col("c") / col("n")) *
           log((col("c") / col("n")) /
@@ -133,12 +147,12 @@ object IterativeFeatureSelection {
         count_distinct(col("cv")).as("levels"))
       .collect()
     mi.foreach { r =>
-      val levels = r.getLong(2)
+      val levels = r.getLong(3)
       if (levels > maxCategories) throw new IllegalArgumentException(
         s"column ${r.getInt(0)} has $levels distinct values, " +
           s"more than maxCategories = $maxCategories")
     }
-    mi.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    mi.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
   }
 
   /** Alternate encoding: features are rows, instances are columns. Each
@@ -179,16 +193,20 @@ object IterativeFeatureSelection {
     val selected = mutable.ArrayBuffer.empty[(Long, Double)]
     while (selected.size < k) {
       val sSize = selected.size
+      // Winner by (score, id) — only scalars go through the sort; the
+      // winning vector is fetched separately from the cached candidates so
+      // instance-length vectors never ride a TakeOrdered.
       val winner: Row = cands
         .map(c => (c.id,
-          if (sSize == 0) c.rel else c.rel - c.redSum / sSize, c.vec))
-        .toDF("id", "score", "vec")
+          if (sSize == 0) c.rel else c.rel - c.redSum / sSize))
+        .toDF("id", "score")
         .orderBy(col("score").desc, col("id").asc)
         .head()
       val wid = winner.getLong(0)
       selected += ((wid, winner.getDouble(1)))
       if (selected.size < k) {
-        val bWin = sc.broadcast(winner.getAs[Vector](2))
+        val winVec = cands.filter(_.id == wid).head().vec
+        val bWin = sc.broadcast(winVec)
         val next = cands
           .filter(_.id != wid)
           .map(c => c.copy(
@@ -230,14 +248,15 @@ object IterativeFeatureSelection {
       val winner = data
         .filter { case (id, _) => !selIds.contains(id) }
         .map { case (id, v) =>
-          (id, score.score(v, bLabels.value, bSel.value), v)
+          (id, score.score(v, bLabels.value, bSel.value))
         }
-        .toDF("id", "score", "vec")
+        .toDF("id", "score")
         .orderBy(if (desc) col("score").desc else col("score").asc,
           col("id").asc)
         .head()
-      selected += ((winner.getLong(0), winner.getDouble(1)))
-      selectedVecs += winner.getAs[Vector](2)
+      val wid = winner.getLong(0)
+      selected += ((wid, winner.getDouble(1)))
+      selectedVecs += data.filter(_._1 == wid).head()._2
     }
     data.unpersist()
     selected.toSeq

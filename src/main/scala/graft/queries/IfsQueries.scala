@@ -54,33 +54,75 @@ object IfsQueries {
       col("l_orderkey"), col("l_linenumber"))
 
   /** Alternate-encoding matrix: one record per feature, its values across
-    * all instances as a vector, built distributedly (explode → shuffle by
-    * feature id → sort_array re-assembly). The transpose is the one
+    * all instances as a vector, built distributedly: range-partitioned sort
+    * on the natural key, `zipWithIndex` for a contiguous instance index
+    * (distributed — no single-task global window), explode → shuffle by
+    * feature id → positional re-assembly. The transpose is the one
     * operation whose output row width equals the instance count — at the
     * 100 TB design point this encoding is only usable when
     * instances-per-feature fits a record, which is the same contract as the
     * reference's alternate input files (SURVEY.md §1.1).
+    *
+    * Cached + memoized per (session, dir): three queries (select_rows,
+    * row_model_flags fit + transform) share one transpose computation.
     */
-  def rowMatrix(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("l_orderkey", "l_linenumber")
-    matrix(s, dir)
-      .withColumn("idx", row_number().over(w).cast(LongType) - 1)
-      .select(col("idx"), col("label"), posexplode(col("f")).as(Seq("fid", "v")))
-      .groupBy("fid")
-      .agg(collect_list(struct(col("idx"), col("v"))).as("cells"))
-      .select(
-        col("fid").cast(LongType).as("id"),
-        array_to_vector(transform(sort_array(col("cells")),
-          c => c.getField("v"))).as("features"))
-  }
+  def rowMatrix(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(("rowMatrix", s, dir), {
+      import s.implicits._
+      // Range-partitioned sort on the natural key gives a deterministic
+      // global order; per-partition primitive column chunks are then
+      // shuffled by feature id (one (fid, offset, chunk) record per
+      // partition per feature) and stitched with arraycopy — O(n) work,
+      // no per-cell shuffle records, no struct sorts.
+      val sorted = matrix(s, dir)
+        .orderBy("l_orderkey", "l_linenumber")
+        .select("f").rdd
+        .map(_.getSeq[Double](0))
+      sorted.cache()
+      val partSizes = sorted
+        .mapPartitionsWithIndex((pi, it) => Iterator.single(pi -> it.size))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = partSizes.scanLeft(0L)(_ + _)
+      val total = offsets.last
+      val bOffsets = s.sparkContext.broadcast(offsets)
+      val nFeatures = featureDefs.size
+      val chunks = sorted.mapPartitionsWithIndex { (pi, it) =>
+        val rows = it.toArray
+        (0 until nFeatures).iterator.map { fid =>
+          val arr = new Array[Double](rows.length)
+          var i = 0
+          while (i < rows.length) { arr(i) = rows(i)(fid); i += 1 }
+          (fid.toLong, (bOffsets.value(pi), arr))
+        }
+      }
+      val df = chunks
+        .groupByKey(math.min(nFeatures, s.sparkContext.defaultParallelism))
+        .map { case (fid, chs) =>
+          val out = new Array[Double](total.toInt)
+          chs.foreach { case (off, arr) =>
+            System.arraycopy(arr, 0, out, off.toInt, arr.length)
+          }
+          (fid, org.apache.spark.ml.linalg.Vectors.dense(out))
+        }
+        .toDF("id", "features")
+        .cache()
+      df.count() // materialize once; drop the intermediate
+      sorted.unpersist()
+      df
+    }).asInstanceOf[DataFrame]
 
   /** Per-instance labels in the same deterministic order as [[rowMatrix]]
     * vector positions (the reference passes this as a Param, not data —
-    * `reference:RowSelector.scala:23-24`).
+    * `reference:RowSelector.scala:23-24`). Memoized per (session, dir).
     */
   def labelsRow(s: SparkSession, dir: String): Array[Double] =
-    matrix(s, dir).orderBy("l_orderkey", "l_linenumber")
-      .select(col("label")).collect().map(_.getDouble(0))
+    cache.getOrElseUpdate(("labelsRow", s, dir), {
+      matrix(s, dir).orderBy("l_orderkey", "l_linenumber")
+        .select(col("label")).collect().map(_.getDouble(0))
+    }).asInstanceOf[Array[Double]]
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, SparkSession, String), AnyRef]
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O3+O4: MI(feature, label) for every feature — one distributed job.
@@ -98,24 +140,22 @@ object IfsQueries {
     // pairs (the quantities the greedy rounds consume).
     "ifs_mi_pairwise" -> { (s, dir) =>
       import s.implicits._
-      val data = matrix(s, dir).select("label", "f").cache()
-      try {
-        val maxCat = IterativeFeatureSelection.DefaultMaxCategories
-        val rows =
-          IterativeFeatureSelection.pairMI(data, featureDefs.indices, -1,
-            maxCat).toSeq.map { case (i, v) => (featureNames(i), "label", v)
-          } ++
-            featureDefs.indices.flatMap { j =>
-              val batch = (j + 1) until featureDefs.size
-              if (batch.isEmpty) Nil
-              else IterativeFeatureSelection.pairMI(data, batch, j, maxCat)
-                .toSeq.map { case (i, v) =>
-                  (featureNames(j), featureNames(i), v)
-                }
-            }
-        rows.map { case (a, b, v) => (a, b, math.rint(v * 1e6) / 1e6) }
-          .toDF("a", "b", "mi").orderBy("a", "b")
-      } finally { data.unpersist(); () }
+      // All 21 pairs in ONE distributed job (single scan, single shuffle).
+      val pairs =
+        featureDefs.indices.map(i => (i, -1)) ++
+          (for {
+            j <- featureDefs.indices
+            i <- (j + 1) until featureDefs.size
+          } yield (i, j))
+      val mi = IterativeFeatureSelection.pairMIMulti(
+        matrix(s, dir).select("label", "f"), pairs,
+        IterativeFeatureSelection.DefaultMaxCategories)
+      mi.toSeq.map { case ((i, j), v) =>
+        val (a, b) =
+          if (j < 0) (featureNames(i), "label")
+          else (featureNames(j), featureNames(i))
+        (a, b, math.rint(v * 1e6) / 1e6)
+      }.toDF("a", "b", "mi").orderBy("a", "b")
     },
 
     // O1/O3/O6/O8: greedy mRMR selection, conventional encoding.

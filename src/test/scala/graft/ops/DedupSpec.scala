@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class DedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text").withColumn("source",
+      org.apache.spark.sql.functions.lit("s0"))
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val nearDup =
+    "the quick brown fox jumps over the lazy dog and runs far away tonight"
+  private val unrelated =
+    "completely different words appear here with nothing shared at all now"
+
+  behavior of "exactDupClasses"
+
+  it should "group identical texts and keep the minimum id" in {
+    val out = Dedup.exactDupClasses(
+      docs((1L, base), (2L, base), (3L, unrelated)), "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    out should contain theSameElementsAs Seq((1L, 3L), (2L, 1L))
+  }
+
+  behavior of "ngramJaccardPairs"
+
+  it should "rank a planted near-dup far above an unrelated doc" in {
+    val out = Dedup.ngramJaccardPairs(
+      docs((1L, base), (2L, nearDup), (3L, unrelated)),
+      "doc_id", "text", "source", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.map(p => (p._1, p._2)) should contain only ((1L, 2L))
+    out.head._3 should be > 0.7
+  }
+
+  it should "return no pairs across different blocks" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, base, "a"), (2L, base, "b")).toDF(
+      "doc_id", "text", "source")
+    Dedup.ngramJaccardPairs(df, "doc_id", "text", "source", 3, 0.1)
+      .count() shouldBe 0L
+  }
+
+  behavior of "minHashPairs"
+
+  it should "find the planted near-dup pair (same definition as exact)" in {
+    val out = Dedup.minHashPairs(
+      docs((1L, base), (2L, nearDup), (3L, unrelated)),
+      "doc_id", "text", maxDistance = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out should contain((1L, 2L))
+    out should not contain ((1L, 3L))
+    out should not contain ((2L, 3L))
+  }
+
+  it should "be deterministic for a fixed seed" in {
+    def run() = Dedup.minHashPairs(
+      docs((1L, base), (2L, nearDup), (3L, unrelated)),
+      "doc_id", "text", maxDistance = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(p => (p._1, p._2))
+    run() shouldBe run()
+  }
+
+  behavior of "simHash"
+
+  it should "hash identical token streams identically and near-dups closely" in {
+    val sigs = Dedup.simHashSignatures(
+      docs((1L, base), (2L, base), (3L, nearDup), (4L, unrelated)),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs(1L) shouldBe sigs(2L)
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) should be <= 12
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) should be > 12
+  }
+}

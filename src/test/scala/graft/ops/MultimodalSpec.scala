@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class MultimodalSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private def media = {
+    val s = spark
+    import s.implicits._
+    Multimodal.asMedia(
+      Seq((1L, "a" * 100), (2L, "hello world of binary columns"),
+        (3L, "")).toDF("id", "payload"),
+      "id", "payload")
+  }
+
+  behavior of "extractMeta"
+
+  it should "carry byte length, deterministic dims, and a header hash" in {
+    val out = media.collect().map(m => m.id -> m).toMap
+    val metas = Multimodal.extractMeta(media).collect().map(m => m.id -> m)
+      .toMap
+    metas.keySet shouldBe Set(1L, 2L, 3L)
+    metas(1L).nBytes shouldBe 100L
+    metas(3L).nBytes shouldBe 0L
+    metas(1L).width should (be >= 64 and be < 96)
+    metas(1L).height should (be >= 64 and be < 96)
+    // deterministic: same bytes → same meta
+    val again = Multimodal.extractMeta(media).collect().map(m => m.id -> m)
+      .toMap
+    metas shouldBe again
+    metas(1L).headerHash shouldBe Multimodal.headerHash(out(1L).bytes)
+  }
+
+  behavior of "sampleFrames"
+
+  it should "emit k evenly spaced frames and skip empty blobs" in {
+    val frames = Multimodal.sampleFrames(media, k = 4, frameSize = 8)
+      .collect()
+    frames.filter(_.id == 3L) shouldBe empty
+    val f1 = frames.filter(_.id == 1L).sortBy(_.frameIdx)
+    f1.map(_.frameIdx).toSeq shouldBe Seq(0, 1, 2, 3)
+    f1.map(_.offset).toSeq shouldBe Seq(0L, 25L, 50L, 75L)
+    all(f1.map(_.bytes.length)) shouldBe 8
+  }
+
+  behavior of "resizeStub"
+
+  it should "bound payloads at targetBytes, passing small blobs through" in {
+    val out = Multimodal.resizeStub(media, targetBytes = 16)
+      .collect().map(m => m.id -> m.bytes.length).toMap
+    out(1L) shouldBe 16
+    out(2L) shouldBe 16
+    out(3L) shouldBe 0
+    // deterministic content
+    val a = Multimodal.resizeStub(media, 16).collect()
+      .find(_.id == 1L).get.bytes.toSeq
+    val b = Multimodal.resizeStub(media, 16).collect()
+      .find(_.id == 1L).get.bytes.toSeq
+    a shouldBe b
+  }
+}

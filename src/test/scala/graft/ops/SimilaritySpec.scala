@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import scala.util.Random
+
+class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private lazy val emb = {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(7)
+    // 3 well-separated clusters in 16 dims
+    val centers = Array.fill(3)(Array.fill(16)(rnd.nextGaussian() * 5))
+    (0 until 60).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    }.toDF("vec_id", "embedding").cache()
+  }
+
+  behavior of "bruteForceTopK"
+
+  it should "return k neighbors per query, self excluded, same-cluster first" in {
+    val out = Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .collect()
+    out.length shouldBe 15
+    out.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(2))
+      nid should not be qid
+      // clusters are i % 3 — nearest neighbors stay in the query's cluster
+      (nid % 3) shouldBe (qid % 3)
+    }
+    // ranks are 1..5 per query
+    out.groupBy(_.getLong(0)).values.foreach { g =>
+      g.map(_.getInt(1)).sorted shouldBe (1 to 5)
+    }
+  }
+
+  it should "order by similarity descending" in {
+    val sims = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", 10)
+      .orderBy("rnk").collect().map(_.getDouble(3))
+    sims.toSeq shouldBe sims.sorted.reverse.toSeq
+  }
+
+  behavior of "lshCandidates"
+
+  it should "recall the brute-force top-5 at a generous radius" in {
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshCandidates(
+        emb, queries, "vec_id", "embedding", maxL2 = 1.0,
+        numHashTables = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    recall should be >= 0.8
+  }
+
+  it should "be deterministic for a fixed seed" in {
+    def run() = Similarity.lshCandidates(
+        emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    run() shouldBe run()
+  }
+}

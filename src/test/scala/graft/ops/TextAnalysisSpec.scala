@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class TextAnalysisSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  behavior of "shingles"
+
+  it should "produce n-2 distinct 3-grams and handle short texts" in {
+    val s = spark
+    import s.implicits._
+    val out = Seq("a b c d", "a b", "", "x").toDF("text")
+      .select(TextAnalysis.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    out(0) should contain theSameElementsAs Seq("a b c", "b c d")
+    out(1) shouldBe empty
+    out(2) shouldBe empty
+    out(3) shouldBe empty
+  }
+
+  behavior of "qualityScore"
+
+  it should "score within [0,1] and rank dense text above repetitive text" in {
+    val s = spark
+    import s.implicits._
+    val rich = (1 to 120).map(i => s"word$i").mkString(" ")
+    val poor = Seq.fill(120)("the").mkString(" ")
+    val out = Seq(rich, poor).toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    all(out) should (be >= 0.0 and be <= 1.0)
+    out(0) should be > out(1)
+  }
+
+  behavior of "langIdOf"
+
+  it should "detect marker-heavy languages and CJK text" in {
+    TextAnalysis.langIdOf(
+      "the cat is on the mat and the dog is in the house") shouldBe "en"
+    TextAnalysis.langIdOf(
+      "le chat est dans la maison et les chiens sont dans le jardin") shouldBe "fr"
+    TextAnalysis.langIdOf("der hund und die katze das ist ein haus") shouldBe "de"
+    TextAnalysis.langIdOf("你好世界你好") shouldBe "zh"
+    TextAnalysis.langIdOf("zzz qqq xxx") shouldBe "und"
+    TextAnalysis.langIdOf("") shouldBe "und"
+  }
+
+  behavior of "fingerprintOf"
+
+  it should "be identical for identical texts, shared for overlapping windows" in {
+    val a = "one two three four five six seven eight nine ten"
+    TextAnalysis.fingerprintOf(a, 5) shouldBe TextAnalysis.fingerprintOf(a, 5)
+    // a near-dup sharing the minimal window keeps the same fingerprint
+    val shifted = s"zzz $a"
+    // both contain all 5-gram windows of `a`, so the min over a superset
+    // can only be <= — equality holds when the min window is shared
+    val fa = TextAnalysis.fingerprintOf(a, 5)
+    val fs = TextAnalysis.fingerprintOf(shifted, 5)
+    fs should be <= fa
+  }
+
+  it should "fall back to a whole-text hash for short token streams" in {
+    TextAnalysis.fingerprintOf("a b", 5) shouldBe
+      TextAnalysis.rollingHash(Seq("a", "b"))
+  }
+}

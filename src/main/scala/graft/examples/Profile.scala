@@ -28,6 +28,17 @@ object Profile {
     time("matrix_count") {
       IfsQueries.matrix(spark, sfDir).count()
     }
+    time("pairmi_6") {
+      import org.apache.spark.ml.functions.vector_to_array
+      import org.apache.spark.sql.functions.col
+      val data = IfsQueries.matrix(spark, sfDir)
+        .select(col("label"), col("f"))
+      graft.feature.IterativeFeatureSelection.pairMI(
+        data, 0 until 6, -1, 10000)
+    }
+    time("select_topk") {
+      graft.SparkEntry.queries("ifs_select_topk")(spark, sfDir).count()
+    }
     time("matrix_sorted_collect") {
       IfsQueries.labelsRow(spark, sfDir).length
     }

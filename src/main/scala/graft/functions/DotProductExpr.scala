@@ -1,0 +1,76 @@
+// Hosted inside org.apache.spark.sql so the expression can use the
+// private[sql] pieces of the expression API (AbstractDataType for implicit
+// input casting, ExpressionUtils for the Column bridge) — the standard way
+// to ship a native expression as a third-party library. The public entry
+// point is graft.functions.ArrayMath.
+package org.apache.spark.sql.graftfns
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: dot product of two `array<double>` columns.
+  *
+  * The embedding-similarity hot path evaluates one dot product per
+  * candidate pair — at near-dup thresholds that is O(n²) per block, so the
+  * per-pair cost decides feasibility. Spark's `zip_with`/`aggregate`
+  * higher-order functions evaluate an interpreted lambda per ELEMENT
+  * (~µs-scale per pair at 64 dims); this expression compiles to a tight
+  * primitive loop over the two `UnsafeArrayData` buffers inside whole-stage
+  * codegen — no allocation, no virtual calls, JIT-vectorizable.
+  *
+  * Null semantics: null if either array is null (nullIntolerant); elements
+  * are read as primitive doubles (callers guarantee element-non-null, which
+  * holds for anything cast from the parquet `array<float>` embeddings).
+  * Lengths may differ; the shorter prefix is used.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Internal Column bridge — use graft.functions.ArrayMath instead. */
+object bridge {
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b)))
+}

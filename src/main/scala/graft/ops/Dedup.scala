@@ -29,22 +29,36 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
-  /** Brute-force token-n-gram Jaccard similarity for all pairs sharing a
-    * blocking key. Returns (id_a, id_b, jaccard) with id_a < id_b.
-    * Quadratic in block size — the exactness baseline for near-dup.
+  /** Exact token-n-gram Jaccard near-dup pairs within a blocking key.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Computed inverted-index style: explode distinct shingles, equi-join on
+    * (block, shingle), count shared shingles per pair, derive jaccard from
+    * the per-doc set sizes. Identical output to the naive quadratic
+    * `array_intersect` formulation (shingles are distinct per doc, so the
+    * match count IS the intersection size; zero-overlap pairs have
+    * jaccard 0 and can never pass a positive threshold), but the work is
+    * proportional to actual shingle collisions, not block², and every step
+    * is a shuffled hash join/agg — the shape that survives 100 TB.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int,
                         minJaccard: Double): DataFrame = {
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      TextAnalysis.shingles(col(textCol), n).as("sh"))
-    val a = sh.select(col("id").as("id_a"), col("blk"),
-      col("sh").as("sh_a"))
-    val b = sh.select(col("id").as("id_b"), col("blk").as("blk_b"),
-      col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-    a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b"))
+        TextAnalysis.shingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val ex = sh.select(col("id"), col("blk"), col("sz"),
+      explode(col("sh")).as("g"))
+    val a = ex.select(col("id").as("id_a"), col("blk"), col("sz").as("sz_a"),
+      col("g"))
+    val b = ex.select(col("id").as("id_b"), col("blk").as("blk_b"),
+      col("sz").as("sz_b"), col("g").as("g_b"))
+    val inter = col("inter").cast("double")
+    val union = (col("sz_a") + col("sz_b")).cast("double") - inter
+    a.join(b, col("blk") === col("blk_b") && col("g") === col("g_b") &&
+        col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(inter / union, 6))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
@@ -68,10 +82,19 @@ object Dedup {
     val mh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = mh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, maxDistance, "dist")
-      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
-        round(col("dist"), 6).as("jaccard_dist"))
-      .filter(col("id_a") < col("id_b"))
+    // Materialize signatures BEFORE the join: approxSimilarityJoin explodes
+    // each side ×numHashTables, and without a cache the whole
+    // shingle→TF→minhash projection is re-evaluated per exploded copy
+    // (numHashTables× the work) — the dominant cost at any scale.
+    val signed = model.transform(featured)
+      .select(col("id"), col("tf"), col("sig")).cache()
+    try {
+      model.approxSimilarityJoin(signed, signed, maxDistance, "dist")
+        .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+          round(col("dist"), 6).as("jaccard_dist"))
+        .filter(col("id_a") < col("id_b"))
+        .localCheckpoint(eager = true)
+    } finally { signed.unpersist(); () }
   }
 
   /** 64-bit SimHash of a token array (deterministic: token hash is a

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.expressions.Window
@@ -22,9 +23,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Similarity {
 
-  /** dot(a, b) over two array<double> columns. */
+  /** dot(a, b) over two array<double> columns — a native codegen'd
+    * Catalyst expression (see [[graft.functions.ArrayMath.dotProduct]]);
+    * the `zip_with`+`aggregate` spelling costs an interpreted lambda per
+    * element, ~50× slower in the O(n²) pair stages.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayMath.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -54,6 +59,108 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid").as(idCol), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a seeded KMeans coarse
+    * quantizer splits the corpus into `nList` cells; each query probes its
+    * `nProbe` nearest centroids and exact-ranks only those cells' members.
+    *
+    * The scale shape: centroids are tiny and broadcast; the corpus is
+    * scanned once at build time (assignment) and thereafter each query
+    * touches ~nProbe/nList of the data. The probed (qid, cell) table is
+    * broadcast into the cell-equi-join, so the big assigned corpus never
+    * shuffles. Recall vs [[bruteForceTopK]] is asserted in SimilaritySpec.
+    *
+    * Output contract matches [[bruteForceTopK]]: (qid, rnk, idCol, sim).
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, nList: Int = 16, nProbe: Int = 2,
+              seed: Long = 42L): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    def unit(df: DataFrame, id: String, out: String) =
+      df.select(col(idCol).as(id), col(embCol).cast("array<double>").as("e"))
+        .withColumn("nrm", norm(col("e")))
+        .select(col(id), transform(col("e"), x => x / col("nrm")).as(out))
+    val corpus = unit(emb, "nid", "nu")
+      .withColumn("nv", array_to_vector(col("nu"))).cache()
+    // Coarse quantizer: random init + few iterations — IVF needs a rough
+    // Voronoi partition, not a converged clustering, and every extra
+    // KMeans iteration is a full corpus pass.
+    val model = new KMeans().setK(nList).setSeed(seed)
+      .setInitMode("random").setMaxIter(8)
+      .setFeaturesCol("nv").setPredictionCol("cell").fit(corpus)
+    val assigned = model.transform(corpus).select("nid", "nu", "cell")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "ce")
+    val probeW = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col("cell"))
+    val probed = unit(queries, "qid", "qu")
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", dot(col("qu"), col("ce")))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nProbe)
+      .select("qid", "qu", "cell")
+    val rankW = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    assigned.join(broadcast(probed), "cell")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", round(dot(col("nu"), col("qu")), 6))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid").as(idCol), col("sim"))
+  }
+
+  /** Exact embedding-cosine near-duplicate pairs: every (id_a < id_b) pair
+    * with cosine ≥ `minCosine`. Norms are computed once per row *before*
+    * the pair join, so the O(n²) pair stage does one codegen'd dot product
+    * per pair and nothing else. This is the accuracy baseline for the
+    * dedup family; at 100 TB use [[cosineNearDupLsh]], which replaces the
+    * quadratic join with bucketed candidate generation at the same output
+    * contract.
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                         minCosine: Double): DataFrame = {
+    def unit(id: String) =
+      emb.select(col(idCol).as(id), col(embCol).cast("array<double>").as("e"))
+        .withColumn("nrm", norm(col("e")))
+        .select(col(id), transform(col("e"), x => x / col("nrm")).as(s"u_$id"))
+    unit("id_a").join(unit("id_b"), col("id_a") < col("id_b"))
+      .withColumn("sim", round(dot(col("u_id_a"), col("u_id_b")), 6))
+      .filter(col("sim") >= minCosine)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Scale-path cosine near-dup: random-projection LSH self-join over unit
+    * vectors at L2 radius √(2 − 2·minCosine) (exact algebraic equivalent of
+    * the cosine threshold on the unit sphere), then an exact re-rank —
+    * near-linear candidate generation instead of the quadratic join. Recall
+    * vs [[cosineNearDupPairs]] is asserted in SimilaritySpec.
+    */
+  def cosineNearDupLsh(emb: DataFrame, idCol: String, embCol: String,
+                       minCosine: Double, bucketLength: Double = 0.5,
+                       numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val corpus = emb.select(col(idCol).as("id"),
+        col(embCol).cast("array<double>").as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .select(col("id"),
+        array_to_vector(transform(col("e"), x => x / col("nrm"))).as("nv"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("nv").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(seed)
+    val maxL2 = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
+    val model = lsh.fit(corpus)
+    // Materialize hashes before the join — approxSimilarityJoin explodes
+    // ×numHashTables and would re-normalize + re-hash per exploded copy.
+    val hashed = model.transform(corpus).cache()
+    try {
+      model.approxSimilarityJoin(hashed, hashed, maxL2, "l2")
+        .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+          round(lit(1.0) - col("l2") * col("l2") / 2.0, 6).as("sim"))
+        .filter(col("id_a") < col("id_b") && col("sim") >= minCosine)
+        .localCheckpoint(eager = true)
+    } finally { hashed.unpersist(); () }
+  }
+
   /** Approximate neighbors via random-projection LSH over L2-normalized
     * vectors (cosine distance ≡ scaled Euclidean distance on the unit
     * sphere). Seeded → deterministic. Returns candidate pairs within
@@ -74,10 +181,14 @@ object Similarity {
       .setSeed(seed)
     val corpus = normalized(emb, "nid")
     val model = lsh.fit(corpus)
-    model.approxSimilarityJoin(corpus, normalized(queries, "qid"), maxL2,
-        "l2")
-      .select(col("datasetA.nid").as("nid"), col("datasetB.qid").as("qid"),
-        round(col("l2"), 6).as("l2"))
-      .filter(col("nid") =!= col("qid"))
+    val hashed = model.transform(corpus).cache()
+    try {
+      model.approxSimilarityJoin(hashed, normalized(queries, "qid"), maxL2,
+          "l2")
+        .select(col("datasetA.nid").as("nid"), col("datasetB.qid").as("qid"),
+          round(col("l2"), 6).as("l2"))
+        .filter(col("nid") =!= col("qid"))
+        .localCheckpoint(eager = true)
+    } finally { hashed.unpersist(); () }
   }
 }

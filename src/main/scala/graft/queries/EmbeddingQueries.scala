@@ -14,6 +14,7 @@ object EmbeddingQueries {
 
   private val K = 5
   private val NQueries = 5
+  private val NearDupCosine = 0.45
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact cosine top-5 neighbors for the first 5 vectors.
@@ -37,6 +38,24 @@ object EmbeddingQueries {
       counts.join(dims, "label")
         .select("label", "n", "centroid_norm")
         .orderBy("label")
+    },
+
+    // Embedding-cosine near-duplicate pairs (dedup family): exact
+    // all-pairs baseline, oracle-checked; the LSH scale path is asserted
+    // against this in SimilaritySpec.
+    "q_emb_cosine_neardup" -> { (s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", minCosine = NearDupCosine)
+        .orderBy("id_a", "id_b")
+    },
+
+    // IVF approximate top-k for the same 5 queries (rows-only check;
+    // recall vs brute force is asserted in SimilaritySpec).
+    "q_emb_ivf_ann" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb,
+          emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K)
+        .orderBy("qid", "rnk")
     },
 
     // LSH candidate generation for the same 5 queries (rows-only check;
@@ -69,6 +88,20 @@ object EmbeddingQueries {
          |SELECT qid, rnk, vec_id, sim FROM r
          |WHERE rnk <= $K
          |ORDER BY qid, rnk""".stripMargin,
+
+    "q_emb_cosine_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |u AS (
+         |  SELECT vec_id,
+         |    list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+         |  FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.u, b.u), 6) AS sim
+         |FROM u a, u b
+         |WHERE a.vec_id < b.vec_id
+         |  AND round(list_dot_product(a.u, b.u), 6) >= $NearDupCosine
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_emb_centroid" ->
       """WITH dims AS (

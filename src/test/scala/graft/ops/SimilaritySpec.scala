@@ -68,4 +68,58 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     run() shouldBe run()
   }
+
+  behavior of "cosineNearDupPairs"
+
+  it should "find exactly the within-cluster pairs at a 0.9 threshold" in {
+    val pairs = Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", 0.9).collect()
+    // 3 clusters of 20 → C(20,2) pairs each
+    pairs.length shouldBe 3 * 190
+    pairs.foreach { r =>
+      r.getLong(0) should be < r.getLong(1)
+      (r.getLong(0) % 3) shouldBe (r.getLong(1) % 3)
+      r.getDouble(2) should be >= 0.9
+    }
+  }
+
+  behavior of "cosineNearDupLsh"
+
+  it should "recall the exact near-dup pairs with no cross-cluster noise" in {
+    val exact = Similarity.cosineNearDupPairs(
+        emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupLsh(
+        emb, "vec_id", "embedding", 0.9, numHashTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    recall should be >= 0.95
+    lsh.foreach { case (a, b) => (a % 3) shouldBe (b % 3) }
+  }
+
+  behavior of "ivfTopK"
+
+  it should "match brute-force top-5 with high recall" in {
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(
+        emb, queries, "vec_id", "embedding", 5, nList = 6, nProbe = 2)
+      .collect()
+    ivf.groupBy(_.getLong(0)).values.foreach { g =>
+      g.map(_.getInt(1)).sorted shouldBe (1 to 5)
+    }
+    val approx = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    recall should be >= 0.9
+  }
+
+  it should "be deterministic for a fixed seed" in {
+    def run() = Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding", 3,
+        nList = 6, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    run() shouldBe run()
+  }
 }

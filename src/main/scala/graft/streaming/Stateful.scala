@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import java.sql.Timestamp
+import scala.collection.mutable
+
+/** One input event for stateful sessionization. */
+case class UserEvent(user_id: Long, ts: Timestamp)
+
+/** Per-user open-session state kept in the state store (millis epoch — the
+  * state store favors compact primitives over Timestamp objects).
+  */
+case class OpenSession(startMs: Long, endMs: Long, n: Long)
+
+/** An emitted (closed) session. */
+case class ClosedSession(user_id: Long, session_start: Timestamp,
+                         session_end: Timestamp, n_events: Long)
+
+/** Custom-state streaming operators — the part of the extension surface
+  * that `session_window` can't express: arbitrary per-key state machines
+  * via `flatMapGroupsWithState` with event-time timeouts.
+  *
+  * Scale notes: state is one `OpenSession` per active user (bytes, not
+  * events — events are folded in on arrival and discarded); the watermark
+  * drives timeouts, so closed sessions leave the store and state size is
+  * bounded by concurrently-active users. Input is hash-partitioned by key
+  * by the groupByKey shuffle; 1000 executors each hold 1/1000 of the
+  * users' state in their local store.
+  */
+object Stateful {
+
+  /** Gap-based sessionization as an explicit per-user state machine.
+    *
+    * Semantics match [[Sessionize.sessionStream]] (same gap rule: an event
+    * within `gapMs` of the open session's end extends it; session_end is
+    * last-event + gap, like `session_window`), but implemented with
+    * `flatMapGroupsWithState` + `EventTimeTimeout`: sessions are emitted
+    * either when a later event of the same user arrives beyond the gap, or
+    * when the watermark (event time − `lateness`) passes the open
+    * session's end and the timeout fires.
+    */
+  def statefulSessions(events: Dataset[UserEvent], gapMs: Long,
+                       lateness: String): Dataset[ClosedSession] = {
+    val s = events.sparkSession
+    import s.implicits._
+
+    def close(userId: Long, st: OpenSession): ClosedSession =
+      ClosedSession(userId, new Timestamp(st.startMs),
+        new Timestamp(st.endMs + gapMs), st.n)
+
+    def fn(userId: Long, batch: Iterator[UserEvent],
+           state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      val out = mutable.ArrayBuffer.empty[ClosedSession]
+      if (state.hasTimedOut) {
+        out += close(userId, state.get)
+        state.remove()
+      } else {
+        // Fold this micro-batch's events (sorted by event time) into the
+        // open session, closing and emitting whenever the gap is exceeded.
+        var cur = state.getOption.orNull
+        batch.map(_.ts.getTime).toArray.sorted.foreach { t =>
+          cur =
+            if (cur == null) OpenSession(t, t, 1)
+            else if (t <= cur.endMs + gapMs)
+              OpenSession(cur.startMs, math.max(cur.endMs, t), cur.n + 1)
+            else { out += close(userId, cur); OpenSession(t, t, 1) }
+        }
+        if (cur != null) {
+          state.update(cur)
+          // Fire once the watermark passes the session's gap horizon.
+          state.setTimeoutTimestamp(cur.endMs + gapMs)
+        }
+      }
+      out.iterator
+    }
+
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Watermarked tumbling-window count per (window, event_type) — the
+    * canonical streaming aggregation: late data beyond `lateness` is
+    * dropped, closed windows are emitted once (append mode).
+    */
+  def windowedTypeCounts(events: DataFrame, windowLen: String,
+                         lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+}

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+class StatefulSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  behavior of "Stateful.statefulSessions"
+
+  it should "emit a session when a later event exceeds the gap" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = Stateful.statefulSessions(
+      input.toDF().toDF("user_id", "ts").as[UserEvent],
+      gapMs = 30 * 60 * 1000L, lateness = "10 minutes")
+    val query = sessions.writeStream.format("memory")
+      .queryName("stateful_gap").outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:10:00")))
+      query.processAllAvailable()
+      // 11:00 is beyond 10:10 + 30m → closes the first session in-line
+      input.addData((1L, ts("2024-01-01 11:00:00")))
+      query.processAllAvailable()
+      val out = s.sql("SELECT user_id, session_start, session_end, n_events" +
+          " FROM stateful_gap").collect()
+      out.length shouldBe 1
+      out.head.getLong(0) shouldBe 1L
+      out.head.getTimestamp(1) shouldBe ts("2024-01-01 10:00:00")
+      out.head.getTimestamp(2) shouldBe ts("2024-01-01 10:40:00")
+      out.head.getLong(3) shouldBe 2L
+    } finally query.stop()
+  }
+
+  it should "emit via event-time timeout when the watermark passes the gap" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = Stateful.statefulSessions(
+      input.toDF().toDF("user_id", "ts").as[UserEvent],
+      gapMs = 30 * 60 * 1000L, lateness = "10 minutes")
+    val query = sessions.writeStream.format("memory")
+      .queryName("stateful_timeout").outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")))
+      query.processAllAvailable()
+      // A DIFFERENT user's far-future event advances the watermark past
+      // user 1's gap horizon (10:30) → user 1's session must time out.
+      input.addData((2L, ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 13:00:00")))
+      query.processAllAvailable()
+      val u1 = s.sql("SELECT session_start, session_end, n_events FROM " +
+          "stateful_timeout WHERE user_id = 1").collect()
+      u1.length shouldBe 1
+      u1.head.getTimestamp(0) shouldBe ts("2024-01-01 10:00:00")
+      u1.head.getTimestamp(1) shouldBe ts("2024-01-01 10:30:00")
+      u1.head.getLong(2) shouldBe 1L
+    } finally query.stop()
+  }
+
+  it should "agree with session_window sessionization on the same stream" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // chronological order — with zero lateness any out-of-order event
+    // would be (correctly) dropped as late
+    val data = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00")),
+      (1L, ts("2024-01-01 10:10:00")), (2L, ts("2024-01-01 10:20:00")),
+      (1L, ts("2024-01-01 11:00:00")), (3L, ts("2024-01-01 12:30:00")))
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = Stateful.statefulSessions(
+      input.toDF().toDF("user_id", "ts").as[UserEvent],
+      gapMs = 30 * 60 * 1000L, lateness = "0 seconds")
+    val query = sessions.writeStream.format("memory")
+      .queryName("stateful_parity").outputMode("append").start()
+    try {
+      data.foreach { e => input.addData(e); query.processAllAvailable() }
+      // push the watermark far ahead so every session times out
+      input.addData((99L, ts("2024-01-02 00:00:00")))
+      query.processAllAvailable()
+      input.addData((99L, ts("2024-01-03 00:00:00")))
+      query.processAllAvailable()
+      val got = s.sql("SELECT user_id, session_start, session_end, n_events" +
+          " FROM stateful_parity WHERE user_id <= 3").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      val expected = Sessionize.sessionCounts(
+          data.toDF("user_id", "ts"), "30 minutes").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      got shouldBe expected
+    } finally query.stop()
+  }
+
+  behavior of "Stateful.windowedTypeCounts"
+
+  it should "emit closed tumbling windows once in append mode" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Stateful.windowedTypeCounts(
+      input.toDF().toDF("ts", "event_type"), "10 minutes", "5 minutes")
+    val query = counts.writeStream.format("memory")
+      .queryName("windowed_counts").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:01:00"), "click"),
+        (ts("2024-01-01 10:02:00"), "click"),
+        (ts("2024-01-01 10:03:00"), "view"))
+      query.processAllAvailable()
+      // advance watermark beyond 10:10 + 5m → the 10:00 window closes
+      input.addData((ts("2024-01-01 10:30:00"), "click"))
+      query.processAllAvailable()
+      val out = s.sql("SELECT window_start, event_type, n FROM " +
+          "windowed_counts ORDER BY event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      out.toSeq shouldBe Seq(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 10:00:00"), "view", 1L))
+    } finally query.stop()
+  }
+}

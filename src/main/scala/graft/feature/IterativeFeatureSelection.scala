@@ -189,24 +189,37 @@ object IterativeFeatureSelection {
         RowCandidate(id, v, MutualInformation.fromVectors(v, bLabels.value),
           0.0)
       }.cache()
+    val dbg = sys.env.contains("GRAFT_DEBUG_TIMING")
+    def t0 = System.nanoTime()
+    def lap(t: Long, what: String): Unit =
+      if (dbg) println(f"[ifs-rows] $what ${(System.nanoTime() - t) / 1e9}%7.2f s")
+    val tc = t0
     val k = math.min(num.toLong, cands.count()).toInt
+    lap(tc, "cands build+count")
     val selected = mutable.ArrayBuffer.empty[(Long, Double)]
     while (selected.size < k) {
+      val tr = t0
       val sSize = selected.size
       // Winner by (score, id) — only scalars go through the sort; the
       // winning vector is fetched separately from the cached candidates so
       // instance-length vectors never ride a TakeOrdered.
-      val winner: Row = cands
+      val winnerDf = cands
         .map(c => (c.id,
           if (sSize == 0) c.rel else c.rel - c.redSum / sSize))
         .toDF("id", "score")
         .orderBy(col("score").desc, col("id").asc)
-        .head()
+      if (dbg && sSize == 0)
+        println(winnerDf.queryExecution.executedPlan.treeString.take(4000))
+      val winner: Row = winnerDf.head()
       val wid = winner.getLong(0)
       selected += ((wid, winner.getDouble(1)))
+      lap(tr, s"round $sSize winner")
       if (selected.size < k) {
+        val tw = t0
         val winVec = cands.filter(_.id == wid).head().vec
+        lap(tw, s"round $sSize winvec fetch")
         val bWin = sc.broadcast(winVec)
+        val tn = t0
         val next = cands
           .filter(_.id != wid)
           .map(c => c.copy(
@@ -214,6 +227,7 @@ object IterativeFeatureSelection {
               bWin.value)))
           .cache()
         next.count() // materialize before dropping the parent
+        lap(tn, s"round $sSize redSum update")
         cands.unpersist()
         cands = next
       }

@@ -101,12 +101,15 @@ object Similarity {
       .filter(col("prnk") <= nProbe)
       .select("qid", "qu", "cell")
     val rankW = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    assigned.join(broadcast(probed), "cell")
+    val out = assigned.join(broadcast(probed), "cell")
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", round(dot(col("nu"), col("qu")), 6))
       .withColumn("rnk", row_number().over(rankW))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid").as(idCol), col("sim"))
+      .localCheckpoint(eager = true) // small: ≤ k rows per query
+    corpus.unpersist()
+    out
   }
 
   /** Exact embedding-cosine near-duplicate pairs: every (id_a < id_b) pair

@@ -92,6 +92,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Multimodal frame sampling: k evenly-spaced byte-range "frames" per
+    // blob via the typed Dataset path (graft.ops.Multimodal.sampleFrames —
+    // mapPartitions plumbing); offsets/lengths are pure arithmetic over the
+    // byte length, so the oracle checks the full sampling geometry.
+    "q_media_frames" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, k = 4).toDF()
+        .select(col("id").as("doc_id"),
+          col("frameIdx").cast("long").as("frame_idx"),
+          col("offset"),
+          octet_length(col("bytes")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // MinHash-LSH near-dup candidates (seeded → deterministic; rows-only).
     "q_minhash_neardup" -> { (s, dir) =>
       Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text", 0.2)
@@ -193,6 +208,20 @@ object TextQueries {
         |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_media_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT d.doc_id, CAST(r.i AS BIGINT) AS frame_idx,
+        |    (d.n * r.i) // 4 AS "offset",
+        |    least((d.n * r.i) // 4 + 32, d.n) - (d.n * r.i) // 4 AS frame_len
+        |  FROM d, range(4) r(i)
+        |  WHERE d.n > 0)
+        |SELECT doc_id, frame_idx, "offset", frame_len FROM f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id,

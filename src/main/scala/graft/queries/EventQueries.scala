@@ -4,6 +4,7 @@ import graft.queries.Q._
 import graft.streaming.Sessionize
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Event-stream analytics over the `events` table: sessionization (both
@@ -94,6 +95,55 @@ object EventQueries {
         .orderBy("day")
     },
 
+    // As-of join (graft.ops.AsOfJoin): each purchase attached to the most
+    // recent view by the same user at or before the purchase instant; ties
+    // on the view timestamp break toward the largest view event_id. One
+    // shuffle + sort — no range-join pair explosion.
+    "q_asof_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      graft.ops.AsOfJoin.asOf(buys, views, "user_id", "ts", "view_id", "v_")
+        .select(col("event_id").as("buy_event_id"), col("user_id"),
+          unix_micros(col("ts")).as("buy_us"),
+          col("v_view_id").as("view_event_id"),
+          unix_micros(col("v_ts")).as("view_us"))
+        .orderBy("buy_event_id")
+    },
+
+    // Structured Streaming end-to-end inside the correctness gate:
+    // readStream over the events parquet → event-time hourly windowed
+    // aggregation → complete-mode memory sink, drained with AvailableNow.
+    // Complete mode emits every window, so the result is deterministic and
+    // equals the batch group-by the oracle runs.
+    "q_stream_hourly" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // The table is a single file. FileStreamSource force-sets
+      // basePath := path for NON-glob paths, which then fails the
+      // "basePath must be a directory" check — so the path must be a glob
+      // (matching just this file), with basePath pinned to the parent dir.
+      val stream = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val counts = stream
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val name = "q_stream_hourly_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = counts.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(unix_micros(col("w.start")).as("hour_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_us", "event_type")
+    },
+
     // Funnel: users with a purchase within 1h after a view.
     "q_funnel_1h" -> { (s, dir) =>
       val ev = events(s, dir)
@@ -165,6 +215,39 @@ object EventQueries {
          |FROM events
          |GROUP BY 1
          |ORDER BY day""".stripMargin,
+
+    // Mirrors AsOfJoin's union-merge plan in SQL so the tie semantics
+    // (right rows sort before left at equal ts; largest view id wins among
+    // equal-ts views) are pinned down identically in both engines.
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, 0 AS side,
+        |    event_id AS tie, event_id AS v_id, CAST(NULL AS BIGINT) AS b_id
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), 1,
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT b_id, user_id, t, side,
+        |    last_value(v_id IGNORE NULLS) OVER w AS view_event_id,
+        |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+        |      OVER w AS view_us
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, side, tie
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT b_id AS buy_event_id, user_id, t AS buy_us,
+        |  view_event_id, view_us
+        |FROM m WHERE side = 1
+        |ORDER BY buy_event_id""".stripMargin,
+
+    "q_stream_hourly" ->
+      s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+         |    AS hour_us,
+         |  event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY hour_us, event_type""".stripMargin,
 
     "q_funnel_1h" ->
       """SELECT count(DISTINCT v.user_id) AS n_users,

@@ -171,6 +171,22 @@ object Relational {
         .orderBy("p_brand")
     },
 
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`: index p·(n−1), linear interpolation); rounded to 4
+    // decimals on both sides so the ~1e-12 cross-engine float delta
+    // vanishes. At scale swap in approx_percentile (t-digest) — same
+    // query shape, sketch mergeable map-side.
+    "q_percentiles" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag")
+    },
+
     // Fact-fact join + dimension broadcast: order priority × supplier nation.
     "q_priority_nation" -> { (s, dir) =>
       val nation = t(s, dir, "nation")
@@ -296,6 +312,16 @@ object Relational {
         |WHERE p_size >= 25
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_priority_nation" ->
       s"""SELECT o_orderpriority, n_name,

@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Drop every block a query left behind — cached DataFrames, persisted
+    * RDDs, and `localCheckpoint` blocks all pin block-manager memory for
+    * the session's lifetime, and 40+ queries in one JVM otherwise degrade
+    * 10–100× toward the end of the run (observed: 0.7s → 26s on a plain
+    * groupBy). A long-running service would do exactly this between
+    * tenants.
+    */
+  def resetState(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,6 +21,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees shuffle files/broadcasts only when weak refs
+      // get GC'd; with a large heap that never happens inside a 20-minute
+      // run, so force the cleaner's periodic GC often enough to matter.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = args.toSet
@@ -17,7 +34,9 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      resetState(spark)
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -47,21 +47,30 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
         TextAnalysis.shingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
+    // Materialize the exploded posting list once: the shingle expression
+    // is an interpreted higher-order function that the self-join would
+    // otherwise re-evaluate on BOTH sides (plus again in the pushed-down
+    // size()>0 filters) — the dominant cost of the whole pipeline. The
+    // postings are one row per (doc, distinct shingle): linear in corpus
+    // size, far smaller than the raw text at 100 TB.
     val ex = sh.select(col("id"), col("blk"), col("sz"),
-      explode(col("sh")).as("g"))
+      explode(col("sh")).as("g")).cache()
     val a = ex.select(col("id").as("id_a"), col("blk"), col("sz").as("sz_a"),
       col("g"))
     val b = ex.select(col("id").as("id_b"), col("blk").as("blk_b"),
       col("sz").as("sz_b"), col("g").as("g_b"))
     val inter = col("inter").cast("double")
     val union = (col("sz_a") + col("sz_b")).cast("double") - inter
-    a.join(b, col("blk") === col("blk_b") && col("g") === col("g_b") &&
-        col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", round(inter / union, 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+    try {
+      a.join(b, col("blk") === col("blk_b") && col("g") === col("g_b") &&
+          col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", round(inter / union, 6))
+        .filter(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager = true) // small: only passing pairs
+    } finally { ex.unpersist(); () }
   }
 
   /** MinHash-LSH near-duplicate candidate pairs at Jaccard distance ≤

@@ -12,6 +12,10 @@ object Bench {
   def resetState(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // One explicit GC between queries (outside the timed section): lets
+    // the ContextCleaner process weak refs (shuffle files, broadcasts)
+    // and keeps full-GC pauses out of the next query's measurement.
+    System.gc()
   }
 
   def main(args: Array[String]): Unit = {
@@ -21,10 +25,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // ContextCleaner frees shuffle files/broadcasts only when weak refs
-      // get GC'd; with a large heap that never happens inside a 20-minute
-      // run, so force the cleaner's periodic GC often enough to matter.
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // NOTE: no short spark.cleaner.periodicGC.interval here — a forced
+      // full GC on a large heap pauses 10s+ and would land mid-query;
+      // resetState GCs between queries instead.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = args.toSet

@@ -44,17 +44,29 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int,
                         minJaccard: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        TextAnalysis.shingles(col(textCol), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
-    // Materialize the exploded posting list once: the shingle expression
-    // is an interpreted higher-order function that the self-join would
-    // otherwise re-evaluate on BOTH sides (plus again in the pushed-down
-    // size()>0 filters) — the dominant cost of the whole pipeline. The
-    // postings are one row per (doc, distinct shingle): linear in corpus
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPart = spark.sparkContext.defaultParallelism
+    // Materialize the posting list once via a typed flatMap (see
+    // TextAnalysis.shingleSetOf for why not the HOF expression), cached so
+    // the self-join reads it from memory instead of re-shingling both
+    // sides. Repartition first: shingling is the CPU-bound stage, so its
+    // parallelism must come from an explicit shuffle, not from however
+    // many file splits the scan happened to produce (a single small
+    // parquet file otherwise serializes the whole stage on one core).
+    // Postings are one row per (doc, distinct shingle) — linear in corpus
     // size, far smaller than the raw text at 100 TB.
-    val ex = sh.select(col("id"), col("blk"), col("sz"),
-      explode(col("sh")).as("g")).cache()
+    val ex = df.select(col(idCol).cast("long").as("id"),
+        col(blockCol).cast("string").as("blk"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String, String)]
+      .repartition(nPart)
+      .flatMap { case (id, blk, text) =>
+        val sh = TextAnalysis.shingleSetOf(text, n)
+        sh.iterator.map(g => (id, blk, sh.length, g))
+      }
+      .toDF("id", "blk", "sz", "g")
+      .cache()
     val a = ex.select(col("id").as("id_a"), col("blk"), col("sz").as("sz_a"),
       col("g"))
     val b = ex.select(col("id").as("id_b"), col("blk").as("blk_b"),
@@ -82,8 +94,19 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDistance: Double, n: Int = 3, numHashTables: Int = 8,
                    seed: Long = 42L): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-        TextAnalysis.shingles(col(textCol), n).as("toks"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPart = spark.sparkContext.defaultParallelism
+    // Typed shingling for the same reasons as in ngramJaccardPairs:
+    // codegen-immune HOFs + single-split scans serialize the hot stage.
+    val docs = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .repartition(nPart)
+      .map { case (id, text) =>
+        (id, TextAnalysis.shingleSetOf(text, n).toSeq)
+      }
+      .toDF("id", "toks")
       .filter(size(col("toks")) > 0) // MinHashLSH requires ≥1 non-zero entry
     val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
       .setNumFeatures(1 << 18).setBinary(true)

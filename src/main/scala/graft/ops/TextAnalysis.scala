@@ -54,6 +54,30 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Distinct token n-gram shingles of one string — plain-Scala twin of
+    * [[shingles]] for typed (Dataset) pipelines. Interpreted higher-order
+    * functions are a trap in hot per-row stages: they run outside codegen,
+    * and once several queries have exercised many Expression classes in
+    * one JVM their eval() call sites go megamorphic — observed 15× slower
+    * than this tight loop doing identical work. Tokenization matches
+    * `split(text, " ", -1)` (empties kept), as the SQL oracles assume.
+    */
+  def shingleSetOf(text: String, n: Int): Array[String] = {
+    val toks = text.split(" ", -1)
+    val set = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      set.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[String](set.size)
+    set.toArray(out)
+    out
+  }
+
   /** Per-language marker profiles for the n-gram/stopword language-ID
     * heuristic. Deterministic, no model download; ties break in `Langs`
     * order.

@@ -6,7 +6,7 @@ import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.DataFrame
 
 import scala.collection.mutable
 
@@ -179,15 +179,23 @@ object IterativeFeatureSelection {
                                     labelsRow: Vector)
   : Seq[(Long, Double)] = {
     val spark = df.sparkSession
-    import spark.implicits._
     val sc = spark.sparkContext
     val bLabels = sc.broadcast(labelsRow)
-    var cands: Dataset[RowCandidate] = df
+    // The per-round loop runs on the RDD API deliberately: each round is a
+    // trivial map + reduce over already-cached candidates, and going
+    // through Dataset/Catalyst here costs a full analyze/optimize/encode
+    // cycle per round on the DRIVER (runtime-reflection encoders included)
+    // — measured as the dominant, high-variance cost of the whole
+    // selection once the JVM is warm with other queries. One DataFrame
+    // plan runs below (the projection into the RDD); everything after is
+    // plain distributed compute with O(1) driver planning per round.
+    var cands: org.apache.spark.rdd.RDD[RowCandidate] = df
       .select(col(idCol).cast(LongType).as("id"), col(featuresCol).as("vec"))
-      .as[(Long, Vector)]
-      .map { case (id, v) =>
-        RowCandidate(id, v, MutualInformation.fromVectors(v, bLabels.value),
-          0.0)
+      .rdd
+      .map { r =>
+        val v = r.getAs[Vector](1)
+        RowCandidate(r.getLong(0), v,
+          MutualInformation.fromVectors(v, bLabels.value), 0.0)
       }.cache()
     val dbg = sys.env.contains("GRAFT_DEBUG_TIMING")
     def t0 = System.nanoTime()
@@ -200,23 +208,21 @@ object IterativeFeatureSelection {
     while (selected.size < k) {
       val tr = t0
       val sSize = selected.size
-      // Winner by (score, id) — only scalars go through the sort; the
-      // winning vector is fetched separately from the cached candidates so
-      // instance-length vectors never ride a TakeOrdered.
-      val winnerDf = cands
+      // Winner by (score desc, id asc) in ONE reduce job — only scalar
+      // (id, score) pairs travel; the winning vector is fetched separately
+      // from the cached candidates so instance-length vectors never ride
+      // the argmax.
+      val (wid, wscore) = cands
         .map(c => (c.id,
           if (sSize == 0) c.rel else c.rel - c.redSum / sSize))
-        .toDF("id", "score")
-        .orderBy(col("score").desc, col("id").asc)
-      if (dbg && sSize == 0)
-        println(winnerDf.queryExecution.executedPlan.treeString.take(4000))
-      val winner: Row = winnerDf.head()
-      val wid = winner.getLong(0)
-      selected += ((wid, winner.getDouble(1)))
+        .reduce { (a, b) =>
+          if (a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)) a else b
+        }
+      selected += ((wid, wscore))
       lap(tr, s"round $sSize winner")
       if (selected.size < k) {
         val tw = t0
-        val winVec = cands.filter(_.id == wid).head().vec
+        val winVec = cands.filter(_.id == wid).first().vec
         lap(tw, s"round $sSize winvec fetch")
         val bWin = sc.broadcast(winVec)
         val tn = t0
@@ -246,12 +252,14 @@ object IterativeFeatureSelection {
                                 labelsRow: Vector, score: RowScore)
   : Seq[(Long, Double)] = {
     val spark = df.sparkSession
-    import spark.implicits._
     val sc = spark.sparkContext
     val bLabels = sc.broadcast(labelsRow)
-    val data = df
+    // Same RDD-loop rationale as selectRowsIncremental.
+    val data: org.apache.spark.rdd.RDD[(Long, Vector)] = df
       .select(col(idCol).cast(LongType).as("id"), col(featuresCol).as("vec"))
-      .as[(Long, Vector)].cache()
+      .rdd
+      .map(r => (r.getLong(0), r.getAs[Vector](1)))
+      .cache()
     val k = math.min(num.toLong, data.count()).toInt
     val selected = mutable.ArrayBuffer.empty[(Long, Double)]
     val selectedVecs = mutable.ArrayBuffer.empty[Vector]
@@ -259,18 +267,20 @@ object IterativeFeatureSelection {
     while (selected.size < k) {
       val bSel = sc.broadcast(selectedVecs.toSeq)
       val selIds = selected.map(_._1).toSet
-      val winner = data
+      val (wid, wscore) = data
         .filter { case (id, _) => !selIds.contains(id) }
         .map { case (id, v) =>
           (id, score.score(v, bLabels.value, bSel.value))
         }
-        .toDF("id", "score")
-        .orderBy(if (desc) col("score").desc else col("score").asc,
-          col("id").asc)
-        .head()
-      val wid = winner.getLong(0)
-      selected += ((wid, winner.getDouble(1)))
-      selectedVecs += data.filter(_._1 == wid).head()._2
+        .reduce { (a, b) =>
+          val aWins =
+            if (a._2 == b._2) a._1 < b._1
+            else if (desc) a._2 > b._2
+            else a._2 < b._2
+          if (aWins) a else b
+        }
+      selected += ((wid, wscore))
+      selectedVecs += data.filter(_._1 == wid).first()._2
     }
     data.unpersist()
     selected.toSeq

@@ -129,6 +129,134 @@ object Dedup {
     } finally { signed.unpersist(); () }
   }
 
+  /** Banded MinHash near-dup pairs — the b-bands × r-rows LSH scheme
+    * production text-dedup pipelines use (AND-amplification within a band,
+    * OR across bands: P[candidate] = 1 − (1 − J^r)^b), which Spark ML's
+    * `MinHashLSH` cannot express (its hash tables are single-row → OR-only,
+    * so low-similarity pairs collide constantly and the candidate join
+    * explodes on template-heavy corpora).
+    *
+    * Pipeline, all near-linear and fully shuffled-parallel:
+    *   1. per doc (typed flatMap, JIT-tight): distinct shingles → 64-bit
+    *      base hashes → b·r seeded universal minhashes → one (bandIdx,
+    *      bandSig, id) row per band;
+    *   2. equi-self-join on (bandIdx, bandSig), distinct (id_a < id_b)
+    *      candidate pairs;
+    *   3. exact verification: candidates join back to the shingle sets and
+    *      a typed map computes true Jaccard — output contract is identical
+    *      to [[ngramJaccardPairs]] (id_a, id_b, jaccard ≥ minJaccard), just
+    *      with LSH recall instead of exhaustive candidates.
+    *
+    * Seeded → deterministic. Returns (id_a, id_b, jaccard).
+    */
+  def bandedMinHashPairs(df: DataFrame, idCol: String, textCol: String,
+                         minJaccard: Double, n: Int = 3, bands: Int = 16,
+                         rowsPerBand: Int = 4,
+                         seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPart = spark.sparkContext.defaultParallelism
+    val k = bands * rowsPerBand
+    // Universal-hash parameters off a splitmix64 stream: deterministic for
+    // a fixed seed, odd multipliers so no hash collapses.
+    val coefs: Array[(Long, Long)] = {
+      var x = seed
+      def next(): Long = {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      Array.fill(k)((next() | 1L, next()))
+    }
+    val bCoefs = spark.sparkContext.broadcast(coefs)
+
+    def shingleHashes(text: String): Array[Long] = {
+      val sh = TextAnalysis.shingleSetOf(text, n)
+      val out = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) {
+        // FNV-1a 64 over the shingle chars
+        var h = 0xcbf29ce484222325L
+        val s = sh(i)
+        var j = 0
+        while (j < s.length) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+
+    val docs = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .repartition(nPart)
+
+    // (1) one (bandIdx, bandSig, id) row per band per doc
+    val bandRows = docs.flatMap { case (id, text) =>
+      val hs = shingleHashes(text)
+      if (hs.isEmpty) Iterator.empty
+      else {
+        val cs = bCoefs.value
+        val sig = new Array[Long](k)
+        var i = 0
+        while (i < k) {
+          val (a, b) = cs(i)
+          var mn = Long.MaxValue
+          var j = 0
+          while (j < hs.length) {
+            val v = a * hs(j) + b
+            if (v < mn) mn = v
+            j += 1
+          }
+          sig(i) = mn
+          i += 1
+        }
+        (0 until bands).iterator.map { bi =>
+          var h = 0xcbf29ce484222325L
+          var r = 0
+          while (r < rowsPerBand) {
+            val v = sig(bi * rowsPerBand + r)
+            var s = 0
+            while (s < 64) { h ^= ((v >>> s) & 0xffL); h *= 0x100000001b3L; s += 8 }
+            r += 1
+          }
+          (bi, h, id)
+        }
+      }
+    }.toDF("band", "sig", "id")
+
+    // (2) candidates: pairs sharing any band signature
+    val l = bandRows.select(col("band"), col("sig"), col("id").as("id_a"))
+    val r = bandRows.select(col("band").as("band_b"), col("sig").as("sig_b"),
+      col("id").as("id_b"))
+    val cands = l.join(r,
+        col("band") === col("band_b") && col("sig") === col("sig_b") &&
+          col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    // (3) exact verify: fetch both shingle sets, true Jaccard in a typed map
+    val sets = docs.map { case (id, text) =>
+      (id, TextAnalysis.shingleSetOf(text, n).toSeq)
+    }.toDF("sid", "sh")
+    cands
+      .join(sets, col("id_a") === col("sid")).drop("sid")
+      .withColumnRenamed("sh", "sh_a")
+      .join(sets, col("id_b") === col("sid")).drop("sid")
+      .withColumnRenamed("sh", "sh_b")
+      .as[(Long, Long, Seq[String], Seq[String])]
+      .map { case (a, b, sa, sb) =>
+        val set = sa.toSet
+        var inter = 0
+        sb.foreach(g => if (set.contains(g)) inter += 1)
+        val j = inter.toDouble / (sa.size + sb.size - inter)
+        (a, b, math.rint(j * 1e6) / 1e6)
+      }
+      .toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** 64-bit SimHash of a token array (deterministic: token hash is a
     * 64-bit FNV-1a, bit-vote aggregation). Column-level UDF.
     */

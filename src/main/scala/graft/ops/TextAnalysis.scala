@@ -54,6 +54,20 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** BPE-ish pre-tokenization pattern (GPT-2 style, merges elided): a
+    * token is a letter run, a digit run, or a punctuation run. Counting
+    * these pre-token pieces is the standard cheap proxy for "how many BPE
+    * tokens will this cost" without shipping a merges table.
+    */
+  val BpeTokenPattern: String = "[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+"
+
+  /** Number of BPE-ish pre-tokens — `regexp_extract_all` is codegen'd and
+    * the pattern is RE2/Java-compatible, so the DuckDB oracle counts the
+    * identical pieces.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Distinct token n-gram shingles of one string — plain-Scala twin of
     * [[shingles]] for typed (Dataset) pipelines. Interpreted higher-order
     * functions are a trap in hot per-row stages: they run outside codegen,

@@ -171,6 +171,21 @@ object Relational {
         .orderBy("p_brand")
     },
 
+    // Salted fact-fact join (graft.ops.SkewJoin): identical result to the
+    // plain equi-join — the oracle IS the plain join — with the hot-key
+    // shuffle spread over 8 salt buckets. Salt derives deterministically
+    // from l_linenumber, so reruns are bit-identical.
+    "q_salted_join" -> { (s, dir) =>
+      graft.ops.SkewJoin.salted(
+          t(s, dir, "lineitem"), t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", salts = 8,
+          saltBy = col("l_linenumber"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont`: index p·(n−1), linear interpolation); rounded to 4
     // decimals on both sides so the ~1e-12 cross-engine float delta
@@ -312,6 +327,15 @@ object Relational {
         |WHERE p_size >= 25
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+
+    "q_salted_join" ->
+      s"""SELECT o_orderpriority,
+         |  count(*) AS n_items,
+         |  ${dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

@@ -113,6 +113,27 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Banded MinHash (b×r LSH with exact verification — the scale path
+    // for corpus dedup; seeded → deterministic; rows-only).
+    "q_banded_minhash" -> { (s, dir) =>
+      Dedup.bandedMinHashPairs(t(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Token-cost accounting: whitespace tokens vs BPE-ish pre-tokens.
+    "q_token_count" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          sum(TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("ws_tokens"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).cast("long")
+            .as("bpe_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
+
     // SimHash bucket profile (rows-only; determinism spec in ScalaTest).
     "q_simhash_buckets" -> { (s, dir) =>
       Dedup.simHashSignatures(t(s, dir, "documents"), "doc_id", "text")
@@ -144,6 +165,17 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      s"""SELECT source,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(text,
+         |    '${TextAnalysis.BpeTokenPattern}')))
+         |    AS BIGINT) AS bpe_tokens,
+         |  count(*) AS n_docs
+         |FROM documents
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
+
     "q_doc_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

@@ -71,6 +71,39 @@ class DedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     run() shouldBe run()
   }
 
+  behavior of "bandedMinHashPairs"
+
+  it should "find the planted near-dup with exact jaccard, no noise" in {
+    val out = Dedup.bandedMinHashPairs(
+      docs((1L, base), (2L, nearDup), (3L, unrelated)),
+      "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.map(p => (p._1, p._2)) should contain only ((1L, 2L))
+    // verification stage reports TRUE jaccard — same value the exact
+    // inverted-index operator computes
+    val exact = Dedup.ngramJaccardPairs(
+      docs((1L, base), (2L, nearDup), (3L, unrelated)),
+      "doc_id", "text", "source", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.head._3 shouldBe exact.head._3 +- 1e-6
+  }
+
+  it should "be deterministic for a fixed seed" in {
+    def run() = Dedup.bandedMinHashPairs(
+      docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base + " x")),
+      "doc_id", "text", minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    run() shouldBe run()
+  }
+
+  it should "never emit identical-doc pairs below the threshold" in {
+    val out = Dedup.bandedMinHashPairs(
+      docs((1L, base), (2L, unrelated)), "doc_id", "text", minJaccard = 0.2)
+      .collect()
+    out shouldBe empty
+  }
+
   behavior of "simHash"
 
   it should "hash identical token streams identically and near-dups closely" in {

@@ -92,7 +92,7 @@ object Dedup {
     * fixed seed. Returns (id_a, id_b, jaccard_dist) with id_a < id_b.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDistance: Double, n: Int = 3, numHashTables: Int = 8,
+                   maxDistance: Double, n: Int = 3, numHashTables: Int = 4,
                    seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table plumbing: pre-shuffle fact tables once at write time so
+  * every subsequent equi-join / aggregation on the bucket key runs with NO
+  * exchange.
+  *
+  * This is the canonical 100 TB co-location strategy: a fact table joined
+  * daily on the same key should pay its shuffle once, at ingest. Both
+  * sides bucketed by the same key into the same bucket count → Catalyst
+  * plans a zip-partition join (`.explain` shows no Exchange above either
+  * scan); one side bucketed → only the other side shuffles.
+  *
+  * Bucketed writes go through the session catalog (`saveAsTable` — plain
+  * parquet + bucket metadata; no Hive needed).
+  */
+object BucketedTables {
+
+  /** Write `df` as a bucketed parquet table registered in the session
+    * catalog, replacing any previous version.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on their bucket keys — plans without a
+    * shuffle when bucket counts match.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, leftKey: String,
+                   rightTable: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+}

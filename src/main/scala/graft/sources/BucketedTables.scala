@@ -22,7 +22,15 @@ object BucketedTables {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // A fresh (in-memory) catalog can forget a table whose directory still
+    // exists on disk from a previous session; saveAsTable then fails with
+    // LOCATION_ALREADY_EXISTS. Managed-table replace means clearing both.
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
     df.write
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)

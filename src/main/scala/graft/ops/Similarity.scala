@@ -86,7 +86,7 @@ object Similarity {
     // Voronoi partition, not a converged clustering, and every extra
     // KMeans iteration is a full corpus pass.
     val model = new KMeans().setK(nList).setSeed(seed)
-      .setInitMode("random").setMaxIter(4)
+      .setInitMode("random").setMaxIter(2)
       .setFeaturesCol("nv").setPredictionCol("cell").fit(corpus)
     val assigned = model.transform(corpus).select("nid", "nu", "cell")
     val centroids = model.clusterCenters.zipWithIndex

@@ -129,6 +129,67 @@ object Dedup {
     } finally { signed.unpersist(); () }
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    * of the pair graph, labeled by each component's minimum doc id — the
+    * step that turns "these documents look alike" into per-document
+    * keep/drop decisions (`keep = id == cluster_id`, the usual
+    * keep-the-smallest-id policy).
+    *
+    * Distributed min-label propagation on the RDD API (iterative loop →
+    * RDD, same rationale as the greedy selection): per iteration each
+    * vertex takes the min of its own and its neighbors' labels
+    * (`union` + `reduceByKey(min)` — map-side combined, one shuffle per
+    * iteration bounded by |E|), converging in O(component diameter)
+    * iterations. Near-dup components are cliques or near-cliques, so 2–3
+    * iterations in practice; `maxIterations` caps adversarial chains.
+    *
+    * Only docs appearing in ≥1 pair are emitted (singletons are trivially
+    * their own cluster). Returns (doc_id, cluster_id, keep).
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "id_a",
+                  bCol: String = "id_b",
+                  maxIterations: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(Long, Long)].rdd
+    // Everything in the loop is pinned to ONE fixed partitioner: without
+    // it, each union grows the partition count, compounding into
+    // thousand-task stages by iteration ~10 (observed) — with it, the
+    // neighbor join is narrow (co-partitioned, no shuffle) and each
+    // iteration shuffles exactly |E| rows into P reducers.
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // both directions, keyed by the label SOURCE vertex
+    val byNeighbor = edges
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .cache()
+    var lbl = byNeighbor.keys.distinct(part.numPartitions)
+      .map(v => (v, v)).partitionBy(part).cache()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIterations) {
+      val msgs = byNeighbor.join(lbl, part)
+        .map { case (_, (dst, l)) => (dst, l) }
+      val next = lbl.union(msgs)
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)).cache()
+      changed = next.join(lbl, part)
+        .filter { case (_, (n, o)) => n != o }.count()
+      lbl.unpersist()
+      lbl = next
+      iter += 1
+    }
+    val out = lbl
+      .map { case (id, c) => (id, c, id == c) }
+      .toDF("doc_id", "cluster_id", "keep")
+      .localCheckpoint(eager = true) // small: one row per paired doc
+    lbl.unpersist()
+    byNeighbor.unpersist()
+    out
+  }
+
   /** Banded MinHash near-dup pairs — the b-bands × r-rows LSH scheme
     * production text-dedup pipelines use (AND-amplification within a band,
     * OR across bands: P[candidate] = 1 − (1 − J^r)^b), which Spark ML's

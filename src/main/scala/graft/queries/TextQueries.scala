@@ -17,6 +17,26 @@ object TextQueries {
   private val stopListSql =
     TextAnalysis.Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** Shared oracle CTE: source-blocked 3-gram shingle sets (`d`) and all
+    * in-block (id_a < id_b) pairs with exact Jaccard (`p`) — the SQL twin
+    * of `Dedup.ngramJaccardPairs`, reused by the pair and cluster oracles.
+    */
+  private val NgramPairsCte =
+    """d AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+      |      AS sh
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+      |      AS jaccard
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)"""
+      .stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-language corpus stats.
     "q_doc_stats" -> { (s, dir) =>
@@ -111,6 +131,16 @@ object TextQueries {
     "q_minhash_neardup" -> { (s, dir) =>
       Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text", 0.2)
         .orderBy("id_a", "id_b")
+    },
+
+    // Near-dup pairs resolved into duplicate clusters (connected
+    // components, min-id labeling) — the keep/drop decision step. The
+    // oracle computes the same components with a recursive CTE over the
+    // identical pair definition.
+    "q_dup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
+        "text", "source", 3, 0.2)
+      Dedup.dupClusters(pairs).orderBy("doc_id")
     },
 
     // Banded MinHash (b×r LSH with exact verification — the scale path
@@ -223,21 +253,25 @@ object TextQueries {
         |GROUP BY source
         |ORDER BY source""".stripMargin,
 
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $NgramPairsCte,
+         |pq AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.2),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pq
+         |      UNION SELECT id_b, id_a FROM pq),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         |SELECT u AS doc_id,
+         |  least(u, min(v)) AS cluster_id,
+         |  u = least(u, min(v)) AS keep
+         |FROM reach
+         |GROUP BY u
+         |ORDER BY doc_id""".stripMargin,
+
     "q_ngram_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-        |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
-        |      AS sh
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-        |      AS jaccard
-        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jaccard FROM p
+      s"""WITH $NgramPairsCte
+         |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 

@@ -71,6 +71,30 @@ class DedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     run() shouldBe run()
   }
 
+  behavior of "dupClusters"
+
+  it should "label connected components by minimum id with keep flags" in {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3} (chain), {10,11}, pair-less docs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    out shouldBe Array((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false))
+  }
+
+  it should "converge on a long chain within the iteration cap" in {
+    val s = spark
+    import s.implicits._
+    val pairs = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    out.length shouldBe 15
+    all(out.map(_._2)) shouldBe 1L
+  }
+
   behavior of "bandedMinHashPairs"
 
   it should "find the planted near-dup with exact jaccard, no noise" in {

@@ -151,6 +151,20 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Deterministic 10% hash-mod sample — the reproducible sampling
+    // method for training-data pipelines (no RNG state, stable across
+    // engines, partitionings and reruns): keep a doc iff the first 4 hex
+    // chars of md5(doc_id) fall below 0x199a (= 6554/65536 ≈ 10.0%).
+    "q_hash_sample" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+          16, 10).cast("long") < 6554)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("source")
+    },
+
     // Token-cost accounting: whitespace tokens vs BPE-ish pre-tokens.
     "q_token_count" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -195,6 +209,15 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_hash_sample" ->
+      """SELECT source, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |  AS BIGINT) < 6554
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
     "q_token_count" ->
       s"""SELECT source,
          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,

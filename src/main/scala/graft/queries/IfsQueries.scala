@@ -170,6 +170,18 @@ object IfsQueries {
       }.toDF("a", "b", "mi").orderBy("a", "b")
     },
 
+    // Custom typed Aggregator (graft.functions.MIAggregate): per-GROUP
+    // mutual information — map-side partial pair counting, one double per
+    // group out. Grouped MI is new surface vs the reference (one global
+    // matrix per job there).
+    "ifs_mi_by_group" -> { (s, dir) =>
+      Q.t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(round(graft.functions.MIAggregate.mi(
+          expr("floor(l_quantity)"), expr(labelSpark)), 6).as("mi"))
+        .orderBy("l_linestatus")
+    },
+
     // O1/O3/O6/O8: greedy mRMR selection, conventional encoding.
     "ifs_select_topk" -> { (s, dir) =>
       import s.implicits._
@@ -296,6 +308,20 @@ object IfsQueries {
           })
       rows.mkString("", "\nUNION ALL\n", "\nORDER BY a, b")
     },
+
+    "ifs_mi_by_group" ->
+      s"""SELECT l_linestatus, round(mi, 6) AS mi FROM (
+         |  SELECT l_linestatus, sum((c / n) * ln((c * n) / (cx * cy))) AS mi
+         |  FROM (
+         |    SELECT l_linestatus, c,
+         |      sum(c) OVER (PARTITION BY l_linestatus) AS n,
+         |      sum(c) OVER (PARTITION BY l_linestatus, x) AS cx,
+         |      sum(c) OVER (PARTITION BY l_linestatus, y) AS cy
+         |    FROM (SELECT l_linestatus, floor(l_quantity) AS x,
+         |                 $labelDuck AS y, CAST(count(*) AS DOUBLE) AS c
+         |          FROM lineitem GROUP BY 1, 2, 3))
+         |  GROUP BY l_linestatus)
+         |ORDER BY l_linestatus""".stripMargin,
 
     "ifs_select_topk" -> greedySelectionSql,
     "ifs_select_rows" -> greedySelectionSql,

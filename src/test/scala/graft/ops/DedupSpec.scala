@@ -95,6 +95,17 @@ class DedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     all(out.map(_._2)) shouldBe 1L
   }
 
+  it should "produce identical labels through the distributed path" in {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L))
+      .toDF("id_a", "id_b")
+    def labels(limit: Long) =
+      Dedup.dupClusters(pairs, driverEdgeLimit = limit).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    labels(0L) shouldBe labels(1000L) // distributed ≡ driver union-find
+  }
+
   behavior of "bandedMinHashPairs"
 
   it should "find the planted near-dup with exact jaccard, no noise" in {

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Executable form of the scale claims: the plans the engine promises are
+  * the plans Catalyst actually produces on the driver's tables.
+  */
+class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
+  with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  behavior of "physical plans"
+
+  it should "broadcast every dimension join in q5_nation_revenue" in {
+    val plan = planOf("q5_nation_revenue").queryExecution.executedPlan
+    collect(plan) { case j: BroadcastHashJoinExec => j } should have size 3
+  }
+
+  it should "push the shipdate filter into q1's parquet scan" in {
+    val scans = planOf("q1_pricing_summary").queryExecution.executedPlan
+      .collectLeaves().map(_.toString).filter(_.contains("Scan parquet"))
+    scans should not be empty
+    all(scans) should include("PushedFilters")
+    exactly(1, scans) should include("LessThanOrEqual(l_shipdate")
+  }
+
+  it should "prune q1's scan to the referenced columns only" in {
+    val scan = planOf("q1_pricing_summary").queryExecution.executedPlan
+      .collectLeaves().map(_.toString).find(_.contains("Scan parquet")).get
+    // 7 referenced columns, not all 11
+    scan should include("l_returnflag")
+    (scan should not).include("l_partkey")
+    (scan should not).include("l_suppkey")
+  }
+
+  it should "partial-aggregate (map-side) before the shuffle in q1" in {
+    val plan = planOf("q1_pricing_summary").queryExecution.executedPlan
+    val aggs = collect(plan) { case a: HashAggregateExec => a }
+    aggs.size should be >= 2 // partial + final
+    val exchanges = collect(plan) { case e: ShuffleExchangeLike => e }
+    exchanges should not be empty
+  }
+
+  it should "plan the as-of join as one shuffle + window, no join node" in {
+    val plan = planOf("q_asof_join").queryExecution.executedPlan
+    (plan.toString should not).include("Join")
+    collect(plan) { case e: ShuffleExchangeLike => e }.size should be <= 3
+  }
+}

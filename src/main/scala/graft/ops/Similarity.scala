@@ -112,6 +112,26 @@ object Similarity {
     out
   }
 
+  /** Symmetric int8 quantization of an embedding column: each vector is
+    * scaled by its own max-abs onto [−127, 127] and rounded half-up —
+    * 4× smaller at rest than float32 (8× vs float64), the standard
+    * storage/IO lever for 100 TB embedding corpora. Returns (idCol,
+    * `scale` = maxabs/127, `q` = array<tinyint>); dequantize as q·scale.
+    * Pure codegen'd column arithmetic; deterministic.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String,
+                   embCol: String): DataFrame = {
+    val e = col(embCol).cast("array<double>")
+    val maxabs = array_max(transform(e, x => abs(x)))
+    emb.select(col(idCol),
+        e.as("e"), (maxabs / lit(127.0)).as("scale"))
+      .select(col(idCol), round(col("scale"), 9).as("scale"),
+        transform(col("e"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round(x / col("scale"), 0))
+            .cast("tinyint")).as("q"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs: every (id_a < id_b) pair
     * with cosine ≥ `minCosine`. Norms are computed once per row *before*
     * the pair join, so the O(n²) pair stage does one codegen'd dot product

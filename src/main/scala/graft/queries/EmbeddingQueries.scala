@@ -25,6 +25,27 @@ object EmbeddingQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Int8 quantization fidelity: per-label counts of quantized vectors,
+    // total quantized mass and worst per-vector scale — checks the whole
+    // quantize pipeline (per-vector max-abs scaling, half-up rounding,
+    // tinyint range) against the oracle's identical arithmetic.
+    "q_emb_quantize" -> { (s, dir) =>
+      val q = Similarity.quantizeInt8(
+        t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+          col("embedding")), "vec_id", "embedding")
+      q.join(t(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+        .select(col("label"), col("scale"),
+          aggregate(col("q"), lit(0L), (acc, x) =>
+            acc + abs(x.cast("long"))).as("mass"),
+          array_max(col("q")).cast("long").as("qmax"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("mass")).cast("long").as("total_mass"),
+          max(col("qmax")).as("max_q"),
+          round(max(col("scale")), 9).as("max_scale"))
+        .orderBy("label")
+    },
+
     // Per-label centroid norm + cohesion stats.
     "q_emb_centroid" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
@@ -102,6 +123,27 @@ object EmbeddingQueries {
          |WHERE a.vec_id < b.vec_id
          |  AND round(list_dot_product(a.u, b.u), 6) >= $NearDupCosine
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_emb_quantize" ->
+      """WITH q AS (
+        |  SELECT label,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> abs(x))) / 127.0 AS raw_scale,
+        |    CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |v AS (
+        |  SELECT label, round(raw_scale, 9) AS scale,
+        |    list_transform(e, x ->
+        |      CAST(round(x / raw_scale, 0) AS BIGINT)) AS qv
+        |  FROM q)
+        |SELECT label, count(*) AS n,
+        |  CAST(sum(list_sum(list_transform(qv, x -> abs(x)))) AS BIGINT)
+        |    AS total_mass,
+        |  max(list_max(qv)) AS max_q,
+        |  round(max(scale), 9) AS max_scale
+        |FROM v
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
 
     "q_emb_centroid" ->
       """WITH dims AS (

@@ -21,6 +21,31 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }.toDF("vec_id", "embedding").cache()
   }
 
+  behavior of "quantizeInt8"
+
+  it should "scale per-vector to [-127,127] and handle zero vectors" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),   // maxabs 2 -> q = (64, -127, 32)
+      (2L, Seq(0.0f, 0.0f, 0.0f)),    // zero vector -> all-zero q
+      (3L, Seq(127.0f, -127.0f, 0f))  // exact range ends
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Byte](2))).toMap
+    out(1L)._2 shouldBe Seq[Byte](64, -127, 32)
+    out(2L)._2 shouldBe Seq[Byte](0, 0, 0)
+    out(2L)._1 shouldBe 0.0
+    out(3L)._2 shouldBe Seq[Byte](127, -127, 0)
+    // dequantized error bounded by scale/2 per element
+    val scale1 = out(1L)._1
+    (out(1L)._2.map(_.toDouble * scale1), Seq(1.0, -2.0, 0.5))
+      .zipped.foreach { (deq, orig) =>
+        math.abs(deq - orig) should be <= scale1 / 2 + 1e-9
+      }
+  }
+
   behavior of "bruteForceTopK"
 
   it should "return k neighbors per query, self excluded, same-cluster first" in {

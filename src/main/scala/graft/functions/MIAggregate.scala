@@ -23,14 +23,24 @@ object MIAggregate {
     */
   private def key(x: Double, y: Double): String = s"$x|$y"
 
-  val aggregator: Aggregator[(Double, Double), Map[String, Long], Double] =
-    new Aggregator[(Double, Double), Map[String, Long], Double] {
+  /** Inputs are boxed so a NULL in either column is representable: a null
+    * pair contributes nothing (SQL-aggregate convention — `corr`, `covar`
+    * etc. likewise skip rows with any null operand) instead of failing the
+    * whole aggregation with a non-nullable-field encoder error.
+    */
+  val aggregator: Aggregator[(java.lang.Double, java.lang.Double),
+      Map[String, Long], Double] =
+    new Aggregator[(java.lang.Double, java.lang.Double),
+        Map[String, Long], Double] {
       override def zero: Map[String, Long] = Map.empty
 
       override def reduce(b: Map[String, Long],
-                          a: (Double, Double)): Map[String, Long] = {
-        val k = key(a._1, a._2)
-        b.updated(k, b.getOrElse(k, 0L) + 1L)
+          a: (java.lang.Double, java.lang.Double)): Map[String, Long] = {
+        if (a._1 == null || a._2 == null) b
+        else {
+          val k = key(a._1.doubleValue, a._2.doubleValue)
+          b.updated(k, b.getOrElse(k, 0L) + 1L)
+        }
       }
 
       override def merge(b1: Map[String, Long],
@@ -53,9 +63,10 @@ object MIAggregate {
       override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
 
-  /** Column form: `mi(x, y)` as an aggregate expression. */
+  /** Column form: `mi(x, y)` as an aggregate expression; null-skipping. */
   def mi(x: Column, y: Column): Column = {
     import org.apache.spark.sql.functions.udaf
-    udaf(aggregator).apply(x.cast("double"), y.cast("double"))
+    udaf(aggregator, Encoders.tuple(Encoders.DOUBLE, Encoders.DOUBLE))
+      .apply(x.cast("double"), y.cast("double"))
   }
 }

@@ -152,8 +152,14 @@ object Dedup {
                   driverEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // Persisted before the size probe: count() executes the full upstream
+    // pair pipeline, and without a shared materialization the chosen path
+    // (collect() or .rdd) would re-execute it — doubling the dominant cost
+    // for any caller that didn't checkpoint its pairs.
     val edgeDf = pairs
       .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .persist()
+    try {
     // Adaptive: below `driverEdgeLimit` edges (16 bytes each — ≤16 MB)
     // union-find on the driver beats ~5 scheduler round-trips per
     // propagation iteration by orders of magnitude; above it, the
@@ -195,9 +201,19 @@ object Dedup {
       .cache()
     var lbl = byNeighbor.keys.distinct(part.numPartitions)
       .map(v => (v, v)).partitionBy(part).cache()
+    // Convergence needs O(component diameter) iterations; `maxIterations`
+    // is a soft target, auto-extended (each extra pass is one cheap
+    // co-partitioned shuffle) up to a 10× hard cap so long chain-shaped
+    // components (diameter > 20, e.g. template-heavy corpora) still get
+    // correct labels instead of a silent wrong answer.
+    val hardCap = maxIterations * 10
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIterations) {
+    while (changed > 0 && iter < hardCap) {
+      if (iter == maxIterations)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dupClusters: not converged after $maxIterations iterations " +
+            s"($changed labels still changing); extending to $hardCap")
       val msgs = byNeighbor.join(lbl, part)
         .map { case (_, (dst, l)) => (dst, l) }
       val next = lbl.union(msgs)
@@ -208,6 +224,11 @@ object Dedup {
       lbl = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters: min-label propagation did not converge after " +
+          s"$hardCap iterations ($changed labels still changing) — " +
+          "component diameter exceeds the cap; raise maxIterations")
     val out = lbl
       .map { case (id, c) => (id, c, id == c) }
       .toDF("doc_id", "cluster_id", "keep")
@@ -215,6 +236,7 @@ object Dedup {
     lbl.unpersist()
     byNeighbor.unpersist()
     out
+    } finally { edgeDf.unpersist(); () }
   }
 
   /** Banded MinHash near-dup pairs — the b-bands × r-rows LSH scheme

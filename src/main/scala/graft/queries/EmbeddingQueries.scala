@@ -132,9 +132,12 @@ object EmbeddingQueries {
         |    CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings),
         |v AS (
+        |  -- zero-vector guard mirrors Similarity.quantizeInt8 (scale = 0
+        |  -- quantizes to all-zero); unguarded 0/0 would be NaN and
+        |  -- CAST(NaN AS BIGINT) errors in DuckDB.
         |  SELECT label, round(raw_scale, 9) AS scale,
-        |    list_transform(e, x ->
-        |      CAST(round(x / raw_scale, 0) AS BIGINT)) AS qv
+        |    list_transform(e, x -> CASE WHEN raw_scale = 0 THEN 0
+        |      ELSE CAST(round(x / raw_scale, 0) AS BIGINT) END) AS qv
         |  FROM q)
         |SELECT label, count(*) AS n,
         |  CAST(sum(list_sum(list_transform(qv, x -> abs(x)))) AS BIGINT)

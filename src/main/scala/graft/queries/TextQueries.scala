@@ -23,12 +23,17 @@ object TextQueries {
     */
   private val NgramPairsCte =
     """d AS (
-      |  SELECT doc_id, source,
-      |    list_distinct(list_transform(
-      |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
-      |      AS sh
-      |  FROM documents),
+      |  -- docs with < 3 tokens have empty shingle sets: Spark's posting-
+      |  -- list join emits nothing for them, while 0/0 below would be NaN
+      |  -- (which DuckDB orders above every threshold) — filter to match.
+      |  SELECT * FROM (
+      |    SELECT doc_id, source,
+      |      list_distinct(list_transform(
+      |        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+      |        AS sh
+      |    FROM documents)
+      |  WHERE len(sh) > 0),
       |p AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /

@@ -95,6 +95,27 @@ class DedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     all(out.map(_._2)) shouldBe 1L
   }
 
+  it should "auto-extend past maxIterations on a chain with larger diameter" in {
+    val s = spark
+    import s.implicits._
+    // diameter 11 > maxIterations 2, within the 10× hard cap; distributed
+    // path forced so the propagation loop (not driver union-find) runs
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs, maxIterations = 2,
+        driverEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.length shouldBe 12
+    all(out.map(_._2)) shouldBe 1L
+  }
+
+  it should "throw rather than return wrong labels past the hard cap" in {
+    val s = spark
+    import s.implicits._
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    an[IllegalStateException] should be thrownBy
+      Dedup.dupClusters(pairs, maxIterations = 1, driverEdgeLimit = 0L)
+  }
+
   it should "produce identical labels through the distributed path" in {
     val s = spark
     import s.implicits._

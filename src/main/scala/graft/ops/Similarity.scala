@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.expressions.Window
@@ -39,6 +38,116 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
+  /** L2-normalized copies of an embedding column as (idOut: long, uOut:
+    * array<double>) — a typed tight-loop map rather than the
+    * `transform(e, x => x / nrm)` HOF spelling: interpreted higher-order
+    * lambdas fall out of codegen and degrade ~15× once a warm JVM makes
+    * `Expression.eval` call sites megamorphic (measured; see
+    * TextAnalysis.shingleSetOf for the same pattern). Arithmetic is
+    * identical (sequential sum-of-squares, sqrt, per-element divide), so
+    * results match the HOF form and the DuckDB oracles bit-for-bit.
+    */
+  private[graft] def unitVectors(df: DataFrame, idCol: String,
+                                 embCol: String, idOut: String,
+                                 uOut: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, e) =>
+        var ss = 0.0
+        var i = 0
+        while (i < e.length) { ss += e(i) * e(i); i += 1 }
+        val n = math.sqrt(ss)
+        val u = new Array[Double](e.length)
+        i = 0
+        while (i < e.length) { u(i) = e(i) / n; i += 1 }
+        (id, u)
+      }
+      .toDF(idOut, uOut)
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d
+  }
+
+  private[graft] def argmaxDot(u: Array[Double],
+                               cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val d = dotArr(u, cents(c))
+      if (d > bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Driver-side spherical k-means over unit vectors: seeded distinct
+    * starts, Lloyd iterations with cosine (= dot) assignment, re-normalized
+    * mean update, empty cells keep their previous centroid. Deterministic
+    * for a fixed seed. Input is a bounded SAMPLE (a coarse quantizer needs
+    * a rough Voronoi partition, not a converged clustering over the full
+    * corpus — the standard IVF training recipe), so this is O(sample · k ·
+    * dim · iters) on the driver regardless of corpus size.
+    */
+  private[graft] def sphericalKMeans(points: Array[Array[Double]], k: Int,
+                                     iters: Int,
+                                     seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "sphericalKMeans: empty training sample")
+    val n = points.length
+    val kk = math.min(k, n)
+    val dim = points(0).length
+    var x = seed
+    def nextLong(): Long = { // splitmix64
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val chosen = scala.collection.mutable.LinkedHashSet.empty[Int]
+    while (chosen.size < kk) chosen += math.floorMod(nextLong(), n.toLong).toInt
+    val cents = chosen.toArray.map(i => points(i).clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      var p = 0
+      while (p < n) {
+        val u = points(p)
+        val c = argmaxDot(u, cents)
+        val sc = sums(c)
+        var i = 0
+        while (i < dim) { sc(i) += u(i); i += 1 }
+        counts(c) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          val sc = sums(c)
+          var ss = 0.0
+          var i = 0
+          while (i < dim) { ss += sc(i) * sc(i); i += 1 }
+          val nn = math.sqrt(ss)
+          if (nn > 0) {
+            i = 0
+            while (i < dim) { sc(i) /= nn; i += 1 }
+            cents(c) = sc
+          }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Exact top-k cosine neighbors for each query row.
     *
     * @param emb     (idCol, embCol: array<numeric>) corpus
@@ -73,33 +182,35 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, nList: Int = 16, nProbe: Int = 2,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, sampleSize: Int = 4096): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    def unit(df: DataFrame, id: String, out: String) =
-      df.select(col(idCol).as(id), col(embCol).cast("array<double>").as("e"))
-        .withColumn("nrm", norm(col("e")))
-        .select(col(id), transform(col("e"), x => x / col("nrm")).as(out))
-    val corpus = unit(emb, "nid", "nu")
-      .withColumn("nv", array_to_vector(col("nu"))).cache()
-    // Coarse quantizer: random init + few iterations — IVF needs a rough
-    // Voronoi partition, not a converged clustering, and every extra
-    // KMeans iteration is a full corpus pass.
-    val model = new KMeans().setK(nList).setSeed(seed)
-      .setInitMode("random").setMaxIter(2)
-      .setFeaturesCol("nv").setPredictionCol("cell").fit(corpus)
-    val assigned = model.transform(corpus).select("nid", "nu", "cell")
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("cell", "ce")
-    val probeW = Window.partitionBy("qid")
-      .orderBy(col("csim").desc, col("cell"))
-    val probed = unit(queries, "qid", "qu")
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", dot(col("qu"), col("ce")))
-      .withColumn("prnk", row_number().over(probeW))
-      .filter(col("prnk") <= nProbe)
-      .select("qid", "qu", "cell")
+    val corpus = unitVectors(emb, idCol, embCol, "nid", "nu").cache()
+    // Coarse quantizer trained driver-side on a bounded deterministic
+    // sample (lowest ids): one collect job instead of an ML KMeans fit
+    // (~10 scheduler round-trips — measured as the dominant fixed cost of
+    // this operator at any scale factor). At 100 TB the sample is still
+    // `sampleSize` rows; training cost does not grow with the corpus.
+    val sample = corpus.orderBy("nid").limit(sampleSize)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    val cents = sphericalKMeans(sample, nList, iters = 5, seed = seed)
+    val bc = s.sparkContext.broadcast(cents)
+    // Assignment: one map-side pass over the corpus, argmax-dot against
+    // the broadcast centroids — never shuffles the big side.
+    val assigned = corpus.as[(Long, Array[Double])]
+      .map { case (id, u) => (id, u, argmaxDot(u, bc.value)) }
+      .toDF("nid", "nu", "cell")
+    // Each query probes its nProbe nearest cells (ties → lowest cell id).
+    val nP = nProbe
+    val probed = unitVectors(queries, idCol, embCol, "qid", "qu")
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qu) =>
+        val cs = bc.value
+        cs.indices.map(c => (c, dotArr(qu, cs(c))))
+          .sortBy { case (c, d) => (-d, c) }
+          .take(nP).map { case (c, _) => (qid, qu, c) }
+      }
+      .toDF("qid", "qu", "cell")
     val rankW = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     val out = assigned.join(broadcast(probed), "cell")
       .filter(col("nid") =!= col("qid"))
@@ -142,10 +253,7 @@ object Similarity {
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                          minCosine: Double): DataFrame = {
-    def unit(id: String) =
-      emb.select(col(idCol).as(id), col(embCol).cast("array<double>").as("e"))
-        .withColumn("nrm", norm(col("e")))
-        .select(col(id), transform(col("e"), x => x / col("nrm")).as(s"u_$id"))
+    def unit(id: String) = unitVectors(emb, idCol, embCol, id, s"u_$id")
     unit("id_a").join(unit("id_b"), col("id_a") < col("id_b"))
       .withColumn("sim", round(dot(col("u_id_a"), col("u_id_b")), 6))
       .filter(col("sim") >= minCosine)
@@ -161,11 +269,8 @@ object Similarity {
   def cosineNearDupLsh(emb: DataFrame, idCol: String, embCol: String,
                        minCosine: Double, bucketLength: Double = 0.5,
                        numHashTables: Int = 4, seed: Long = 42L): DataFrame = {
-    val corpus = emb.select(col(idCol).as("id"),
-        col(embCol).cast("array<double>").as("e"))
-      .withColumn("nrm", norm(col("e")))
-      .select(col("id"),
-        array_to_vector(transform(col("e"), x => x / col("nrm"))).as("nv"))
+    val corpus = unitVectors(emb, idCol, embCol, "id", "u")
+      .select(col("id"), array_to_vector(col("u")).as("nv"))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("nv").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
@@ -194,10 +299,8 @@ object Similarity {
                     bucketLength: Double = 0.5, numHashTables: Int = 4,
                     seed: Long = 42L): DataFrame = {
     def normalized(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), col(embCol).cast("array<double>").as("e"))
-        .withColumn("nrm", norm(col("e"))) // computed once per row
-        .select(col(id),
-          array_to_vector(transform(col("e"), x => x / col("nrm"))).as("nv"))
+      unitVectors(df, idCol, embCol, id, "u")
+        .select(col(id), array_to_vector(col("u")).as("nv"))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("nv").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)

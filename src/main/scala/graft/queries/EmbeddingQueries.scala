@@ -70,6 +70,22 @@ object EmbeddingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Per-dimension profiling: top-5 highest-variance dimensions — the
+    // quick feature-quality diagnostic before selection/quantization.
+    "q_emb_dim_stats" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), avg(col("v")).as("m"),
+          avg(col("v") * col("v")).as("m2"))
+        .select(col("dim").cast("long").as("dim"), col("n"),
+          round(col("m"), 6).as("mean"),
+          round(col("m2") - col("m") * col("m"), 6).as("variance"))
+        .orderBy(col("variance").desc, col("dim"))
+        .limit(5)
+    },
+
     // IVF approximate top-k for the same 5 queries (rows-only check;
     // recall vs brute force is asserted in SimilaritySpec).
     "q_emb_ivf_ann" -> { (s, dir) =>
@@ -147,6 +163,21 @@ object EmbeddingQueries {
         |FROM v
         |GROUP BY label
         |ORDER BY label""".stripMargin,
+
+    "q_emb_dim_stats" ->
+      """WITH d AS (
+        |  SELECT i AS dim, v FROM (
+        |    SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |           unnest(range(len(embedding))) AS i
+        |    FROM embeddings)),
+        |a AS (
+        |  SELECT dim, count(*) AS n, avg(v) AS m, avg(v * v) AS m2
+        |  FROM d GROUP BY dim)
+        |SELECT dim, n, round(m, 6) AS mean,
+        |  round(m2 - m * m, 6) AS variance
+        |FROM a
+        |ORDER BY variance DESC, dim
+        |LIMIT 5""".stripMargin,
 
     "q_emb_centroid" ->
       """WITH dims AS (

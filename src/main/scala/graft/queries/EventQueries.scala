@@ -144,6 +144,96 @@ object EventQueries {
         .orderBy("hour_us", "event_type")
     },
 
+    // Per-type z-score outlier counts. Mean/variance derive from exact
+    // decimal sums (associative → identical doubles in both engines), so
+    // the z > 2 boundary can never flip between Spark and the oracle.
+    "q_zscore_outliers" -> { (s, dir) =>
+      val v = col("value").cast("double")
+      val stats = events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          dsum(v).as("s1"),
+          dsum(v * v, 4).as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("sd", sqrt((col("s2") -
+          col("n") * col("mean") * col("mean")) / (col("n") - 1)))
+        .select("event_type", "mean", "sd")
+      events(s, dir).join(broadcast(stats), "event_type")
+        .withColumn("z", (v - col("mean")) / col("sd"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(abs(col("z")) > 2.0, 1).otherwise(0)).cast("long")
+            .as("n_outliers"),
+          round(max(abs(col("z"))), 6).as("max_abs_z"))
+        .orderBy("event_type")
+    },
+
+    // Banded range join (graft.ops.RangeJoin): views in the 10 minutes
+    // before each purchase — the interval-join shape that would explode
+    // per-key without time banding.
+    "q_range_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id").as("bu"),
+          unix_micros(col("ts")).as("t_buy"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+          unix_micros(col("ts")).as("t_view"))
+      graft.ops.RangeJoin.banded(buys, views, "bu", "vu", "t_buy", "t_view",
+          loUs = -600000000L, hiUs = -1L)
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("buy_id")).as("n_buys"),
+          count_distinct(col("bu")).as("n_users"))
+    },
+
+    // Streaming stateful dedup: dropDuplicates over an unbounded stream
+    // (state = one entry per distinct key), drained with AvailableNow into
+    // an append-mode sink; the batch aggregate of the sink equals the
+    // batch count-distinct the oracle runs regardless of arrival order.
+    "q_stream_dedup" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events*.parquet")
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      val name = "q_stream_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = stream.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    },
+
+    // Streaming SLIDING event-time windows (2h width, 1h slide — each
+    // event lands in exactly two windows), complete mode.
+    "q_stream_sliding" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val counts = stream
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val name = "q_stream_sliding_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = counts.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(unix_micros(col("w.start")).as("win_us"), col("n"),
+          col("sum_value"))
+        .orderBy("win_us")
+    },
+
     // Funnel: users with a purchase within 1h after a view.
     "q_funnel_1h" -> { (s, dir) =>
       val ev = events(s, dir)
@@ -248,6 +338,61 @@ object EventQueries {
          |FROM events
          |GROUP BY 1, 2
          |ORDER BY hour_us, event_type""".stripMargin,
+
+    "q_zscore_outliers" ->
+      s"""WITH st AS (
+         |  SELECT event_type, count(*) AS n,
+         |    ${dsumSql("CAST(value AS DOUBLE)")} AS s1,
+         |    ${dsumSql("CAST(value AS DOUBLE) * CAST(value AS DOUBLE)", 4)}
+         |      AS s2
+         |  FROM events GROUP BY event_type),
+         |m AS (
+         |  SELECT event_type, s1 / n AS mean,
+         |    sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS sd
+         |  FROM st),
+         |x AS (
+         |  SELECT e.event_type,
+         |    (CAST(e.value AS DOUBLE) - m.mean) / m.sd AS z
+         |  FROM events e JOIN m USING (event_type))
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_outliers,
+         |  round(max(abs(z)), 6) AS max_abs_z
+         |FROM x
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT count(*) AS n_pairs,
+        |  count(DISTINCT b.event_id) AS n_buys,
+        |  count(DISTINCT b.user_id) AS n_users
+        |FROM (SELECT event_id, user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS t_buy
+        |      FROM events WHERE event_type = 'purchase') b
+        |JOIN (SELECT event_id, user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS t_view
+        |      FROM events WHERE event_type = 'view') v
+        |  ON b.user_id = v.user_id
+        | AND v.t_view >= b.t_buy - 600000000
+        | AND v.t_view <= b.t_buy - 1""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_stream_sliding" ->
+      s"""SELECT epoch_us(w) AS win_us, count(*) AS n,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM (
+         |  SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+         |                 date_trunc('hour', CAST(ts AS TIMESTAMP))
+         |                   - INTERVAL 1 HOUR]) AS w,
+         |    value
+         |  FROM events)
+         |GROUP BY 1
+         |ORDER BY win_us""".stripMargin,
 
     "q_funnel_1h" ->
       """SELECT count(DISTINCT v.user_id) AS n_users,

@@ -113,6 +113,45 @@ object Relational {
         .orderBy("rf", "ls")
     },
 
+    // CUBE over priority × status with the grouping_id bitmask (the full
+    // grouping-sets family alongside q_rollup_flags' ROLLUP).
+    "q_cube_status" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          col("gid"), col("n"), col("sum_price"))
+        .orderBy("gid", "pri", "st")
+    },
+
+    // Relational PIVOT proper (RelationalGroupedDataset.pivot with an
+    // explicit value list — one shuffle, statuses become columns), vs
+    // q_orders_by_month's manual conditional-aggregation spelling.
+    "q_pivot_status" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("year"),
+          coalesce(col("F"), lit(0.0)).as("price_f"),
+          coalesce(col("O"), lit(0.0)).as("price_o"),
+          coalesce(col("P"), lit(0.0)).as("price_p"))
+        .orderBy("year")
+    },
+
+    // Set operation EXCEPT: customers active in 1998 but gone in 1999+.
+    "q_except" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1998)
+        .select(col("o_custkey").as("custkey"))
+        .except(o.filter(year(col("o_orderdate")) >= 1999)
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+
     // Multiple distinct aggregates in one pass.
     "q_distinct_agg" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -282,6 +321,36 @@ object Relational {
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY rf, ls""".stripMargin,
+
+    "q_cube_status" ->
+      s"""SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+         |  coalesce(o_orderstatus, 'ALL') AS st,
+         |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+         |  count(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         |ORDER BY gid, pri, st""".stripMargin,
+
+    "q_pivot_status" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS year,
+         |  coalesce(${dsumSql("CASE WHEN o_orderstatus = 'F' " +
+            "THEN o_totalprice END")}, 0.0) AS price_f,
+         |  coalesce(${dsumSql("CASE WHEN o_orderstatus = 'O' " +
+            "THEN o_totalprice END")}, 0.0) AS price_o,
+         |  coalesce(${dsumSql("CASE WHEN o_orderstatus = 'P' " +
+            "THEN o_totalprice END")}, 0.0) AS price_p
+         |FROM orders
+         |GROUP BY 1
+         |ORDER BY year""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE year(o_orderdate) = 1998
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE year(o_orderdate) >= 1999
+        |ORDER BY custkey""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT l_returnflag,

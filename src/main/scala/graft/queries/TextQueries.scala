@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ops.{Dedup, TextAnalysis}
 import graft.queries.Q._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -183,6 +184,51 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // TF-IDF top terms: smooth idf = ln((N+1)/(df+1)) + 1 over the FULL
+    // corpus document frequencies; top-3 terms for the first 10 docs.
+    // Scale shape: df is a partial-aggregated groupBy (bounded by vocab),
+    // the per-doc tf side is tiny after the pushdown filter, and the
+    // 1-row corpus count is a broadcast cross join.
+    "q_tfidf_topterms" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val nTotal = docs.agg(count(lit(1)).as("n_total"))
+      val terms = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val dfreq = terms.distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val tf = terms.filter(col("doc_id") < 10)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(nTotal))
+        .withColumn("tfidf", round(col("tf") *
+          (log((col("n_total") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tfidf")
+        .orderBy("doc_id", "rnk")
+    },
+
+    // Character-level Shannon entropy per doc (nats — same unit policy as
+    // the MI core), averaged per language: a standard cheap quality /
+    // gibberish signal for corpus filtering.
+    "q_doc_entropy" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "lang", "ch")
+        .agg(count(lit(1)).as("cnt"))
+      val perDoc = counts
+        .groupBy("doc_id", "lang")
+        .agg(round(log(sum(col("cnt"))) -
+          sum(col("cnt") * log(col("cnt"))) / sum(col("cnt")), 6).as("ent"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("ent").cast(DecimalType(18, 6))).cast(DoubleType) /
+            count(lit(1)), 6).as("avg_entropy"))
+        .orderBy("lang")
+    },
+
     // SimHash bucket profile (rows-only; determinism spec in ScalaTest).
     "q_simhash_buckets" -> { (s, dir) =>
       Dedup.simHashSignatures(t(s, dir, "documents"), "doc_id", "text")
@@ -302,6 +348,47 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_tfidf_topterms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE doc_id < 10 GROUP BY doc_id, term),
+        |x AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * (ln((n.n_total + 1.0) / (df.df + 1.0)) + 1.0), 6)
+        |      AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term) AS rnk
+        |  FROM x)
+        |SELECT doc_id, rnk, term, tfidf FROM r
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_doc_entropy" ->
+      """WITH cc AS (
+        |  SELECT doc_id, lang, c, count(*) AS cnt FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, '')) AS c
+        |    FROM documents)
+        |  GROUP BY doc_id, lang, c),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6) AS ent
+        |  FROM cc GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(ent AS DECIMAL(18,6))) AS DOUBLE) / count(*),
+        |    6) AS avg_entropy
+        |FROM h
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "q_media_frames" ->
       """WITH d AS (

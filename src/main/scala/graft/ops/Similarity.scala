@@ -223,6 +223,89 @@ object Similarity {
     out
   }
 
+  /** Round to 6 decimals, half away from zero — the same rule as Spark's
+    * `round()` and DuckDB's `round()`, for use inside typed loops.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Maximal-marginal-relevance diverse top-k: per query, greedily pick
+    * `kOut` of the `kCand` most-similar candidates, each round maximizing
+    * `λ·rel(c,q) − (1−λ)·max_{s∈selected} sim(c,s)` (round 1 is pure
+    * relevance; ties → lowest id) — the standard de-redundancy step when
+    * sampling training data near a query/centroid, where plain top-k
+    * returns k near-copies.
+    *
+    * Scale shape: candidate generation is [[bruteForceTopK]]'s broadcast
+    * scan (swap in [[ivfTopK]] cells at 100 TB — same contract); the
+    * greedy loop then runs per-query inside `flatMapGroups` over ≤ kCand
+    * rows, so the quadratic term is kCand² per query, never corpus-sized,
+    * and queries parallelize across the cluster.
+    *
+    * Returns (qid, rnk, idCol, score) with score rounded to 6 decimals.
+    */
+  def mmrTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, kCand: Int, kOut: Int,
+              lambda: Double): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val corpus = unitVectors(emb, idCol, embCol, "nid", "nu")
+    val qs = unitVectors(queries, idCol, embCol, "qid", "qu")
+    val w = Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))
+    val cands = corpus.join(broadcast(qs), col("nid") =!= col("qid"))
+      .withColumn("rel", round(dot(col("nu"), col("qu")), 6))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= kCand)
+      .select(col("qid"), col("nid"), col("rel"), col("nu"))
+    val lam = lambda
+    val out = cands.as[(Long, Long, Double, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Double])]) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2))
+        val n = cs.length
+        val k = math.min(kOut, n)
+        val sel = new Array[Int](k)
+        val chosen = new Array[Boolean](n)
+        val res = new Array[(Long, Int, Long, Double)](k)
+        var r = 0
+        while (r < k) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              val sc =
+                if (r == 0) cs(i)._3
+                else {
+                  var ms = Double.NegativeInfinity
+                  var j = 0
+                  while (j < r) {
+                    val d = round6(dotArr(cs(i)._4, cs(sel(j))._4))
+                    if (d > ms) ms = d
+                    j += 1
+                  }
+                  lam * cs(i)._3 - (1 - lam) * ms
+                }
+              if (sc > bestScore ||
+                  (sc == bestScore && (best < 0 || cs(i)._2 < cs(best)._2))) {
+                best = i
+                bestScore = sc
+              }
+            }
+            i += 1
+          }
+          sel(r) = best
+          chosen(best) = true
+          res(r) = (qid, r + 1, cs(best)._2, round6(bestScore))
+          r += 1
+        }
+        res.iterator
+      }
+      .toDF("qid", "rnk", idCol, "score")
+    out.orderBy("qid", "rnk")
+  }
+
   /** Symmetric int8 quantization of an embedding column: each vector is
     * scaled by its own max-abs onto [−127, 127] and rounded half-up —
     * 4× smaller at rest than float32 (8× vs float64), the standard

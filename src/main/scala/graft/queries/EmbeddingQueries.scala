@@ -70,6 +70,17 @@ object EmbeddingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // MMR diverse top-3 out of the 10 nearest candidates (λ = 0.7): the
+    // de-redundancy selection a training-data sampler runs where plain
+    // top-k returns near-copies. Oracle unrolls the 3 greedy rounds as
+    // chained CTEs (same technique as the ifs_select_topk oracle).
+    "q_emb_mmr" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrTopK(emb,
+        emb.filter(col("vec_id") < NQueries), "vec_id", "embedding",
+        kCand = 10, kOut = 3, lambda = 0.7)
+    },
+
     // Per-dimension profiling: top-5 highest-variance dimensions — the
     // quick feature-quality diagnostic before selection/quantization.
     "q_emb_dim_stats" -> { (s, dir) =>
@@ -163,6 +174,57 @@ object EmbeddingQueries {
         |FROM v
         |GROUP BY label
         |ORDER BY label""".stripMargin,
+
+    "q_emb_mmr" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |u AS (
+         |  SELECT vec_id,
+         |    list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+         |  FROM e),
+         |q AS (SELECT vec_id AS qid, u AS qu FROM u WHERE vec_id < $NQueries),
+         |rel AS (
+         |  SELECT q.qid, u.vec_id, u.u,
+         |    round(list_dot_product(u.u, q.qu), 6) AS rel
+         |  FROM u, q WHERE u.vec_id <> q.qid),
+         |cand AS (
+         |  SELECT qid, vec_id, u, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, vec_id) AS crnk FROM rel)
+         |  WHERE crnk <= 10),
+         |s1 AS (
+         |  SELECT qid, vec_id, u, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, vec_id) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |x2 AS (
+         |  SELECT c.qid, c.vec_id, c.u, c.rel,
+         |    0.7 * c.rel - 0.3 * round(list_dot_product(c.u, s1.u), 6)
+         |      AS score
+         |  FROM cand c JOIN s1 ON c.qid = s1.qid AND c.vec_id <> s1.vec_id),
+         |s2 AS (
+         |  SELECT qid, vec_id, u, rel, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, vec_id) AS rn FROM x2)
+         |  WHERE rn = 1),
+         |x3 AS (
+         |  SELECT c.qid, c.vec_id, c.rel,
+         |    0.7 * c.rel - 0.3 * greatest(
+         |      round(list_dot_product(c.u, s1.u), 6),
+         |      round(list_dot_product(c.u, s2.u), 6)) AS score
+         |  FROM cand c
+         |  JOIN s1 ON c.qid = s1.qid
+         |  JOIN s2 ON c.qid = s2.qid
+         |  WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id),
+         |s3 AS (
+         |  SELECT qid, vec_id, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, vec_id) AS rn FROM x3)
+         |  WHERE rn = 1)
+         |SELECT qid, 1 AS rnk, vec_id, round(rel, 6) AS score FROM s1
+         |UNION ALL SELECT qid, 2, vec_id, round(score, 6) FROM s2
+         |UNION ALL SELECT qid, 3, vec_id, round(score, 6) FROM s3
+         |ORDER BY qid, rnk""".stripMargin,
 
     "q_emb_dim_stats" ->
       """WITH d AS (

@@ -237,7 +237,10 @@ object TextQueries {
         .orderBy("bucket16")
     },
 
-    // Language-ID heuristic distribution vs labeled lang (rows-only).
+    // Language-ID heuristic distribution vs labeled lang. The heuristic
+    // (CJK codepoint ratio, then marker-token argmax with ties in profile
+    // order) is pure integer arithmetic, so the oracle reproduces it
+    // exactly in SQL.
     "q_lang_id" -> { (s, dir) =>
       val langId = udf(TextAnalysis.langIdOf _)
       t(s, dir, "documents")
@@ -403,6 +406,43 @@ object TextQueries {
         |  WHERE d.n > 0)
         |SELECT doc_id, frame_idx, "offset", frame_len FROM f
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Exact SQL twin of TextAnalysis.langIdOf: empty → 'und'; CJK
+    // codepoints ≥ 10% of chars → 'zh'; else argmax of marker hits with
+    // ties breaking in (en, fr, es, de) profile order; all-zero → 'und'.
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text,
+        |      '[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]')) AS cjk,
+        |    length(text) AS n,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, cjk, n,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','is',
+        |      'to','in','that'))) AS c_en,
+        |    len(list_filter(toks, x -> x IN ('le','la','et','les','des',
+        |      'un','une','est'))) AS c_fr,
+        |    len(list_filter(toks, x -> x IN ('el','la','y','los','las',
+        |      'un','una','es'))) AS c_es,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist',
+        |      'ein','eine','nicht'))) AS c_de
+        |  FROM t),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN n = 0 THEN 'und'
+        |         WHEN cjk * 10 >= n THEN 'zh'
+        |         WHEN greatest(c_en, c_fr, c_es, c_de) = 0 THEN 'und'
+        |         WHEN c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+        |         WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+        |         WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+        |         ELSE 'de' END AS pred
+        |  FROM s)
+        |SELECT lang, pred, count(*) AS n
+        |FROM p
+        |GROUP BY lang, pred
+        |ORDER BY lang, pred""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id,

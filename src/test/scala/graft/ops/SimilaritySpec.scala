@@ -147,4 +147,37 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     run() shouldBe run()
   }
+
+  behavior of "mmrTopK"
+
+  it should "pick the top-1 first, then diversify across clusters" in {
+    val queries = emb.filter(col("vec_id") === 0)
+    val exactTop = Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", 1)
+      .collect().head.getLong(2)
+    // kCand wide enough to reach other clusters; λ low → diversity wins
+    val mmr = Similarity.mmrTopK(emb, queries, "vec_id", "embedding",
+        kCand = 50, kOut = 3, lambda = 0.3)
+      .orderBy("rnk").collect()
+    mmr.length shouldBe 3
+    mmr.head.getLong(2) shouldBe exactTop // round 1 = pure relevance
+    // with clusters of near-copies, MMR must not return 3 same-cluster ids
+    mmr.map(_.getLong(2) % 3).distinct.length should be > 1
+    // plain top-3 DOES return 3 same-cluster ids — the contrast MMR fixes
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(_.getLong(2) % 3).distinct.length shouldBe 1
+  }
+
+  it should "return ranks 1..k with no duplicate ids, deterministically" in {
+    def run() = Similarity.mmrTopK(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        kCand = 10, kOut = 3, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val out = run()
+    out.groupBy(_._1).values.foreach { g =>
+      g.map(_._2).sorted shouldBe (1 to 3)
+      g.map(_._3).distinct.length shouldBe 3
+    }
+    out shouldBe run()
+  }
 }

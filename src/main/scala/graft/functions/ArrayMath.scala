@@ -12,4 +12,11 @@ object ArrayMath {
     */
   def dotProduct(a: Column, b: Column): Column =
     org.apache.spark.sql.graftfns.bridge.dot(a, b)
+
+  /** Register graft's native functions (`dot_product`) for SQL use in an
+    * already-running session; cluster-wide installs should set
+    * `spark.sql.extensions=graft.GraftExtensions` instead.
+    */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftfns.bridge.register(spark)
 }

@@ -7,7 +7,7 @@ package org.apache.spark.sql.graftfns
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * Lengths may differ; the shorter prefix is used.
   */
 case class DotProduct(left: Expression, right: Expression)
-  extends BinaryExpression with ExpectsInputTypes {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
@@ -70,7 +70,30 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Internal Column bridge — use graft.functions.ArrayMath instead. */
 object bridge {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b)))
+
+  /** (name, info, builder) triple shared by the SQL registration paths. */
+  val dotProductFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"dot_product expects 2 arguments, got ${children.length}")
+      DotProduct(children.head, children(1))
+    })
+
+  /** Register `dot_product` into an already-running session's function
+    * registry (the in-session twin of [[graft.GraftExtensions]]).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val (id, info, builder) = dotProductFunction
+    cs.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
 }

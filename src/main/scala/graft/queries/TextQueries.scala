@@ -171,6 +171,35 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Stratified deterministic sampling: per-stratum rates (src0 keeps
+    // ~20%, every other source ~5%) via the same hash-mod rule as
+    // q_hash_sample — how a training mix is rebalanced reproducibly
+    // (no RNG state; stable across engines, partitionings and reruns).
+    "q_stratified_sample" -> { (s, dir) =>
+      val thresh = when(col("source") === "src0", 13107).otherwise(3277)
+      t(s, dir, "documents")
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+          16, 10).cast("long") < thresh)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("source")
+    },
+
+    // Multimodal "resize": stride-downsample each blob to 64 bytes
+    // (graft.ops.Multimodal.resizeStub — typed map plumbing; the byte
+    // geometry is pure arithmetic, so the oracle reconstructs the exact
+    // resized payload and its md5 from the ASCII source text).
+    "q_media_resize" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.resizeStub(media, targetBytes = 64).toDF()
+        .select(col("id").as("doc_id"),
+          octet_length(col("bytes")).cast("long").as("n_out"),
+          substring(md5(col("bytes")), 1, 8).as("md5_8"))
+        .orderBy("doc_id")
+    },
+
     // Token-cost accounting: whitespace tokens vs BPE-ish pre-tokens.
     "q_token_count" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -271,6 +300,30 @@ object TextQueries {
         |  AS BIGINT) < 6554
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT source, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |  AS BIGINT) < CASE WHEN source = 'src0' THEN 13107 ELSE 3277 END
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n <= 64 THEN text
+        |         ELSE array_to_string(list_transform(range(64),
+        |                i -> text[CAST((n * i) // 64 AS BIGINT) + 1]), '')
+        |    END AS rz
+        |  FROM d)
+        |SELECT doc_id, CAST(length(rz) AS BIGINT) AS n_out,
+        |  substr(md5(rz), 1, 8) AS md5_8
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       s"""SELECT source,

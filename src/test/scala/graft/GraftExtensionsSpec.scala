@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.ArrayMath
+import org.apache.spark.sql.SparkSession
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class GraftExtensionsSpec extends AnyFlatSpec with Matchers
+    with SparkTestBase {
+
+  behavior of "graft SQL function registration"
+
+  it should "expose dot_product in SQL after in-session registration" in {
+    ArrayMath.registerSqlFunctions(spark)
+    spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0) shouldBe 11.0
+    // implicit cast path: array<int> arguments
+    spark.sql("SELECT dot_product(array(1, 2), array(3, 4)) AS d")
+      .head().getDouble(0) shouldBe 11.0
+  }
+
+  it should "reject a wrong arity at analysis" in {
+    ArrayMath.registerSqlFunctions(spark)
+    an[Exception] should be thrownBy
+      spark.sql("SELECT dot_product(array(1.0d))").collect()
+  }
+
+  it should "inject dot_product via spark.sql.extensions" in {
+    // Build a sibling session over the SAME SparkContext with the
+    // extensions applied (the spark.sql.extensions code path); restore the
+    // default session afterwards so other suites are unaffected.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val withExt = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      withExt.sql(
+        "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(2.0d, 2.0d, 2.0d))")
+        .head().getDouble(0) shouldBe 12.0
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

@@ -225,6 +225,27 @@ object Relational {
         .orderBy("o_orderpriority")
     },
 
+    // Bucketed co-located join (graft.sources.BucketedTables): both fact
+    // tables are written bucketed on the join key, so the join itself
+    // plans with NO exchange — the pay-the-shuffle-once-at-ingest strategy
+    // for fact tables joined repeatedly at 100 TB. The oracle is the plain
+    // equi-join: bucketing must never change results.
+    "q_bucketed_join" -> { (s, dir) =>
+      import graft.sources.BucketedTables
+      BucketedTables.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "g_orders_bkt", "o_orderkey", 8)
+      BucketedTables.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "g_lineitem_bkt", "l_orderkey", 8)
+      BucketedTables.bucketedJoin(s, "g_orders_bkt", "o_orderkey",
+          "g_lineitem_bkt", "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
+
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont`: index p·(n−1), linear interpolation); rounded to 4
     // decimals on both sides so the ~1e-12 cross-engine float delta
@@ -405,6 +426,15 @@ object Relational {
          |JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_bucketed_join" ->
+      s"""SELECT o_orderstatus,
+         |  count(*) AS n_items,
+         |  ${dsumSql("l_quantity", 2)} AS sum_qty
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,

@@ -57,4 +57,25 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
     (plan.toString should not).include("Join")
     collect(plan) { case e: ShuffleExchangeLike => e }.size should be <= 3
   }
+
+  it should "plan the range join as an equi-join, never a cross product" in {
+    val plan = planOf("q_range_join").queryExecution.executedPlan
+    val str = plan.toString
+    (str should not).include("CartesianProduct")
+    (str should not).include("BroadcastNestedLoopJoin")
+    // the band AND the key are both join keys of the single binary join
+    val joinLine = str.linesIterator
+      .find(l => l.contains("Join") && l.contains("band")).getOrElse("")
+    joinLine should include("band")
+    joinLine should (include("bu") or include("vu"))
+  }
+
+  it should "keep the tfidf corpus-count join broadcast" in {
+    val plan = planOf("q_tfidf_topterms").queryExecution.executedPlan
+    collect(plan) {
+      case j: BroadcastHashJoinExec => j
+      case n: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => n
+    } should not be empty
+  }
 }

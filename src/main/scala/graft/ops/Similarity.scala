@@ -223,6 +223,169 @@ object Similarity {
     out
   }
 
+  /** Plain L2 Lloyd k-means on the driver (PQ codebook training): seeded
+    * distinct starts, nearest-centroid assignment by squared L2, mean
+    * update, empty cells keep their centroid. Deterministic.
+    */
+  private[graft] def l2KMeans(points: Array[Array[Double]], k: Int,
+                              iters: Int,
+                              seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "l2KMeans: empty training sample")
+    val n = points.length
+    val kk = math.min(k, n)
+    val dim = points(0).length
+    var x = seed
+    def nextLong(): Long = { // splitmix64
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val chosen = scala.collection.mutable.LinkedHashSet.empty[Int]
+    while (chosen.size < kk) chosen += math.floorMod(nextLong(), n.toLong).toInt
+    val cents = chosen.toArray.map(i => points(i).clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      var p = 0
+      while (p < n) {
+        val u = points(p)
+        val c = argminL2(u, 0, cents)
+        val sc = sums(c)
+        var i = 0
+        while (i < dim) { sc(i) += u(i); i += 1 }
+        counts(c) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          val sc = sums(c)
+          var i = 0
+          while (i < dim) { sc(i) /= counts(c); i += 1 }
+          cents(c) = sc
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Index of the centroid nearest (squared L2) to `v[off, off+dsub)`;
+    * ties → lowest index.
+    */
+  private[graft] def argminL2(v: Array[Double], off: Int,
+                              cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < ce.length) {
+        val t = v(off + i) - ce(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Product-quantization approximate top-k: unit vectors are split into
+    * `m` subvectors; each subspace gets a `kCode`-centroid codebook
+    * (driver-trained on a bounded deterministic sample, like [[ivfTopK]]'s
+    * quantizer); the corpus is encoded to `m` byte codes per vector
+    * (m bytes vs 4·dim float32 — 32× compression at m=8/dim=64); queries
+    * scan codes with an ADC (asymmetric distance computation) lookup
+    * table — m table lookups per corpus row instead of a dim-length dot
+    * product.
+    *
+    * The scale story: the PQ-coded corpus fits in a fraction of the
+    * memory/IO of raw vectors (the enabler for billion-vector ANN —
+    * IVF-PQ is exactly this plus [[ivfTopK]]'s cell pruning), and the scan
+    * is one map-side pass with the tiny codebooks+tables broadcast.
+    * Results are approximate; recall vs [[bruteForceTopK]] is asserted in
+    * SimilaritySpec. Seeded → deterministic.
+    *
+    * Returns (qid, rnk, idCol, adc_dist): per query the `k` corpus rows
+    * with smallest approximate squared-L2 distance (ties → lowest id),
+    * `adc_dist` rounded to 6 decimals.
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, k: Int, m: Int = 8, kCode: Int = 16,
+             trainIters: Int = 8, seed: Long = 42L,
+             sampleSize: Int = 4096): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val corpus = unitVectors(emb, idCol, embCol, "nid", "nu").cache()
+    val sample = corpus.orderBy("nid").limit(sampleSize)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    require(sample.nonEmpty, "pqTopK: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // per-subspace codebooks trained on the sample's subvector slices
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(
+        v, sub * dsub, (sub + 1) * dsub))
+      l2KMeans(pts, kCode, trainIters, seed + sub)
+    }
+    val bcBooks = s.sparkContext.broadcast(books)
+    // encode: m codes per corpus vector — one map-side pass
+    val codes = corpus.as[(Long, Array[Double])].map { case (id, u) =>
+      val bk = bcBooks.value
+      val cs = new Array[Byte](m)
+      var sub = 0
+      while (sub < m) {
+        cs(sub) = argminL2(u, sub * dsub, bk(sub)).toByte
+        sub += 1
+      }
+      (id, cs)
+    }
+    // per-query ADC tables: table(sub)(code) = ||q_sub − centroid||²
+    val qs = unitVectors(queries, idCol, embCol, "qid", "qu")
+      .as[(Long, Array[Double])].collect()
+    val tables: Map[Long, Array[Array[Double]]] = qs.map { case (qid, qu) =>
+      qid -> Array.tabulate(m) { sub =>
+        Array.tabulate(books(sub).length) { c =>
+          val ce = books(sub)(c)
+          var d = 0.0
+          var i = 0
+          while (i < ce.length) {
+            val t = qu(sub * dsub + i) - ce(i)
+            d += t * t
+            i += 1
+          }
+          d
+        }
+      }
+    }.toMap
+    val bcTables = s.sparkContext.broadcast(tables)
+    val scored = codes.flatMap { case (id, cs) =>
+      bcTables.value.iterator.collect {
+        case (qid, tbl) if qid != id =>
+          var d = 0.0
+          var sub = 0
+          while (sub < m) { d += tbl(sub)(cs(sub) & 0xff); sub += 1 }
+          (qid, id, round6(d))
+      }
+    }.toDF("qid", "nid", "adc_dist")
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
+    val out = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid").as(idCol), col("adc_dist"))
+      .localCheckpoint(eager = true) // small: ≤ k rows per query
+    corpus.unpersist()
+    out
+  }
+
   /** Round to 6 decimals, half away from zero — the same rule as Spark's
     * `round()` and DuckDB's `round()`, for use inside typed loops.
     */

@@ -106,6 +106,16 @@ object EmbeddingQueries {
         .orderBy("qid", "rnk")
     },
 
+    // Product-quantization ANN for the same 5 queries: 8 subspaces × 16
+    // codes → 8 bytes per vector (32× compression vs float32), ADC scan.
+    // Rows-only check; recall vs brute force asserted in SimilaritySpec.
+    "q_emb_pq_ann" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb,
+          emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K)
+        .orderBy("qid", "rnk")
+    },
+
     // LSH candidate generation for the same 5 queries (rows-only check;
     // recall vs brute force is asserted in SimilaritySpec).
     "q_emb_lsh_ann" -> { (s, dir) =>

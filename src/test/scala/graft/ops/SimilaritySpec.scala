@@ -148,6 +148,37 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
     run() shouldBe run()
   }
 
+  behavior of "pqTopK"
+
+  it should "recall most of the brute-force top-5 from 4-byte codes" in {
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 16 dims → m=4 subspaces of 4 dims, 16 codes each (fine enough to
+    // discriminate within a tight cluster, not just across clusters)
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+        m = 4, kCode = 16)
+      .collect()
+    pq.groupBy(_.getLong(0)).values.foreach { g =>
+      g.map(_.getInt(1)).sorted shouldBe (1 to 5)
+    }
+    // PQ distances are lossy, but well-separated clusters must still rank
+    // same-cluster vectors first
+    pq.foreach { r => (r.getLong(2) % 3) shouldBe (r.getLong(0) % 3) }
+    val approx = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    recall should be >= 0.6
+  }
+
+  it should "be deterministic for a fixed seed" in {
+    def run() = Similarity.pqTopK(
+        emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding", 3,
+        m = 4, kCode = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    run() shouldBe run()
+  }
+
   behavior of "mmrTopK"
 
   it should "pick the top-1 first, then diversify across clusters" in {

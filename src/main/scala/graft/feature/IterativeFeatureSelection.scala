@@ -75,12 +75,32 @@ object IterativeFeatureSelection {
       val k = math.min(num, numCols)
       // (cand, other) -> MI; other = -1 encodes the label column.
       val memo = mutable.Map.empty[(Int, Int), Double]
+      // Narrow-matrix fast path: when the FULL pair table (every candidate
+      // vs label + every unordered feature pair) fits one counting job's
+      // budget, compute it up front in a single scan — the greedy loop then
+      // runs entirely on the driver against the memo, so selecting k
+      // features costs 1 distributed job instead of k+1. MI is symmetric,
+      // so one computed value serves both (i,j) directions. Wide matrices
+      // (pairs > batchSize) keep the per-round batched jobs — at that shape
+      // precomputing all O(cols²) pairs would dwarf the k·cols the greedy
+      // rounds actually consume.
+      if (numCols.toLong * (numCols + 1) / 2 <= batchSize) {
+        val allPairs = (0 until numCols).map(c => (c, -1)) ++
+          (for { j <- 0 until numCols; i <- (j + 1) until numCols }
+            yield (i, j))
+        pairMIMulti(data, allPairs, maxCategories).foreach {
+          case ((i, j), v) =>
+            memo((i, j)) = v
+            if (j >= 0) memo((j, i)) = v
+        }
+      }
       val selected = mutable.ArrayBuffer.empty[(Int, Double)]
       while (selected.size < k) {
         val selIdx = selected.map(_._1).toSeq
         val cands = (0 until numCols).filterNot(selIdx.contains)
         val newest = if (selected.isEmpty) -1 else selIdx.last
-        cands.grouped(batchSize).foreach { batch =>
+        val missing = cands.filterNot(c => memo.contains((c, newest)))
+        missing.grouped(batchSize).foreach { batch =>
           pairMI(data, batch, newest, maxCategories).foreach {
             case (c, mi) => memo((c, newest)) = mi
           }
@@ -123,12 +143,23 @@ object IterativeFeatureSelection {
                                  maxCategories: Int)
   : Map[(Int, Int), Double] = {
     require(pairs.nonEmpty, "pairs must be non-empty")
+    // The explode below multiplies each input row ×|pairs| and is the
+    // CPU-bound stage of the whole selection — its parallelism must not be
+    // whatever split count the scan happened to produce (a small input is
+    // one parquet split → the 12M-tuple expansion runs on ONE core;
+    // measured 5s versus 0.7s spread over the machine). One narrow
+    // pre-explode shuffle of (label, f) rows is orders of magnitude
+    // cheaper. On a real multi-TB input the scan already has ≥ cores
+    // splits and this is a no-op.
+    val par = data.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (data.rdd.getNumPartitions < par) data.repartition(par) else data
     val tuples = array(pairs.map { case (c, o) =>
       struct(lit(c).as("cand"), element_at(col("f"), c + 1).as("cv"),
         lit(o).as("other"),
         (if (o < 0) col("label") else element_at(col("f"), o + 1)).as("ov"))
     }: _*)
-    val counts = data
+    val counts = src
       .select(explode(tuples).as("t"))
       .groupBy(col("t.cand").as("cand"), col("t.other").as("other"),
         col("t.cv").as("cv"), col("t.ov").as("ov"))

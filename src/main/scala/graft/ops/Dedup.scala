@@ -90,6 +90,17 @@ object Dedup {
     * definition as [[ngramJaccardPairs]], so LSH recall is directly
     * measurable against the exact quadratic baseline). Deterministic for a
     * fixed seed. Returns (id_a, id_b, jaccard_dist) with id_a < id_b.
+    *
+    * Signatures come from Spark ML's seeded `MinHashLSH`, but the
+    * candidate join is done by hand instead of `approxSimilarityJoin`:
+    * that method joins the exploded (×numHashTables) rows WITH their full
+    * 2^18-dim tf vectors attached, so the shuffle carries every doc's
+    * sparse vector numHashTables times — measured as the dominant cost at
+    * every scale. Here the join sees only (id, table, hash) rows; the
+    * surviving candidate pairs (orders of magnitude fewer than docs) fetch
+    * the tf index sets once for an exact-distance verify. Same output —
+    * `keyDistance` is 1 − |∩|/|∪| over the tf non-zero index sets, which
+    * is what the typed merge below computes.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDistance: Double, n: Int = 3, numHashTables: Int = 4,
@@ -114,17 +125,59 @@ object Dedup {
     val mh = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = mh.fit(featured)
-    // Materialize signatures BEFORE the join: approxSimilarityJoin explodes
-    // each side ×numHashTables, and without a cache the whole
-    // shingle→TF→minhash projection is re-evaluated per exploded copy
-    // (numHashTables× the work) — the dominant cost at any scale.
+    // One cached materialization of the shingle→TF→minhash pipeline; both
+    // narrow derivations below read it from memory.
     val signed = model.transform(featured)
       .select(col("id"), col("tf"), col("sig")).cache()
     try {
-      model.approxSimilarityJoin(signed, signed, maxDistance, "dist")
-        .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
-          round(col("dist"), 6).as("jaccard_dist"))
-        .filter(col("id_a") < col("id_b"))
+      // (1) candidates: docs sharing any hash table's value. Only
+      // (id, table, hash) crosses the shuffle.
+      val sigRows = signed
+        .select(col("id"), posexplode(col("sig")).as(Seq("tbl", "hv")))
+        .select(col("id"), col("tbl"),
+          org.apache.spark.ml.functions.vector_to_array(col("hv"))
+            .getItem(0).as("h"))
+      val cands = sigRows.select(col("id").as("id_a"), col("tbl"), col("h"))
+        .join(sigRows.select(col("id").as("id_b"), col("tbl").as("tbl_b"),
+            col("h").as("h_b")),
+          col("tbl") === col("tbl_b") && col("h") === col("h_b") &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      // (2) exact verify: Jaccard distance over the tf non-zero index sets
+      // (indices of a SparseVector are sorted → linear merge intersection).
+      val idx = signed.select(col("id"), col("tf"))
+        .as[(Long, org.apache.spark.ml.linalg.Vector)]
+        .map { case (id, v) =>
+          val sv = v match {
+            case s: org.apache.spark.ml.linalg.SparseVector => s
+            case d => d.toSparse
+          }
+          (id, sv.indices)
+        }
+        .toDF("sid", "idx")
+      cands
+        .join(idx, col("id_a") === col("sid")).drop("sid")
+        .withColumnRenamed("idx", "idx_a")
+        .join(idx, col("id_b") === col("sid")).drop("sid")
+        .withColumnRenamed("idx", "idx_b")
+        .as[(Long, Long, Array[Int], Array[Int])]
+        .flatMap { case (a, b, ia, ib) =>
+          var i = 0; var j = 0; var inter = 0
+          while (i < ia.length && j < ib.length) {
+            if (ia(i) == ib(j)) { inter += 1; i += 1; j += 1 }
+            else if (ia(i) < ib(j)) i += 1
+            else j += 1
+          }
+          val d = 1.0 - inter.toDouble / (ia.length + ib.length - inter)
+          // filter on the raw distance, round half-up for output — the
+          // exact contract approxSimilarityJoin + round(dist, 6) had
+          if (d <= maxDistance)
+            Iterator.single((a, b,
+              java.math.BigDecimal.valueOf(d)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+          else Iterator.empty
+        }
+        .toDF("id_a", "id_b", "jaccard_dist")
         .localCheckpoint(eager = true)
     } finally { signed.unpersist(); () }
   }

@@ -425,6 +425,15 @@ object Similarity {
     val out = cands.as[(Long, Long, Double, Array[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Double])]) =>
+        // Score combination in EXACT decimal arithmetic: rel and ms are
+        // already 6-decimal values, so λ·rel − (1−λ)·ms is exactly
+        // representable — double arithmetic here differs from the SQL
+        // oracle's in the 6th decimal on round-to-even boundaries
+        // (observed at sf0.01), while decimal arithmetic is identical in
+        // any engine.
+        import java.math.BigDecimal
+        val bdLam = BigDecimal.valueOf(lam)
+        val bdRem = BigDecimal.ONE.subtract(bdLam)
         val cs = it.toArray.sortBy(c => (-c._3, c._2))
         val n = cs.length
         val k = math.min(kOut, n)
@@ -434,12 +443,12 @@ object Similarity {
         var r = 0
         while (r < k) {
           var best = -1
-          var bestScore = Double.NegativeInfinity
+          var bestScore: BigDecimal = null
           var i = 0
           while (i < n) {
             if (!chosen(i)) {
-              val sc =
-                if (r == 0) cs(i)._3
+              val sc: BigDecimal =
+                if (r == 0) BigDecimal.valueOf(cs(i)._3)
                 else {
                   var ms = Double.NegativeInfinity
                   var j = 0
@@ -448,10 +457,12 @@ object Similarity {
                     if (d > ms) ms = d
                     j += 1
                   }
-                  lam * cs(i)._3 - (1 - lam) * ms
+                  bdLam.multiply(BigDecimal.valueOf(cs(i)._3))
+                    .subtract(bdRem.multiply(BigDecimal.valueOf(ms)))
                 }
-              if (sc > bestScore ||
-                  (sc == bestScore && (best < 0 || cs(i)._2 < cs(best)._2))) {
+              val cmp = if (bestScore == null) 1 else sc.compareTo(bestScore)
+              if (cmp > 0 ||
+                  (cmp == 0 && (best < 0 || cs(i)._2 < cs(best)._2))) {
                 best = i
                 bestScore = sc
               }
@@ -460,7 +471,9 @@ object Similarity {
           }
           sel(r) = best
           chosen(best) = true
-          res(r) = (qid, r + 1, cs(best)._2, round6(bestScore))
+          res(r) = (qid, r + 1, cs(best)._2,
+            bestScore.setScale(6, java.math.RoundingMode.HALF_UP)
+              .doubleValue())
           r += 1
         }
         res.iterator
@@ -523,14 +536,48 @@ object Similarity {
       .setSeed(seed)
     val maxL2 = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
     val model = lsh.fit(corpus)
-    // Materialize hashes before the join — approxSimilarityJoin explodes
-    // ×numHashTables and would re-normalize + re-hash per exploded copy.
+    // Materialize hashes once; the candidate join below sees only narrow
+    // (id, table, hash) rows instead of approxSimilarityJoin's exploded
+    // rows with the full vector attached ×numHashTables (the dominant
+    // shuffle at every scale — see Dedup.minHashPairs for the same
+    // rewrite). Surviving pairs fetch their two vectors once for the
+    // exact-distance verify; output is identical.
     val hashed = model.transform(corpus).cache()
     try {
-      model.approxSimilarityJoin(hashed, hashed, maxL2, "l2")
-        .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
-          round(lit(1.0) - col("l2") * col("l2") / 2.0, 6).as("sim"))
-        .filter(col("id_a") < col("id_b") && col("sim") >= minCosine)
+      val s = emb.sparkSession
+      import s.implicits._
+      val hRows = hashed
+        .select(col("id"), posexplode(col("hashes")).as(Seq("tbl", "hv")))
+        .select(col("id"), col("tbl"),
+          org.apache.spark.ml.functions.vector_to_array(col("hv"))
+            .getItem(0).as("h"))
+      val cands = hRows.select(col("id").as("id_a"), col("tbl"), col("h"))
+        .join(hRows.select(col("id").as("id_b"), col("tbl").as("tbl_b"),
+            col("h").as("h_b")),
+          col("tbl") === col("tbl_b") && col("h") === col("h_b") &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val vecs = hashed.select(col("id").as("vid"), col("nv"))
+      cands
+        .join(vecs, col("id_a") === col("vid")).drop("vid")
+        .withColumnRenamed("nv", "va")
+        .join(vecs, col("id_b") === col("vid")).drop("vid")
+        .withColumnRenamed("nv", "vb")
+        .as[(Long, Long, org.apache.spark.ml.linalg.Vector,
+          org.apache.spark.ml.linalg.Vector)]
+        .flatMap { case (a, b, va, vb) =>
+          // same op sequence as keyDistance + the old column expression:
+          // sqrt(sqdist) first, sim from l2·l2 — bit-identical output
+          val l2 = math.sqrt(
+            org.apache.spark.ml.linalg.Vectors.sqdist(va, vb))
+          if (l2 <= maxL2) {
+            val sim = java.math.BigDecimal.valueOf(1.0 - l2 * l2 / 2.0)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (sim >= minCosine) Iterator.single((a, b, sim))
+            else Iterator.empty
+          } else Iterator.empty
+        }
+        .toDF("id_a", "id_b", "sim")
         .localCheckpoint(eager = true)
     } finally { hashed.unpersist(); () }
   }
@@ -553,13 +600,44 @@ object Similarity {
       .setSeed(seed)
     val corpus = normalized(emb, "nid")
     val model = lsh.fit(corpus)
+    // Narrow candidate join + exact verify instead of approxSimilarityJoin
+    // (which shuffles the full vectors ×numHashTables) — same rewrite as
+    // [[cosineNearDupLsh]]; the query side is small and broadcasts.
     val hashed = model.transform(corpus).cache()
     try {
-      model.approxSimilarityJoin(hashed, normalized(queries, "qid"), maxL2,
-          "l2")
-        .select(col("datasetA.nid").as("nid"), col("datasetB.qid").as("qid"),
-          round(col("l2"), 6).as("l2"))
-        .filter(col("nid") =!= col("qid"))
+      val s = emb.sparkSession
+      import s.implicits._
+      def hRows(df: DataFrame, id: String) = df
+        .select(col(id), posexplode(col("hashes")).as(Seq("tbl", "hv")))
+        .select(col(id), col("tbl"),
+          org.apache.spark.ml.functions.vector_to_array(col("hv"))
+            .getItem(0).as("h"))
+      val qHashed = model.transform(normalized(queries, "qid"))
+      val cands = hRows(hashed, "nid")
+        .join(broadcast(hRows(qHashed, "qid")
+            .select(col("qid"), col("tbl").as("tbl_b"), col("h").as("h_b"))),
+          col("tbl") === col("tbl_b") && col("h") === col("h_b"))
+        .select("nid", "qid").distinct()
+      val qVecs = qHashed.select(col("qid").as("qvid"), col("nv").as("qv"))
+      cands
+        .join(hashed.select(col("nid").as("nvid"), col("nv")),
+          col("nid") === col("nvid")).drop("nvid")
+        .join(broadcast(qVecs), col("qid") === col("qvid")).drop("qvid")
+        .as[(Long, Long, org.apache.spark.ml.linalg.Vector,
+          org.apache.spark.ml.linalg.Vector)]
+        .flatMap { case (nid, qid, nv, qv) =>
+          if (nid == qid) Iterator.empty
+          else {
+            val l2 = math.sqrt(
+              org.apache.spark.ml.linalg.Vectors.sqdist(nv, qv))
+            if (l2 <= maxL2)
+              Iterator.single((nid, qid,
+                java.math.BigDecimal.valueOf(l2)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+            else Iterator.empty
+          }
+        }
+        .toDF("nid", "qid", "l2")
         .localCheckpoint(eager = true)
     } finally { hashed.unpersist(); () }
   }

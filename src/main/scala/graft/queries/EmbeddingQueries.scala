@@ -208,9 +208,14 @@ object EmbeddingQueries {
          |      ORDER BY rel DESC, vec_id) AS rn FROM cand)
          |  WHERE rn = 1),
          |x2 AS (
+         |  -- score in EXACT decimal arithmetic (rel/ms are 6-decimal
+         |  -- values): double 0.7·rel − 0.3·ms differs from Spark in the
+         |  -- 6th decimal on rounding boundaries; decimal never does
          |  SELECT c.qid, c.vec_id, c.u, c.rel,
-         |    0.7 * c.rel - 0.3 * round(list_dot_product(c.u, s1.u), 6)
-         |      AS score
+         |    CAST(0.7 AS DECIMAL(18,6)) * CAST(c.rel AS DECIMAL(18,6))
+         |      - CAST(0.3 AS DECIMAL(18,6)) *
+         |        CAST(round(list_dot_product(c.u, s1.u), 6)
+         |             AS DECIMAL(18,6)) AS score
          |  FROM cand c JOIN s1 ON c.qid = s1.qid AND c.vec_id <> s1.vec_id),
          |s2 AS (
          |  SELECT qid, vec_id, u, rel, score FROM (
@@ -219,9 +224,11 @@ object EmbeddingQueries {
          |  WHERE rn = 1),
          |x3 AS (
          |  SELECT c.qid, c.vec_id, c.rel,
-         |    0.7 * c.rel - 0.3 * greatest(
-         |      round(list_dot_product(c.u, s1.u), 6),
-         |      round(list_dot_product(c.u, s2.u), 6)) AS score
+         |    CAST(0.7 AS DECIMAL(18,6)) * CAST(c.rel AS DECIMAL(18,6))
+         |      - CAST(0.3 AS DECIMAL(18,6)) * CAST(greatest(
+         |          round(list_dot_product(c.u, s1.u), 6),
+         |          round(list_dot_product(c.u, s2.u), 6))
+         |        AS DECIMAL(18,6)) AS score
          |  FROM cand c
          |  JOIN s1 ON c.qid = s1.qid
          |  JOIN s2 ON c.qid = s2.qid
@@ -232,8 +239,10 @@ object EmbeddingQueries {
          |      ORDER BY score DESC, vec_id) AS rn FROM x3)
          |  WHERE rn = 1)
          |SELECT qid, 1 AS rnk, vec_id, round(rel, 6) AS score FROM s1
-         |UNION ALL SELECT qid, 2, vec_id, round(score, 6) FROM s2
-         |UNION ALL SELECT qid, 3, vec_id, round(score, 6) FROM s3
+         |UNION ALL SELECT qid, 2, vec_id,
+         |  CAST(round(score, 6) AS DOUBLE) FROM s2
+         |UNION ALL SELECT qid, 3, vec_id,
+         |  CAST(round(score, 6) AS DOUBLE) FROM s3
          |ORDER BY qid, rnk""".stripMargin,
 
     "q_emb_dim_stats" ->

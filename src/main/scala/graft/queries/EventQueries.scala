@@ -248,6 +248,44 @@ object EventQueries {
         .agg(count_distinct(col("u")).as("n_users"),
           count(lit(1)).as("n_view_buy_pairs"))
     },
+
+    // STREAM-STREAM inner join with watermarks on both sides and an
+    // event-time range condition — the canonical streaming-join shape
+    // (view → purchase attribution within 1h). State on each side is
+    // bounded by the watermark + range, so this runs indefinitely at any
+    // rate; the per-pair rows land in the sink and are aggregated per
+    // user batch-side (same pattern as q_stream_dedup). The oracle is the
+    // identical join in plain SQL: with AvailableNow every pair matches
+    // inside the run, so streaming and batch semantics coincide exactly.
+    "q_stream_join" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id").as("u"), col("ts").as("ts_v"))
+        .withWatermark("ts_v", "2 hours")
+      val buys = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u_b"), col("ts").as("ts_b"),
+          col("value").as("buy_value"))
+        .withWatermark("ts_b", "2 hours")
+      val joined = views.join(buys,
+        col("u") === col("u_b") &&
+          col("ts_b") > col("ts_v") &&
+          col("ts_b") <= col("ts_v") + expr("INTERVAL 1 HOUR"))
+      val name = "q_stream_join_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("u").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("buy_value")).as("buy_sum"))
+        .orderBy("user_id")
+    },
   )
 
   private val breaksSql =
@@ -404,5 +442,19 @@ object EventQueries {
         |  ON v.user_id = b.user_id
         | AND b.t_buy > v.t_view
         | AND b.t_buy - v.t_view <= 3600000000""".stripMargin,
+
+    "q_stream_join" ->
+      s"""SELECT v.user_id, count(*) AS n_pairs,
+         |  ${dsumSql("b.value")} AS buy_sum
+         |FROM (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_v
+         |      FROM events WHERE event_type = 'view') v
+         |JOIN (SELECT user_id, value,
+         |             epoch_us(CAST(ts AS TIMESTAMP)) AS t_b
+         |      FROM events WHERE event_type = 'purchase') b
+         |  ON v.user_id = b.user_id
+         | AND b.t_b > v.t_v
+         | AND b.t_b - v.t_v <= 3600000000
+         |GROUP BY v.user_id
+         |ORDER BY v.user_id""".stripMargin,
   )
 }

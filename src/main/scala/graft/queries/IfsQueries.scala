@@ -75,7 +75,7 @@ object IfsQueries {
     // most one transpose computation.
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.cache()
-    df
+    df.filter(col("id") >= 0L) // drop the label pseudo-row (id -1)
   }
 
   private def rowMatrixBuild(s: SparkSession, dir: String): DataFrame =
@@ -85,11 +85,14 @@ object IfsQueries {
       // global order; per-partition primitive column chunks are then
       // shuffled by feature id (one (fid, offset, chunk) record per
       // partition per feature) and stitched with arraycopy — O(n) work,
-      // no per-cell shuffle records, no struct sorts.
+      // no per-cell shuffle records, no struct sorts. The label column
+      // rides along as pseudo-feature -1 (dropped from the returned
+      // matrix), so [[labelsRow]] shares this single sorted pass instead
+      // of paying a second full sort+collect.
       val sorted = matrix(s, dir)
         .orderBy("l_orderkey", "l_linenumber")
-        .select("f").rdd
-        .map(_.getSeq[Double](0))
+        .select("label", "f").rdd
+        .map(r => (r.getDouble(0), r.getSeq[Double](1)))
       sorted.cache()
       val partSizes = sorted
         .mapPartitionsWithIndex((pi, it) => Iterator.single(pi -> it.size))
@@ -100,15 +103,18 @@ object IfsQueries {
       val nFeatures = featureDefs.size
       val chunks = sorted.mapPartitionsWithIndex { (pi, it) =>
         val rows = it.toArray
-        (0 until nFeatures).iterator.map { fid =>
+        (-1 to (nFeatures - 1)).iterator.map { fid =>
           val arr = new Array[Double](rows.length)
           var i = 0
-          while (i < rows.length) { arr(i) = rows(i)(fid); i += 1 }
+          while (i < rows.length) {
+            arr(i) = if (fid < 0) rows(i)._1 else rows(i)._2(fid)
+            i += 1
+          }
           (fid.toLong, (bOffsets.value(pi), arr))
         }
       }
       val df = chunks
-        .groupByKey(math.min(nFeatures, s.sparkContext.defaultParallelism))
+        .groupByKey(math.min(nFeatures + 1, s.sparkContext.defaultParallelism))
         .map { case (fid, chs) =>
           val out = new Array[Double](total.toInt)
           chs.foreach { case (off, arr) =>
@@ -125,12 +131,15 @@ object IfsQueries {
 
   /** Per-instance labels in the same deterministic order as [[rowMatrix]]
     * vector positions (the reference passes this as a Param, not data —
-    * `reference:RowSelector.scala:23-24`). Memoized per (session, dir).
+    * `reference:RowSelector.scala:23-24`). Row -1 of the transposed matrix
+    * — one broadcast-sized fetch from the shared transpose, not a second
+    * sorted scan. Memoized per (session, dir).
     */
   def labelsRow(s: SparkSession, dir: String): Array[Double] =
     cache.getOrElseUpdate(("labelsRow", s, dir), {
-      matrix(s, dir).orderBy("l_orderkey", "l_linenumber")
-        .select(col("label")).collect().map(_.getDouble(0))
+      rowMatrixBuild(s, dir)
+        .filter(col("id") === -1L)
+        .head().getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
     }).asInstanceOf[Array[Double]]
 
   private val cache =

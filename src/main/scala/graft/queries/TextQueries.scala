@@ -157,6 +157,27 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Leakage-safe train/test split: the hash-mod split is keyed by the
+    // near-dup CLUSTER id, not the doc id, so near-duplicates always land
+    // in the same side — the step that keeps eval contamination out of a
+    // training corpus (a per-doc split would put one copy of a template
+    // in train and its twin in test). ~80% train via the same md5-prefix
+    // rule as q_hash_sample; singletons are their own cluster.
+    "q_cluster_split" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        "source", 3, 0.2)
+      val clusters = Dedup.dupClusters(pairs)
+        .select(col("doc_id").as("cdoc"), col("cluster_id"))
+      docs.join(clusters, col("doc_id") === col("cdoc"), "left")
+        .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split",
+          when(conv(substring(md5(col("cid").cast("string")), 1, 4),
+            16, 10).cast("long") < 52429, "train").otherwise("test"))
+        .select(col("doc_id"), col("cid").as("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic 10% hash-mod sample — the reproducible sampling
     // method for training-data pipelines (no RNG state, stable across
     // engines, partitionings and reruns): keep a doc iff the first 4 hex
@@ -404,6 +425,27 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE $NgramPairsCte,
+         |pq AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.2),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pq
+         |      UNION SELECT id_b, id_a FROM pq),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(
+         |         coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4))
+         |       AS BIGINT) < 52429
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_tfidf_topterms" ->
       """WITH tok AS (

@@ -99,11 +99,16 @@ class IterativeFeatureSelectionSpec extends AnyFunSuite with Matchers
 
   test("round 1 picks the max-relevance feature, batching preserved") {
     val (labels, m) = randomMatrix(seed = 5, rows = 100, cols = 6)
-    // batchSize=2 forces multiple counting jobs per round
+    // batchSize=2 forces multiple counting jobs per round (and disables
+    // the all-pairs fast path, whose one-job plan may differ from the
+    // per-round jobs in FP summation order — scores agree to ~1e-15,
+    // selections must agree exactly)
     val got = IterativeFeatureSelection.selectColumns(
       conventionalDF(labels, m), "label", "features", num = 2, batchSize = 2)
-    got shouldBe IterativeFeatureSelection.selectColumns(
+    val ref = IterativeFeatureSelection.selectColumns(
       conventionalDF(labels, m), "label", "features", num = 2)
+    got.map(_._1) shouldBe ref.map(_._1)
+    got.zip(ref).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-9 }
   }
 
   test("maxCategories guard rejects high-cardinality columns") {

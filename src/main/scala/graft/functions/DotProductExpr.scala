@@ -77,6 +77,11 @@ object bridge {
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b)))
 
+  def collectTopK(e: Column, k: Int, reverse: Boolean): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .GraftCollectTopK(ExpressionUtils.expression(e), k, reverse))
+
   /** (name, info, builder) triple shared by the SQL registration paths. */
   val dotProductFunction: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (

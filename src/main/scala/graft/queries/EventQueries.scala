@@ -36,6 +36,24 @@ object EventQueries {
           unix_micros(col("ts")) - col("prev_us") > GapUs, 1).otherwise(0))
   }
 
+  /** Run `f` with a state-sized shuffle-partition count, restoring the
+    * session's setting after. A stateful streaming query creates and
+    * commits one state store per shuffle partition per stateful operator
+    * per micro-batch; for kilobyte-scale state, dozens of partitions are
+    * pure fixed overhead (measured ~2× on the stream-stream join). Real
+    * deployments size this knob to state volume the same way — it is
+    * pinned into the checkpoint at first start. Only the streaming
+    * execution runs inside `f`; the returned DataFrame over the memory
+    * sink is batch and unaffected.
+    */
+  private def withStatePartitions[A](s: SparkSession, n: Int = 8)
+                                    (f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Lag-gap sessionization: sessions and events per user.
     "q_sessionize" -> { (s, dir) =>
@@ -134,10 +152,12 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       val name = "q_stream_hourly_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = counts.writeStream.outputMode(OutputMode.Complete())
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s) {
+        val q = counts.writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(unix_micros(col("w.start")).as("hour_us"),
           col("event_type"), col("n"), col("sum_value"))
@@ -200,10 +220,12 @@ object EventQueries {
         .dropDuplicates("user_id", "event_type")
       val name = "q_stream_dedup_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = stream.writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s) {
+        val q = stream.writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_users"))
@@ -224,10 +246,12 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       val name = "q_stream_sliding_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = counts.writeStream.outputMode(OutputMode.Complete())
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s) {
+        val q = counts.writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(unix_micros(col("w.start")).as("win_us"), col("n"),
           col("sum_value"))
@@ -277,10 +301,12 @@ object EventQueries {
           col("ts_b") <= col("ts_v") + expr("INTERVAL 1 HOUR"))
       val name = "q_stream_join_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = joined.writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(s) {
+        val q = joined.writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
         .groupBy(col("u").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"), dsum(col("buy_value")).as("buy_sum"))

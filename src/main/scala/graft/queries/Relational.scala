@@ -101,6 +101,18 @@ object Relational {
         .orderBy("o_custkey", "rn")
     },
 
+    // Same top-3-per-group result as a bounded-heap AGGREGATE
+    // (graft.functions.TopK over Catalyst's CollectTopK): the window
+    // spelling above shuffles + sorts every row; this shuffles ≤ k rows
+    // per (group, partition) — the form that survives 100 TB. Grouped by
+    // order priority; ties break on the struct's (price, orderkey)
+    // descending order, which the oracle mirrors.
+    "q_topk_per_group" -> { (s, dir) =>
+      graft.functions.TopK.topKPerGroup(t(s, dir, "orders"),
+          Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+        .orderBy("o_orderpriority", "rnk")
+    },
+
     // ROLLUP over returnflag × linestatus (grouping-sets family).
     "q_rollup_flags" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -333,6 +345,15 @@ object Relational {
         |  FROM orders)
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, rn AS rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
 
     "q_rollup_flags" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,

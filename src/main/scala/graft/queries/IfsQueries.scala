@@ -82,50 +82,51 @@ object IfsQueries {
     cache.getOrElseUpdate(("rowMatrix", s, dir), {
       import s.implicits._
       // Range-partitioned sort on the natural key gives a deterministic
-      // global order; per-partition primitive column chunks are then
-      // shuffled by feature id (one (fid, offset, chunk) record per
-      // partition per feature) and stitched with arraycopy — O(n) work,
-      // no per-cell shuffle records, no struct sorts. The label column
+      // global order; each sorted partition is then columnized in place
+      // (primitive builders over InternalRows — no Row boxing) and the
+      // per-partition chunks shuffle keyed by feature id, one (partIdx,
+      // chunk) record per partition per feature. Assembly sorts the few
+      // chunks by partition index and concatenates — global offsets are
+      // implied, so the whole transpose is ONE pass over the sorted data
+      // (no size-collect job, no cached intermediate). The label column
       // rides along as pseudo-feature -1 (dropped from the returned
-      // matrix), so [[labelsRow]] shares this single sorted pass instead
-      // of paying a second full sort+collect.
-      val sorted = matrix(s, dir)
+      // matrix), so [[labelsRow]] shares the pass instead of paying a
+      // second full sort+collect.
+      val sortedDF = matrix(s, dir)
         .orderBy("l_orderkey", "l_linenumber")
-        .select("label", "f").rdd
-        .map(r => (r.getDouble(0), r.getSeq[Double](1)))
-      sorted.cache()
-      val partSizes = sorted
-        .mapPartitionsWithIndex((pi, it) => Iterator.single(pi -> it.size))
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = partSizes.scanLeft(0L)(_ + _)
-      val total = offsets.last
-      val bOffsets = s.sparkContext.broadcast(offsets)
+        .select("label", "f")
       val nFeatures = featureDefs.size
-      val chunks = sorted.mapPartitionsWithIndex { (pi, it) =>
-        val rows = it.toArray
-        (-1 to (nFeatures - 1)).iterator.map { fid =>
-          val arr = new Array[Double](rows.length)
-          var i = 0
-          while (i < rows.length) {
-            arr(i) = if (fid < 0) rows(i)._1 else rows(i)._2(fid)
-            i += 1
+      val chunks = sortedDF.queryExecution.toRdd
+        .mapPartitionsWithIndex { (pi, it) =>
+          val bs = Array.fill(nFeatures + 1)(
+            new scala.collection.mutable.ArrayBuilder.ofDouble)
+          it.foreach { r =>
+            bs(0) += r.getDouble(0)
+            val arr = r.getArray(1)
+            var f = 0
+            while (f < nFeatures) { bs(f + 1) += arr.getDouble(f); f += 1 }
           }
-          (fid.toLong, (bOffsets.value(pi), arr))
+          (0 to nFeatures).iterator.map { i =>
+            ((i - 1).toLong, (pi, bs(i).result()))
+          }
         }
-      }
       val df = chunks
         .groupByKey(math.min(nFeatures + 1, s.sparkContext.defaultParallelism))
         .map { case (fid, chs) =>
-          val out = new Array[Double](total.toInt)
-          chs.foreach { case (off, arr) =>
-            System.arraycopy(arr, 0, out, off.toInt, arr.length)
+          val parts = chs.toArray.sortBy(_._1)
+          var total = 0
+          parts.foreach(p => total += p._2.length)
+          val out = new Array[Double](total)
+          var off = 0
+          parts.foreach { case (_, a) =>
+            System.arraycopy(a, 0, out, off, a.length)
+            off += a.length
           }
           (fid, org.apache.spark.ml.linalg.Vectors.dense(out))
         }
         .toDF("id", "features")
         .cache()
-      df.count() // materialize once; drop the intermediate
-      sorted.unpersist()
+      df.count() // materialize once
       df
     }).asInstanceOf[DataFrame]
 

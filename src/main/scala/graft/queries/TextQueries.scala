@@ -157,6 +157,19 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Contiguous global row index (distributed zipWithIndex: range
+    // partition + in-partition sort + offset job — never a single-task
+    // global sort). Sampled at every 20th doc id; the filter runs AFTER
+    // indexing, so the oracle checks absolute positions in the full
+    // order.
+    "q_row_index" -> { (s, dir) =>
+      graft.ops.RowIndex.withContiguousIndex(
+          t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+        .filter(col("doc_id") % 20 === 0)
+        .select("row_idx", "doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // Leakage-safe train/test split: the hash-mod split is keyed by the
     // near-dup CLUSTER id, not the doc id, so near-duplicates always land
     // in the same side — the step that keeps eval contamination out of a
@@ -425,6 +438,14 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_row_index" ->
+      """SELECT row_idx, doc_id, source FROM (
+        |  SELECT (row_number() OVER (ORDER BY doc_id)) - 1 AS row_idx,
+        |         doc_id, source
+        |  FROM documents)
+        |WHERE doc_id % 20 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_cluster_split" ->
       s"""WITH RECURSIVE $NgramPairsCte,

@@ -386,6 +386,103 @@ object Similarity {
     out
   }
 
+  /** IVF-PQ approximate top-k — [[ivfTopK]]'s coarse-cell pruning composed
+    * with [[pqTopK]]'s compressed ADC scan, the layout billion-vector ANN
+    * serving actually uses (FAISS IVFx,PQy): the corpus is stored as
+    * (cell, m byte codes) — a fraction of raw-vector IO — and each query
+    * touches only its `nProbe` probed cells, scanning codes with an
+    * m-lookup ADC table instead of dim-length dot products.
+    *
+    * This is the "no-residual" IVF-PQ variant (codes quantize the raw unit
+    * vector, not the cell residual): one codebook set serves every cell,
+    * so the per-query ADC table is built once rather than per probed cell.
+    * Seeded → deterministic; recall vs [[bruteForceTopK]] is asserted in
+    * SimilaritySpec.
+    *
+    * Returns (qid, rnk, idCol, adc_dist), `adc_dist` = approximate squared
+    * L2 rounded to 6 decimals, ties → lowest id.
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, k: Int, nList: Int = 16, nProbe: Int = 2,
+                m: Int = 8, kCode: Int = 16, trainIters: Int = 8,
+                seed: Long = 42L, sampleSize: Int = 4096): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val corpus = unitVectors(emb, idCol, embCol, "nid", "nu").cache()
+    val sample = corpus.orderBy("nid").limit(sampleSize)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    require(sample.nonEmpty, "ivfPqTopK: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // driver-trained on the bounded sample: coarse quantizer + codebooks
+    val cents = sphericalKMeans(sample, nList, iters = 5, seed = seed)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(
+        v, sub * dsub, (sub + 1) * dsub))
+      l2KMeans(pts, kCode, trainIters, seed + sub)
+    }
+    val bcCents = s.sparkContext.broadcast(cents)
+    val bcBooks = s.sparkContext.broadcast(books)
+    // one map-side pass: assign cell + encode codes
+    val coded = corpus.as[(Long, Array[Double])].map { case (id, u) =>
+      val bk = bcBooks.value
+      val cs = new Array[Byte](m)
+      var sub = 0
+      while (sub < m) {
+        cs(sub) = argminL2(u, sub * dsub, bk(sub)).toByte
+        sub += 1
+      }
+      (id, argmaxDot(u, bcCents.value), cs)
+    }.toDF("nid", "cell", "codes")
+    // queries: probe nProbe nearest cells; ADC table per query (codes are
+    // raw-vector quantized → cell-independent)
+    val nP = nProbe
+    val qs = unitVectors(queries, idCol, embCol, "qid", "qu")
+      .as[(Long, Array[Double])].collect()
+    val probed = qs.flatMap { case (qid, qu) =>
+      bcCents.value.indices.map(c => (c, dotArr(qu, cents(c))))
+        .sortBy { case (c, d) => (-d, c) }
+        .take(nP).map { case (c, _) => (qid, c) }
+    }.toSeq
+    val tables: Map[Long, Array[Array[Double]]] = qs.map { case (qid, qu) =>
+      qid -> Array.tabulate(m) { sub =>
+        Array.tabulate(books(sub).length) { c =>
+          val ce = books(sub)(c)
+          var d = 0.0
+          var i = 0
+          while (i < ce.length) {
+            val t = qu(sub * dsub + i) - ce(i)
+            d += t * t
+            i += 1
+          }
+          d
+        }
+      }
+    }.toMap
+    val bcTables = s.sparkContext.broadcast(tables)
+    val probedDf = probed.toDF("qid", "qcell")
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
+    val out = coded.join(broadcast(probedDf), col("cell") === col("qcell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("codes"))
+      .as[(Long, Long, Array[Byte])]
+      .map { case (qid, nid, cs) =>
+        val tbl = bcTables.value(qid)
+        var d = 0.0
+        var sub = 0
+        while (sub < m) { d += tbl(sub)(cs(sub) & 0xff); sub += 1 }
+        (qid, nid, round6(d))
+      }
+      .toDF("qid", "nid", "adc_dist")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid").as(idCol), col("adc_dist"))
+      .localCheckpoint(eager = true) // small: ≤ k rows per query
+    corpus.unpersist()
+    out
+  }
+
   /** Round to 6 decimals, half away from zero — the same rule as Spark's
     * `round()` and DuckDB's `round()`, for use inside typed loops.
     */

@@ -116,6 +116,16 @@ object EmbeddingQueries {
         .orderBy("qid", "rnk")
     },
 
+    // IVF-PQ: coarse-cell pruning over the PQ-coded corpus (8 bytes per
+    // vector, probed cells only) — the FAISS-style layout billion-vector
+    // serving uses. Rows-only check; recall asserted in SimilaritySpec.
+    "q_emb_ivfpq_ann" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb,
+          emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K)
+        .orderBy("qid", "rnk")
+    },
+
     // LSH candidate generation for the same 5 queries (rows-only check;
     // recall vs brute force is asserted in SimilaritySpec).
     "q_emb_lsh_ann" -> { (s, dir) =>

@@ -179,6 +179,34 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
     run() shouldBe run()
   }
 
+  behavior of "ivfPqTopK"
+
+  it should "recall the brute-force top-5 through probed cells + codes" in {
+    val queries = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // probe enough cells that pruning loss stays separate from PQ loss
+    val got = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5,
+        nList = 6, nProbe = 3, m = 4, kCode = 16)
+      .collect()
+    got.groupBy(_.getLong(0)).values.foreach { g =>
+      g.map(_.getInt(1)).sorted shouldBe (1 to 5)
+    }
+    got.foreach { r => (r.getLong(2) % 3) shouldBe (r.getLong(0) % 3) }
+    val approx = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    recall should be >= 0.6
+  }
+
+  it should "be deterministic for a fixed seed" in {
+    def run() = Similarity.ivfPqTopK(
+        emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding", 3,
+        nList = 6, nProbe = 2, m = 4, kCode = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    run() shouldBe run()
+  }
+
   behavior of "mmrTopK"
 
   it should "pick the top-1 first, then diversify across clusters" in {

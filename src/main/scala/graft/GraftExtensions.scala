@@ -21,5 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       org.apache.spark.sql.graftfns.bridge.dotProductFunction)
+    ext.injectFunction(
+      org.apache.spark.sql.graftfns.bridge.collectTopKFunction)
   }
 }

@@ -93,12 +93,27 @@ object bridge {
       DotProduct(children.head, children(1))
     })
 
-  /** Register `dot_product` into an already-running session's function
-    * registry (the in-session twin of [[graft.GraftExtensions]]).
+  /** `collect_top_k(e, k[, reverse])` as a SQL aggregate — the bounded
+    * per-group heap behind [[graft.functions.TopK]], exposed so SQL users
+    * get shuffle-bounded top-k without the window row_number idiom.
+    */
+  val collectTopKFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("collect_top_k"),
+    new ExpressionInfo(
+      "org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK",
+      "collect_top_k"),
+    org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollectTopK
+      .builder _)
+
+  /** Register graft's SQL functions into an already-running session's
+    * function registry (the in-session twin of [[graft.GraftExtensions]]).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val (id, info, builder) = dotProductFunction
-    cs.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(dotProductFunction, collectTopKFunction).foreach {
+      case (id, info, builder) =>
+        cs.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

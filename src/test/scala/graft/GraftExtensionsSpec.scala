@@ -26,6 +26,20 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers
       spark.sql("SELECT dot_product(array(1.0d))").collect()
   }
 
+  it should "expose collect_top_k in SQL (largest k, optional reverse)" in {
+    ArrayMath.registerSqlFunctions(spark)
+    val top = spark.sql(
+      """SELECT g, sort_array(collect_top_k(v, 2), false) AS t
+        |FROM VALUES ('a', 5), ('a', 9), ('a', 7), ('b', 1) AS t(g, v)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    top(0).getSeq[Int](1) shouldBe Seq(9, 7)
+    top(1).getSeq[Int](1) shouldBe Seq(1)
+    val bottom = spark.sql(
+      """SELECT sort_array(collect_top_k(v, 2, true), true) AS t
+        |FROM VALUES (5), (9), (7) AS t(v)""".stripMargin).collect()
+    bottom(0).getSeq[Int](0) shouldBe Seq(5, 7)
+  }
+
   it should "inject dot_product via spark.sql.extensions" in {
     // Build a sibling session over the SAME SparkContext with the
     // extensions applied (the spark.sql.extensions code path); restore the

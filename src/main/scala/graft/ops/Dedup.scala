@@ -420,6 +420,67 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Duplicated-span coverage: per document, the fraction of its token
+    * positions covered by at least one `n`-gram that also occurs in some
+    * OTHER document — the boilerplate/memorization diagnostic
+    * training-data audits run before substring-level dedup (a doc whose
+    * text is mostly shared spans is template noise even when no single
+    * near-dup pair crosses a Jaccard threshold).
+    *
+    * Shape, all shuffled-parallel: positions explode linearly (one row
+    * per (doc, shingle position)); duplicated shingles come from one
+    * hash aggregation (distinct-doc count > 1); coverage is a join back
+    * on shingle + a distinct over covered positions. No pairwise
+    * comparisons anywhere — cost is O(total tokens), independent of how
+    * many documents share a span.
+    *
+    * Returns (idCol, n_tokens, n_covered, dup_frac) per document —
+    * dup_frac rounded to 6 decimals; docs shorter than `n` tokens have
+    * zero coverage.
+    */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPart = spark.sparkContext.defaultParallelism
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .repartition(nPart)
+    // (id, pos, shingle) — positions matter here, so this is the
+    // positional sibling of shingleSetOf (typed flatMap, JIT-tight)
+    val sh = base.flatMap { case (id, text) =>
+      val toks = text.split(' ')
+      (0 to toks.length - n).iterator.map { i =>
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        (id, i, sb.toString)
+      }
+    }.toDF("id", "pos", "g")
+    val dup = sh.groupBy("g")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("g")
+    val covered = sh.join(dup, "g")
+      .select(col("id").as("cid"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_covered"))
+    val nToks = base.map { case (id, text) => (id, text.split(' ').length) }
+      .toDF("id", "n_tokens")
+    nToks.join(covered, col("id") === col("cid"), "left")
+      .select(col("id").as(idCol), col("n_tokens").cast("long"),
+        coalesce(col("n_covered"), lit(0L)).cast("long").as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_frac"))
+  }
+
   /** 64-bit SimHash of a token array (deterministic: token hash is a
     * 64-bit FNV-1a, bit-vote aggregation). Column-level UDF.
     */

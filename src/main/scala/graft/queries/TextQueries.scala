@@ -157,6 +157,15 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Duplicated-span coverage (8-gram): per doc, the token fraction
+    // covered by shingles that occur in OTHER docs too — the boilerplate
+    // diagnostic run before substring dedup. No pairwise work; one hash
+    // agg + one join, O(total tokens).
+    "q_dup_span" -> { (s, dir) =>
+      Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id")
+    },
+
     // Contiguous global row index (distributed zipWithIndex: range
     // partition + in-partition sort + offset job — never a single-task
     // global sort). Sampled at every 20th doc id; the filter runs AFTER
@@ -438,6 +447,27 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dup_span" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i AS pos, array_to_string(ts[i+1:i+8], ' ') AS g
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(range(0, greatest(len(ts) - 7, 0))) AS i
+        |        FROM tok)),
+        |dup AS (SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, s.pos + t.o AS p
+        |  FROM sh s JOIN dup USING (g)
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS o) t),
+        |cnt AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+        |  round(CAST(coalesce(c.n_covered, 0) AS DOUBLE) / len(t.ts), 6)
+        |    AS dup_frac
+        |FROM tok t LEFT JOIN cnt c USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_row_index" ->
       """SELECT row_idx, doc_id, source FROM (

@@ -160,6 +160,33 @@ class DedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     out shouldBe empty
   }
 
+  behavior of "duplicatedSpanStats"
+
+  it should "cover exactly the shared span, in both sharing docs" in {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $shared a3 a4"),        // 12 tokens, 8 covered
+      (2L, s"b1 $shared"),                 // 9 tokens, 8 covered
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")   // no shared 8-gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanStats(docs, "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    got(0) shouldBe ((1L, 12L, 8L, 0.666667))
+    got(1) shouldBe ((2L, 9L, 8L, 0.888889))
+    got(2) shouldBe ((3L, 9L, 0L, 0.0))
+  }
+
+  it should "give zero coverage to docs shorter than the shingle width" in {
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanStats(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    got.foreach(_._2 shouldBe 0L)
+  }
+
   behavior of "simHash"
 
   it should "hash identical token streams identically and near-dups closely" in {

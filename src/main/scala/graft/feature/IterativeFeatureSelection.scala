@@ -154,15 +154,23 @@ object IterativeFeatureSelection {
     val par = data.sparkSession.sparkContext.defaultParallelism
     val src =
       if (data.rdd.getNumPartitions < par) data.repartition(par) else data
-    val tuples = array(pairs.map { case (c, o) =>
-      struct(lit(c).as("cand"), element_at(col("f"), c + 1).as("cv"),
-        lit(o).as("other"),
-        (if (o < 0) col("label") else element_at(col("f"), o + 1)).as("ov"))
-    }: _*)
+    // The pair list rides as a BROADCAST TABLE, not as baked-in literals:
+    // a literal pair array makes the generated code unique per pair set,
+    // so every selection round / MI query pays a fresh janino compile of
+    // a large class — measured as ~90% of the query time at sf0.1 (the
+    // actual count+window execution is ~0.15s warm). As a join the
+    // generated code is pair-independent and Spark's codegen cache serves
+    // every invocation after the first. Row expansion is identical
+    // (rows × |pairs|), map-side, before the partial aggregation.
+    import src.sparkSession.implicits._
+    val pairsDf = pairs.toDF("cand", "other")
     val counts = src
-      .select(explode(tuples).as("t"))
-      .groupBy(col("t.cand").as("cand"), col("t.other").as("other"),
-        col("t.cv").as("cv"), col("t.ov").as("ov"))
+      .crossJoin(broadcast(pairsDf))
+      .select(col("cand"), col("other"),
+        element_at(col("f"), col("cand") + 1).as("cv"),
+        when(col("other") < 0, col("label"))
+          .otherwise(element_at(col("f"), col("other") + 1)).as("ov"))
+      .groupBy("cand", "other", "cv", "ov")
       .agg(count(lit(1)).as("c"))
     val n = sum("c").over(Window.partitionBy("cand", "other"))
     val cx = sum("c").over(Window.partitionBy("cand", "other", "cv"))

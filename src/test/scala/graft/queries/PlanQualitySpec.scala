@@ -78,4 +78,27 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
         .BroadcastNestedLoopJoinExec => n
     } should not be empty
   }
+
+  it should "prune partitions on a hive-layout write (no data read " +
+    "outside the filtered partition)" in {
+    // The 100 TB layout lever the other specs don't cover: a filter on
+    // the partition column must become a PartitionFilter (directory
+    // pruning at planning), not a PushedFilter (row-group skipping at
+    // read). Written to a temp dir from the same fixture tables.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_part_prune").toString
+    try {
+      graft.queries.Q.events(spark, dir)
+        .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+      val scan = spark.read.parquet(tmp)
+        .filter(org.apache.spark.sql.functions.col("event_type") === "view")
+        .queryExecution.executedPlan
+        .collectLeaves().map(_.toString).find(_.contains("Scan parquet")).get
+      scan should include("PartitionFilters")
+      scan should include regex "PartitionFilters: \\[[^\\]]*event_type"
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }

@@ -157,6 +157,22 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Sequence packing: cut the corpus (in doc_id order) into fixed
+    // 2048-token training bins — each doc gets its pack and offset from
+    // the EXCLUSIVE running token total, computed with the two-phase
+    // distributed prefix sum (graft.ops.PrefixSum), never a
+    // single-partition global window.
+    "q_seq_pack" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("n_tok"))
+      graft.ops.PrefixSum.withExclusivePrefix(docs, Seq("doc_id"), "n_tok")
+        .select(col("doc_id"),
+          col("n_tok").cast("long").as("n_tokens"),
+          floor(col("prefix") / 2048).cast("long").as("pack_id"),
+          (col("prefix") % 2048).cast("long").as("pack_offset"))
+        .orderBy("doc_id")
+    },
+
     // Duplicated-span coverage (8-gram): per doc, the token fraction
     // covered by shingles that occur in OTHER docs too — the boilerplate
     // diagnostic run before substring dedup. No pairwise work; one hash
@@ -447,6 +463,19 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_seq_pack" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(floor(p / 2048) AS BIGINT) AS pack_id,
+        |  CAST(p % 2048 AS BIGINT) AS pack_offset
+        |FROM (
+        |  SELECT doc_id, text,
+        |    coalesce(sum(len(string_split(text, ' '))) OVER (
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dup_span" ->
       """WITH tok AS (

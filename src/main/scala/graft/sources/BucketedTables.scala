@@ -31,7 +31,13 @@ object BucketedTables {
     val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) { fs.delete(loc, true); () }
-    df.write
+    // Pre-shuffle into the bucket layout: bucketBy writes one file per
+    // (task, bucket) pair, so N input tasks × B buckets explodes into
+    // N·B small files — repartitioning on the bucket key with the bucket
+    // count (Spark's repartition hash IS the bucket hash) gives exactly
+    // one file per bucket and a faster write + scan.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")

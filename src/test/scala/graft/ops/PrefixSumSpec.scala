@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class PrefixSumSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  import spark.implicits._
+
+  behavior of "withExclusivePrefix"
+
+  it should "match the window exclusive running sum" in {
+    val df = Seq((5L, 10.0), (1L, 3.0), (9L, 7.0), (3L, 100.0), (7L, 1.0))
+      .toDF("k", "v").repartition(3)
+    val got = PrefixSum.withExclusivePrefix(df, Seq("k"), "v")
+      .select("k", "prefix")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val w = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .withColumn("prefix", coalesce(sum("v").over(w), lit(0.0)))
+      .select("k", "prefix")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    got shouldBe want
+  }
+
+  it should "be exact and stable for integer-valued inputs across " +
+    "partitionings" in {
+    def data = (0L until 300L).map(i => (i * 13 % 1000, (i % 7 + 1).toDouble))
+    val a = PrefixSum.withExclusivePrefix(
+        data.toDF("k", "v").repartition(2), Seq("k"), "v")
+      .select("k", "prefix").collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = PrefixSum.withExclusivePrefix(
+        data.toDF("k", "v").repartition(11), Seq("k"), "v")
+      .select("k", "prefix").collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    a shouldBe b
+  }
+}

@@ -157,6 +157,35 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Unigram LM likelihood filter (CCNet-style quality scoring): each
+    // doc's mean token log-probability under the corpus unigram model;
+    // docs far below the corpus norm are the gibberish/outlier tail.
+    // Per-token logprobs are rounded then decimal-summed so the per-doc
+    // mean is partition-order independent (see graft.queries.Q).
+    "q_lm_quality" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(vocab, "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"),
+          round(log(col("c").cast("double") / col("n_total")), 9).as("lp"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("lp").cast(DecimalType(18, 9))).cast(DoubleType)
+            .as("sum_lp"))
+        .withColumn("avg_lp", round(col("sum_lp") / col("n_tok"), 6))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("avg_lp") < -3.5, 1).otherwise(0)).cast("long")
+            .as("n_low_lik"),
+          sum(col("avg_lp").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("sum_avg_lp"))
+        .orderBy("source")
+    },
+
     // Sequence packing: cut the corpus (in doc_id order) into fixed
     // 2048-token training bins — each doc gets its pack and offset from
     // the EXCLUSIVE running token total, computed with the two-phase
@@ -463,6 +492,29 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_lm_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT count(*) AS n_total FROM tok),
+        |lp AS (
+        |  SELECT t.doc_id, t.source,
+        |    round(ln(CAST(v.c AS DOUBLE) / tot.n_total), 9) AS lp
+        |  FROM tok t JOIN v USING (tok) CROSS JOIN tot),
+        |d AS (
+        |  SELECT doc_id, source, count(*) AS n_tok,
+        |    CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) AS sum_lp
+        |  FROM lp GROUP BY doc_id, source),
+        |a AS (SELECT doc_id, source, round(sum_lp / n_tok, 6) AS avg_lp
+        |      FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN avg_lp < -3.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_lik,
+        |  CAST(SUM(CAST(avg_lp AS DECIMAL(18,6))) AS DOUBLE) AS sum_avg_lp
+        |FROM a GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_seq_pack" ->
       """SELECT doc_id,

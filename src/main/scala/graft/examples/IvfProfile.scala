@@ -1,12 +1,11 @@
 package graft.examples
 
-import graft.ops.Similarity
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Ad-hoc stage profiler for the IVF top-k path.
+/** Ad-hoc profiler for the IVF top-k path (driver-trained spherical
+  * k-means over a hash-ordered bounded sample + broadcast-probed cells —
+  * see graft.ops.Similarity.ivfTopK). Cold vs warm runs separate the
+  * one-time scan/JIT cost from the steady-state operator cost.
   * `runMain graft.examples.IvfProfile <sfDir>`
   */
 object IvfProfile {
@@ -27,32 +26,20 @@ object IvfProfile {
       r
     }
 
-    val emb = time("read") {
-      val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      df.count(); df
+    time("read") {
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     }
-    val corpus = time("normalize+cache") {
-      val c = emb.select(col("vec_id").as("nid"),
-          col("embedding").cast("array<double>").as("e"))
-        .withColumn("nrm", Similarity.norm(col("e")))
-        .select(col("nid"),
-          transform(col("e"), x => x / col("nrm")).as("nu"))
-        .withColumn("nv", array_to_vector(col("nu"))).cache()
-      c.count(); c
-    }
-    val model = time("kmeans_fit") {
-      new KMeans().setK(16).setSeed(42L)
-        .setInitMode("random").setMaxIter(2)
-        .setFeaturesCol("nv").setPredictionCol("cell").fit(corpus)
-    }
-    time("assign+count") {
-      model.transform(corpus).select("nid", "nu", "cell").count()
-    }
-    time("full_query") {
+    time("ivf_cold") {
       graft.SparkEntry.queries("q_emb_ivf_ann")(spark, sfDir).count()
     }
-    time("full_query_again") {
+    time("ivf_warm") {
       graft.SparkEntry.queries("q_emb_ivf_ann")(spark, sfDir).count()
+    }
+    time("ivfpq_cold") {
+      graft.SparkEntry.queries("q_emb_ivfpq_ann")(spark, sfDir).count()
+    }
+    time("ivfpq_warm") {
+      graft.SparkEntry.queries("q_emb_ivfpq_ann")(spark, sfDir).count()
     }
     spark.stop()
   }

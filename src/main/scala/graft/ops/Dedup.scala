@@ -132,11 +132,7 @@ object Dedup {
     try {
       // (1) candidates: docs sharing any hash table's value. Only
       // (id, table, hash) crosses the shuffle.
-      val sigRows = signed
-        .select(col("id"), posexplode(col("sig")).as(Seq("tbl", "hv")))
-        .select(col("id"), col("tbl"),
-          org.apache.spark.ml.functions.vector_to_array(col("hv"))
-            .getItem(0).as("h"))
+      val sigRows = Similarity.lshBucketRows(signed, "id", "sig")
       val cands = sigRows.select(col("id").as("id_a"), col("tbl"), col("h"))
         .join(sigRows.select(col("id").as("id_b"), col("tbl").as("tbl_b"),
             col("h").as("h_b")),
@@ -169,9 +165,10 @@ object Dedup {
             else j += 1
           }
           val d = 1.0 - inter.toDouble / (ia.length + ib.length - inter)
-          // filter on the raw distance, round half-up for output — the
-          // exact contract approxSimilarityJoin + round(dist, 6) had
-          if (d <= maxDistance)
+          // strict < on the raw distance (approxSimilarityJoin's exact
+          // contract — Spark filters distCol < threshold), round half-up
+          // for output
+          if (d < maxDistance)
             Iterator.single((a, b,
               java.math.BigDecimal.valueOf(d)
                 .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
@@ -450,7 +447,7 @@ object Dedup {
     // (id, pos, shingle) — positions matter here, so this is the
     // positional sibling of shingleSetOf (typed flatMap, JIT-tight)
     val sh = base.flatMap { case (id, text) =>
-      val toks = text.split(' ')
+      val toks = text.split(" ", -1)
       (0 to toks.length - n).iterator.map { i =>
         val sb = new java.lang.StringBuilder
         var j = 0
@@ -472,7 +469,7 @@ object Dedup {
       .distinct()
       .groupBy("cid")
       .agg(count(lit(1)).as("n_covered"))
-    val nToks = base.map { case (id, text) => (id, text.split(' ').length) }
+    val nToks = base.map { case (id, text) => (id, text.split(" ", -1).length) }
       .toDF("id", "n_tokens")
     nToks.join(covered, col("id") === col("cid"), "left")
       .select(col("id").as(idCol), col("n_tokens").cast("long"),

@@ -36,6 +36,11 @@ object PrefixSum {
         sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
+    // Cached so the partition-sum job and the output pass share one sort
+    // execution. The block outlives this call (the returned DataFrame is
+    // lazy) — callers with cache-hygiene needs release it via their usual
+    // sweep (Bench/Verify resetState clears all persisted RDDs between
+    // queries; a long-running service does the same per tenant).
     val rdd = sorted.rdd.cache()
     val partSums = rdd
       .mapPartitionsWithIndex { (pi, it) =>

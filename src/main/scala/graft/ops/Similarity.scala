@@ -74,6 +74,78 @@ object Similarity {
     d
   }
 
+  /** Narrow LSH bucket rows (idName, tbl, h) from a hashed dataset: one
+    * row per (input row, hash table) carrying only the 1-element hash
+    * value — the join-side shape every LSH candidate generator here
+    * shares (vs `approxSimilarityJoin`'s exploded rows with the full
+    * vectors attached). One implementation so the three call sites
+    * (minHashPairs, cosineNearDupLsh, lshCandidates) cannot drift.
+    */
+  private[graft] def lshBucketRows(df: DataFrame, idName: String,
+                                   hashCol: String): DataFrame =
+    df.select(col(idName), posexplode(col(hashCol)).as(Seq("tbl", "hv")))
+      .select(col(idName), col("tbl"),
+        org.apache.spark.ml.functions.vector_to_array(col("hv"))
+          .getItem(0).as("h"))
+
+  /** Bounded deterministic UNBIASED training sample of unit vectors:
+    * rows ordered by a hash of the id, not by the id itself — low ids
+    * usually correlate with one ingestion source/time slice, and a
+    * prefix sample would collapse the quantizer onto a single content
+    * cluster. Hash order is reproducible across runs and partitionings;
+    * cost is one top-K job regardless of corpus size.
+    */
+  private def trainSample(corpus: DataFrame,
+                          sampleSize: Int): Array[Array[Double]] = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    corpus.orderBy(xxhash64(col("nid")), col("nid")).limit(sampleSize)
+      .select("nid", "nu").as[(Long, Array[Double])].collect().map(_._2)
+  }
+
+  /** Per-subspace PQ codebooks trained on the sample's subvector slices
+    * (shared by [[pqTopK]] and [[ivfPqTopK]] — one implementation so the
+    * two operators can never drift).
+    */
+  private def trainBooks(sample: Array[Array[Double]], m: Int, dsub: Int,
+                         kCode: Int, iters: Int,
+                         seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { sub =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(
+        v, sub * dsub, (sub + 1) * dsub))
+      l2KMeans(pts, kCode, iters, seed + sub)
+    }
+
+  /** m byte codes for one unit vector under `books`. */
+  private def encodePq(u: Array[Double], books: Array[Array[Array[Double]]],
+                       m: Int, dsub: Int): Array[Byte] = {
+    val cs = new Array[Byte](m)
+    var sub = 0
+    while (sub < m) {
+      cs(sub) = argminL2(u, sub * dsub, books(sub)).toByte
+      sub += 1
+    }
+    cs
+  }
+
+  /** ADC lookup table for one query: table(sub)(code) = ‖q_sub − c‖². */
+  private def adcTable(qu: Array[Double],
+                       books: Array[Array[Array[Double]]], m: Int,
+                       dsub: Int): Array[Array[Double]] =
+    Array.tabulate(m) { sub =>
+      Array.tabulate(books(sub).length) { c =>
+        val ce = books(sub)(c)
+        var d = 0.0
+        var i = 0
+        while (i < ce.length) {
+          val t = qu(sub * dsub + i) - ce(i)
+          d += t * t
+          i += 1
+        }
+        d
+      }
+    }
+
   private[graft] def argmaxDot(u: Array[Double],
                                cents: Array[Array[Double]]): Int = {
     var best = 0
@@ -187,12 +259,11 @@ object Similarity {
     import s.implicits._
     val corpus = unitVectors(emb, idCol, embCol, "nid", "nu").cache()
     // Coarse quantizer trained driver-side on a bounded deterministic
-    // sample (lowest ids): one collect job instead of an ML KMeans fit
+    // hash-ordered sample: one collect job instead of an ML KMeans fit
     // (~10 scheduler round-trips — measured as the dominant fixed cost of
     // this operator at any scale factor). At 100 TB the sample is still
     // `sampleSize` rows; training cost does not grow with the corpus.
-    val sample = corpus.orderBy("nid").limit(sampleSize)
-      .as[(Long, Array[Double])].collect().map(_._2)
+    val sample = trainSample(corpus, sampleSize)
     val cents = sphericalKMeans(sample, nList, iters = 5, seed = seed)
     val bc = s.sparkContext.broadcast(cents)
     // Assignment: one map-side pass over the corpus, argmax-dot against
@@ -324,47 +395,22 @@ object Similarity {
     val s = emb.sparkSession
     import s.implicits._
     val corpus = unitVectors(emb, idCol, embCol, "nid", "nu").cache()
-    val sample = corpus.orderBy("nid").limit(sampleSize)
-      .as[(Long, Array[Double])].collect().map(_._2)
+    val sample = trainSample(corpus, sampleSize)
     require(sample.nonEmpty, "pqTopK: empty corpus")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    // per-subspace codebooks trained on the sample's subvector slices
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
-      val pts = sample.map(v => java.util.Arrays.copyOfRange(
-        v, sub * dsub, (sub + 1) * dsub))
-      l2KMeans(pts, kCode, trainIters, seed + sub)
-    }
+    val books = trainBooks(sample, m, dsub, kCode, trainIters, seed)
     val bcBooks = s.sparkContext.broadcast(books)
     // encode: m codes per corpus vector — one map-side pass
     val codes = corpus.as[(Long, Array[Double])].map { case (id, u) =>
-      val bk = bcBooks.value
-      val cs = new Array[Byte](m)
-      var sub = 0
-      while (sub < m) {
-        cs(sub) = argminL2(u, sub * dsub, bk(sub)).toByte
-        sub += 1
-      }
-      (id, cs)
+      (id, encodePq(u, bcBooks.value, m, dsub))
     }
     // per-query ADC tables: table(sub)(code) = ||q_sub − centroid||²
     val qs = unitVectors(queries, idCol, embCol, "qid", "qu")
       .as[(Long, Array[Double])].collect()
     val tables: Map[Long, Array[Array[Double]]] = qs.map { case (qid, qu) =>
-      qid -> Array.tabulate(m) { sub =>
-        Array.tabulate(books(sub).length) { c =>
-          val ce = books(sub)(c)
-          var d = 0.0
-          var i = 0
-          while (i < ce.length) {
-            val t = qu(sub * dsub + i) - ce(i)
-            d += t * t
-            i += 1
-          }
-          d
-        }
-      }
+      qid -> adcTable(qu, books, m, dsub)
     }.toMap
     val bcTables = s.sparkContext.broadcast(tables)
     val scored = codes.flatMap { case (id, cs) =>
@@ -409,31 +455,19 @@ object Similarity {
     val s = emb.sparkSession
     import s.implicits._
     val corpus = unitVectors(emb, idCol, embCol, "nid", "nu").cache()
-    val sample = corpus.orderBy("nid").limit(sampleSize)
-      .as[(Long, Array[Double])].collect().map(_._2)
+    val sample = trainSample(corpus, sampleSize)
     require(sample.nonEmpty, "ivfPqTopK: empty corpus")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
     // driver-trained on the bounded sample: coarse quantizer + codebooks
     val cents = sphericalKMeans(sample, nList, iters = 5, seed = seed)
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { sub =>
-      val pts = sample.map(v => java.util.Arrays.copyOfRange(
-        v, sub * dsub, (sub + 1) * dsub))
-      l2KMeans(pts, kCode, trainIters, seed + sub)
-    }
+    val books = trainBooks(sample, m, dsub, kCode, trainIters, seed)
     val bcCents = s.sparkContext.broadcast(cents)
     val bcBooks = s.sparkContext.broadcast(books)
     // one map-side pass: assign cell + encode codes
     val coded = corpus.as[(Long, Array[Double])].map { case (id, u) =>
-      val bk = bcBooks.value
-      val cs = new Array[Byte](m)
-      var sub = 0
-      while (sub < m) {
-        cs(sub) = argminL2(u, sub * dsub, bk(sub)).toByte
-        sub += 1
-      }
-      (id, argmaxDot(u, bcCents.value), cs)
+      (id, argmaxDot(u, bcCents.value), encodePq(u, bcBooks.value, m, dsub))
     }.toDF("nid", "cell", "codes")
     // queries: probe nProbe nearest cells; ADC table per query (codes are
     // raw-vector quantized → cell-independent)
@@ -446,19 +480,7 @@ object Similarity {
         .take(nP).map { case (c, _) => (qid, c) }
     }.toSeq
     val tables: Map[Long, Array[Array[Double]]] = qs.map { case (qid, qu) =>
-      qid -> Array.tabulate(m) { sub =>
-        Array.tabulate(books(sub).length) { c =>
-          val ce = books(sub)(c)
-          var d = 0.0
-          var i = 0
-          while (i < ce.length) {
-            val t = qu(sub * dsub + i) - ce(i)
-            d += t * t
-            i += 1
-          }
-          d
-        }
-      }
+      qid -> adcTable(qu, books, m, dsub)
     }.toMap
     val bcTables = s.sparkContext.broadcast(tables)
     val probedDf = probed.toDF("qid", "qcell")
@@ -643,11 +665,7 @@ object Similarity {
     try {
       val s = emb.sparkSession
       import s.implicits._
-      val hRows = hashed
-        .select(col("id"), posexplode(col("hashes")).as(Seq("tbl", "hv")))
-        .select(col("id"), col("tbl"),
-          org.apache.spark.ml.functions.vector_to_array(col("hv"))
-            .getItem(0).as("h"))
+      val hRows = lshBucketRows(hashed, "id", "hashes")
       val cands = hRows.select(col("id").as("id_a"), col("tbl"), col("h"))
         .join(hRows.select(col("id").as("id_b"), col("tbl").as("tbl_b"),
             col("h").as("h_b")),
@@ -664,10 +682,11 @@ object Similarity {
           org.apache.spark.ml.linalg.Vector)]
         .flatMap { case (a, b, va, vb) =>
           // same op sequence as keyDistance + the old column expression:
-          // sqrt(sqdist) first, sim from l2·l2 — bit-identical output
+          // sqrt(sqdist) first, strict < (approxSimilarityJoin filters
+          // distCol < threshold), sim from l2·l2 — bit-identical output
           val l2 = math.sqrt(
             org.apache.spark.ml.linalg.Vectors.sqdist(va, vb))
-          if (l2 <= maxL2) {
+          if (l2 < maxL2) {
             val sim = java.math.BigDecimal.valueOf(1.0 - l2 * l2 / 2.0)
               .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
             if (sim >= minCosine) Iterator.single((a, b, sim))
@@ -704,14 +723,9 @@ object Similarity {
     try {
       val s = emb.sparkSession
       import s.implicits._
-      def hRows(df: DataFrame, id: String) = df
-        .select(col(id), posexplode(col("hashes")).as(Seq("tbl", "hv")))
-        .select(col(id), col("tbl"),
-          org.apache.spark.ml.functions.vector_to_array(col("hv"))
-            .getItem(0).as("h"))
       val qHashed = model.transform(normalized(queries, "qid"))
-      val cands = hRows(hashed, "nid")
-        .join(broadcast(hRows(qHashed, "qid")
+      val cands = lshBucketRows(hashed, "nid", "hashes")
+        .join(broadcast(lshBucketRows(qHashed, "qid", "hashes")
             .select(col("qid"), col("tbl").as("tbl_b"), col("h").as("h_b"))),
           col("tbl") === col("tbl_b") && col("h") === col("h_b"))
         .select("nid", "qid").distinct()
@@ -727,7 +741,7 @@ object Similarity {
           else {
             val l2 = math.sqrt(
               org.apache.spark.ml.linalg.Vectors.sqdist(nv, qv))
-            if (l2 <= maxL2)
+            if (l2 < maxL2) // strict, matching approxSimilarityJoin
               Iterator.single((nid, qid,
                 java.math.BigDecimal.valueOf(l2)
                   .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))

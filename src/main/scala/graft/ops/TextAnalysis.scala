@@ -139,7 +139,7 @@ object TextAnalysis {
     * probability on shared windows).
     */
   def fingerprintOf(text: String, n: Int): Long = {
-    val toks = text.split(" ")
+    val toks = text.split(" ", -1)
     if (toks.length < n) return rollingHash(toks.toSeq)
     var min = Long.MaxValue
     var i = 0

@@ -84,15 +84,25 @@ object EmbeddingQueries {
     // Per-dimension profiling: top-5 highest-variance dimensions — the
     // quick feature-quality diagnostic before selection/quantization.
     "q_emb_dim_stats" -> { (s, dir) =>
+      // moments through exact decimal sums: a plain double avg() is
+      // partition-order dependent, and here the FP value decides which
+      // rows survive the LIMIT — the one place a boundary flip would
+      // change the emitted ROWS, not just a decimal
       t(s, dir, "embeddings")
         .select(posexplode(col("embedding").cast("array<double>"))
           .as(Seq("dim", "v")))
         .groupBy("dim")
-        .agg(count(lit(1)).as("n"), avg(col("v")).as("m"),
-          avg(col("v") * col("v")).as("m2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double").as("s1"),
+          sum((col("v") * col("v"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+            .cast("double").as("s2"))
+        .withColumn("m", col("s1") / col("n"))
         .select(col("dim").cast("long").as("dim"), col("n"),
           round(col("m"), 6).as("mean"),
-          round(col("m2") - col("m") * col("m"), 6).as("variance"))
+          round(col("s2") / col("n") - col("m") * col("m"), 6)
+            .as("variance"))
         .orderBy(col("variance").desc, col("dim"))
         .limit(5)
     },
@@ -262,10 +272,12 @@ object EmbeddingQueries {
         |           unnest(range(len(embedding))) AS i
         |    FROM embeddings)),
         |a AS (
-        |  SELECT dim, count(*) AS n, avg(v) AS m, avg(v * v) AS m2
+        |  SELECT dim, count(*) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS s2
         |  FROM d GROUP BY dim)
-        |SELECT dim, n, round(m, 6) AS mean,
-        |  round(m2 - m * m, 6) AS variance
+        |SELECT dim, n, round(s1 / n, 6) AS mean,
+        |  round(s2 / n - (s1 / n) * (s1 / n), 6) AS variance
         |FROM a
         |ORDER BY variance DESC, dim
         |LIMIT 5""".stripMargin,

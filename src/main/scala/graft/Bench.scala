@@ -44,12 +44,16 @@ object Bench {
     // events' ts column is NANOS-precision — needs the legacy-conf read
     try queries.Q.events(spark, sfDir).foreach(_ => ())
     catch { case _: Throwable => () }
-    // One representative query untimed: loads the codegen/janino compiler,
-    // Dataset encoder machinery and window-exec paths that otherwise tax
-    // whichever query the Map happens to order first (~4s of one-time JIT
-    // observed on the first query of a cold JVM).
-    try SparkEntry.queries("q_emb_knn")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // Two representative queries untimed: they load the codegen/janino
+    // compiler, Dataset encoder machinery, window-exec paths, and the MI
+    // counting plan's generated classes (shared by the whole ifs_* family
+    // via the codegen cache) that otherwise tax whichever query the Map
+    // happens to order first (~4s of one-time JIT observed on the first
+    // query of a cold JVM).
+    Seq("q_emb_knn", "ifs_mi_relevance").foreach { qn =>
+      try SparkEntry.queries(qn)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     resetState(spark)
     val only = args.toSet
     val selected =

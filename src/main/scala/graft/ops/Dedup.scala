@@ -417,6 +417,48 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Cross-corpus contamination: TRAIN documents whose n-gram Jaccard
+    * similarity to some EVAL document reaches `minJaccard` — the
+    * decontamination sweep every training corpus runs against its
+    * benchmark/eval sets before training. Same inverted-index shape as
+    * [[ngramJaccardPairs]] but across two datasets (no blocking key: an
+    * eval doc must be found wherever it leaked), so cost is proportional
+    * to actual shingle collisions between the corpora, never
+    * |train|×|eval|. The eval side is typically tiny; its postings are
+    * broadcast when Spark's stats allow.
+    *
+    * Returns (train_id, eval_id, jaccard) — every contaminated pair, the
+    * caller anti-joins train against it to drop flagged docs.
+    */
+  def contaminationPairs(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, n: Int,
+                         minJaccard: Double): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val nPart = spark.sparkContext.defaultParallelism
+    def postings(df: DataFrame, idOut: String, szOut: String,
+                 gOut: String): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+          col(textCol).cast("string").as("text"))
+        .as[(Long, String)]
+        .repartition(nPart)
+        .flatMap { case (id, text) =>
+          val sh = TextAnalysis.shingleSetOf(text, n)
+          sh.iterator.map(g => (id, sh.length, g))
+        }
+        .toDF(idOut, szOut, gOut)
+    val t = postings(train, "train_id", "sz_t", "g")
+    val e = postings(eval, "eval_id", "sz_e", "g_e")
+    val inter = col("inter").cast("double")
+    val union = (col("sz_t") + col("sz_e")).cast("double") - inter
+    t.join(e, col("g") === col("g_e"))
+      .groupBy("train_id", "eval_id", "sz_t", "sz_e")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(inter / union, 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("train_id", "eval_id", "jaccard")
+  }
+
   /** Duplicated-span coverage: per document, the fraction of its token
     * positions covered by at least one `n`-gram that also occurs in some
     * OTHER document — the boilerplate/memorization diagnostic

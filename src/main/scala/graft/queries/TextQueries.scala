@@ -157,6 +157,19 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Decontamination sweep: treat src0 as the EVAL set and the rest as
+    // TRAIN; flag every train doc whose 3-gram Jaccard vs some eval doc
+    // reaches 0.5 (cross-corpus inverted-index join, no blocking — an
+    // eval doc must be found wherever it leaked).
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationPairs(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", 3, 0.5)
+        .orderBy("train_id", "eval_id")
+    },
+
     // Unigram LM likelihood filter (CCNet-style quality scoring): each
     // doc's mean token log-probability under the corpus unigram model;
     // docs far below the corpus norm are the gibberish/outlier tail.
@@ -492,6 +505,27 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH d AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, source,
+        |      list_distinct(list_transform(
+        |        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |        AS sh
+        |    FROM documents)
+        |  WHERE len(sh) > 0)
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |  round(CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE) /
+        |    (len(t.sh) + len(e.sh) - len(list_intersect(t.sh, e.sh))), 6)
+        |    AS jaccard
+        |FROM d t JOIN d e
+        |  ON t.source <> 'src0' AND e.source = 'src0'
+        |WHERE round(CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE) /
+        |    (len(t.sh) + len(e.sh) - len(list_intersect(t.sh, e.sh))), 6)
+        |    >= 0.5
+        |ORDER BY train_id, eval_id""".stripMargin,
 
     "q_lm_quality" ->
       """WITH tok AS (

@@ -160,6 +160,23 @@ class DedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     out shouldBe empty
   }
 
+  behavior of "contaminationPairs"
+
+  it should "flag the planted leak and nothing else" in {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val trainDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog yesterday"), // leak
+      (2L, "completely unrelated training text about spark plans here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(trainDocs, evalDocs,
+        "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.toSeq shouldBe Seq((1L, 100L))
+  }
+
   behavior of "duplicatedSpanStats"
 
   it should "cover exactly the shared span, in both sharing docs" in {

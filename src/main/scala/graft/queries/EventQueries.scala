@@ -273,6 +273,33 @@ object EventQueries {
           count(lit(1)).as("n_view_buy_pairs"))
     },
 
+    // The reference's own statistic on a STREAM: grouped mutual
+    // information (the custom typed Aggregator from graft.functions)
+    // running as a streaming aggregation in complete mode — per event
+    // type, MI between the discretized value and the hour-of-day. The
+    // same UDAF serves batch and streaming unchanged; with AvailableNow
+    // the final state equals the batch group-by the oracle computes.
+    "q_stream_mi" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream.groupBy("event_type")
+        .agg(round(graft.functions.MIAggregate.mi(
+          floor(col("value")), hour(col("ts"))), 6).as("mi"))
+      val name = "q_stream_mi_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        val q = agg.writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name).orderBy("event_type")
+    },
+
     // STREAM-STREAM inner join with watermarks on both sides and an
     // event-time range condition — the canonical streaming-join shape
     // (view → purchase attribution within 1h). State on each side is
@@ -468,6 +495,21 @@ object EventQueries {
         |  ON v.user_id = b.user_id
         | AND b.t_buy > v.t_view
         | AND b.t_buy - v.t_view <= 3600000000""".stripMargin,
+
+    "q_stream_mi" ->
+      """SELECT event_type, round(mi, 6) AS mi FROM (
+        |  SELECT event_type, sum((c / n) * ln((c * n) / (cx * cy))) AS mi
+        |  FROM (
+        |    SELECT event_type, c,
+        |      sum(c) OVER (PARTITION BY event_type) AS n,
+        |      sum(c) OVER (PARTITION BY event_type, x) AS cx,
+        |      sum(c) OVER (PARTITION BY event_type, y) AS cy
+        |    FROM (SELECT event_type, floor(value) AS x,
+        |                 hour(CAST(ts AS TIMESTAMP)) AS y,
+        |                 CAST(count(*) AS DOUBLE) AS c
+        |          FROM events GROUP BY 1, 2, 3))
+        |  GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q_stream_join" ->
       s"""SELECT v.user_id, count(*) AS n_pairs,

@@ -424,15 +424,16 @@ object Dedup {
     * [[ngramJaccardPairs]] but across two datasets (no blocking key: an
     * eval doc must be found wherever it leaked), so cost is proportional
     * to actual shingle collisions between the corpora, never
-    * |train|×|eval|. The eval side is typically tiny; its postings are
-    * broadcast when Spark's stats allow.
+    * |train|×|eval|. A broadcast Bloom filter of the eval shingles
+    * pre-drops non-colliding train postings before the shuffle (no
+    * false negatives, so the exact join still sees every true match).
     *
     * Returns (train_id, eval_id, jaccard) — every contaminated pair, the
     * caller anti-joins train against it to drop flagged docs.
     */
   def contaminationPairs(train: DataFrame, eval: DataFrame, idCol: String,
-                         textCol: String, n: Int,
-                         minJaccard: Double): DataFrame = {
+                         textCol: String, n: Int, minJaccard: Double,
+                         bloomFpp: Double = 0.01): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
     val nPart = spark.sparkContext.defaultParallelism
@@ -448,15 +449,30 @@ object Dedup {
         }
         .toDF(idOut, szOut, gOut)
     val t = postings(train, "train_id", "sz_t", "g")
-    val e = postings(eval, "eval_id", "sz_e", "g_e")
-    val inter = col("inter").cast("double")
-    val union = (col("sz_t") + col("sz_e")).cast("double") - inter
-    t.join(e, col("g") === col("g_e"))
-      .groupBy("train_id", "eval_id", "sz_t", "sz_e")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", round(inter / union, 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select("train_id", "eval_id", "jaccard")
+    val e = postings(eval, "eval_id", "sz_e", "g_e").cache()
+    try {
+      // Bloom pre-filter on the big side: the eval corpus is tiny next to
+      // train, so almost every train posting matches nothing — a
+      // broadcast Bloom filter of the eval shingles drops those BEFORE
+      // the shuffle, cutting the exchanged volume to (collisions +
+      // fpp·postings). No false negatives → the exact join below sees
+      // every true match; false positives are discarded by the join.
+      // This is the sketch-accelerated semi-join shape used at 100 TB.
+      val nEvalPostings = math.max(e.count(), 1L)
+      val bloom = e.stat.bloomFilter("g_e", nEvalPostings, bloomFpp)
+      val bBloom = spark.sparkContext.broadcast(bloom)
+      val mightMatch = udf((g: String) => bBloom.value.mightContainString(g))
+      val inter = col("inter").cast("double")
+      val union = (col("sz_t") + col("sz_e")).cast("double") - inter
+      t.filter(mightMatch(col("g")))
+        .join(e, col("g") === col("g_e"))
+        .groupBy("train_id", "eval_id", "sz_t", "sz_e")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", round(inter / union, 6))
+        .filter(col("jaccard") >= minJaccard)
+        .select("train_id", "eval_id", "jaccard")
+        .localCheckpoint(eager = true) // small: only flagged pairs
+    } finally { e.unpersist(); () }
   }
 
   /** Duplicated-span coverage: per document, the fraction of its token

@@ -273,6 +273,21 @@ object EventQueries {
           count(lit(1)).as("n_view_buy_pairs"))
     },
 
+    // Sketch family: HyperLogLog++ distinct users per event type next to
+    // the exact count — at 100 TB the exact distinct is a full shuffle
+    // of every user id while the sketch is a few KB per group merged
+    // map-side; the relative-error contract is asserted in
+    // EventQueriesSpec (rows-only here: sketch estimates are
+    // engine-specific, so no cross-engine oracle exists by design).
+    "q_hll_users" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
+            .as("approx_users"),
+          count_distinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    },
+
     // The reference's own statistic on a STREAM: grouped mutual
     // information (the custom typed Aggregator from graft.functions)
     // running as a streaming aggregation in complete mode — per event

@@ -101,6 +101,20 @@ object Relational {
         .orderBy("o_custkey", "rn")
     },
 
+    // ntile quartiles: account-balance quartile boundaries per market
+    // segment (the remaining ranking-window family member).
+    "q_ntile_quartiles" -> { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("q", ntile(4).over(w))
+        .groupBy("c_mktsegment", "q")
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("lo"),
+          max(col("c_acctbal")).as("hi"))
+        .orderBy("c_mktsegment", "q")
+    },
+
     // Same top-3-per-group result as a bounded-heap AGGREGATE
     // (graft.functions.TopK over Catalyst's CollectTopK): the window
     // spelling above shuffles + sorts every row; this shuffles ≤ k rows
@@ -345,6 +359,17 @@ object Relational {
         |  FROM orders)
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_ntile_quartiles" ->
+      """SELECT c_mktsegment, q, count(*) AS n,
+        |  min(c_acctbal) AS lo, max(c_acctbal) AS hi
+        |FROM (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment
+        |                   ORDER BY c_acctbal, c_custkey) AS q
+        |  FROM customer)
+        |GROUP BY c_mktsegment, q
+        |ORDER BY c_mktsegment, q""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT o_orderpriority, rn AS rnk, o_orderkey, o_totalprice FROM (

@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Error contracts for the sketch-family queries (no cross-engine oracle
+  * exists by design — estimates are engine-specific).
+  */
+class SketchSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  behavior of "q_hll_users"
+
+  it should "estimate within 3x the configured 2% relative error" in {
+    val rows = graft.SparkEntry.queries("q_hll_users")(spark, dir)
+      .collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      math.abs(approx - exact) / exact should be <= 0.06
+    }
+  }
+
+  behavior of "contaminationPairs bloom prefilter"
+
+  it should "produce the same pairs as the unfiltered join (no false " +
+    "negatives)" in {
+    // fpp = 0.5 makes the bloom coarse; the exact verify must still
+    // yield exactly the oracle-checked pair set at fpp = 0.01
+    val docs = Q.t(spark, dir, "documents")
+    import org.apache.spark.sql.functions.col
+    def run(fpp: Double) = graft.ops.Dedup.contaminationPairs(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", 3, 0.5, bloomFpp = fpp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    run(0.5) shouldBe run(0.001)
+  }
+}

@@ -273,6 +273,40 @@ object EventQueries {
           count(lit(1)).as("n_view_buy_pairs"))
     },
 
+    // Durable-sink streaming ETL: readStream → project/filter →
+    // writeStream to PARQUET FILES with a checkpoint (the production
+    // shape — exactly-once via checkpointed file-sink log), drained with
+    // AvailableNow; the files are then read back and aggregated, so the
+    // oracle checks the full write–read round trip.
+    "q_stream_etl" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_etl").toString
+      withStatePartitions(s) {
+        val q = stream.writeStream
+          .format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$base/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // Sketch family: HyperLogLog++ distinct users per event type next to
     // the exact count — at 100 TB the exact distinct is a full shuffle
     // of every user id while the sketch is a few KB per group merged
@@ -510,6 +544,15 @@ object EventQueries {
         |  ON v.user_id = b.user_id
         | AND b.t_buy > v.t_view
         | AND b.t_buy - v.t_view <= 3600000000""".stripMargin,
+
+    "q_stream_etl" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  count(DISTINCT user_id) AS n_users,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM events
+         |WHERE event_type IN ('view', 'purchase')
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
 
     "q_stream_mi" ->
       """SELECT event_type, round(mi, 6) AS mi FROM (

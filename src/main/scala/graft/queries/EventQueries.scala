@@ -299,12 +299,17 @@ object EventQueries {
           .start()
         q.awaitTermination()
       }
-      s.read.parquet(s"$base/out")
+      // checkpoint the (tiny) aggregate so the temp sink files can be
+      // deleted before returning — nothing accumulates across runs
+      val res = s.read.parquet(s"$base/out")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           count_distinct(col("user_id")).as("n_users"),
           dsum(col("value")).as("sum_value"))
         .orderBy("event_type")
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      res
     },
 
     // Sketch family: HyperLogLog++ distinct users per event type next to

@@ -200,6 +200,19 @@ object Relational {
         .orderBy("c_mktsegment")
     },
 
+    // Semi join (EXISTS): customers with ≥1 high-value order, per
+    // segment — the probe side never duplicates or widens, unlike an
+    // inner join + distinct.
+    "q_semi_join" -> { (s, dir) =>
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+        .select("o_custkey")
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_with_big"))
+        .orderBy("c_mktsegment")
+    },
+
     // Set operation: BUILDING customers who have an urgent order.
     "q_intersect" -> { (s, dir) =>
       val building = t(s, dir, "customer")
@@ -433,6 +446,15 @@ object Relational {
         |FROM customer
         |WHERE c_custkey NOT IN
         |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_with_big
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_totalprice > 200000.0)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 

@@ -101,6 +101,39 @@ object Relational {
         .orderBy("o_custkey", "rn")
     },
 
+    // Cumulative frame: per-customer running order total in date order
+    // (ROWS UNBOUNDED PRECEDING — partitions are per-customer and small,
+    // so the window sort is bounded; corpus-wide running totals use
+    // graft.ops.PrefixSum instead). Decimal-exact cumulative sums.
+    "q_running_total" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("run_total",
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4))).over(w)
+            .cast("double"))
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+          col("run_total"))
+        .orderBy("o_custkey", "od_us", "o_orderkey")
+    },
+
+    // GROUPING SETS distinct from ROLLUP/CUBE: exactly two groupings —
+    // by (returnflag, linestatus) and by (linestatus) alone.
+    "q_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM g_lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_linestatus))
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus""".stripMargin)
+    },
+
     // ntile quartiles: account-balance quartile boundaries per market
     // segment (the remaining ranking-window family member).
     "q_ntile_quartiles" -> { (s, dir) =>
@@ -372,6 +405,27 @@ object Relational {
         |  FROM orders)
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS od_us,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS run_total
+        |FROM orders
+        |WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, od_us, o_orderkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus""".stripMargin,
 
     "q_ntile_quartiles" ->
       """SELECT c_mktsegment, q, count(*) AS n,

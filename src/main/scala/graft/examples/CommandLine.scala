@@ -84,7 +84,7 @@ object CommandLine {
       val ms = (System.nanoTime() - t0) / 1e6
       // CSV column i+1 (_c{i+1}) is feature index i
       println(f"conventional selection: " +
-        s"${model.selectedFeatures.mkString(", ")}  [$ms%.0f ms]")
+        s"${model.selectedFeatures.mkString(", ")}  [${math.round(ms)} ms]")
       model.selectedFeatures.toSeq.map(_.toLong)
     }
 
@@ -109,7 +109,7 @@ object CommandLine {
         .fit(assembled)
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"alternate    selection: " +
-        s"${model.selectedRows.mkString(", ")}  [$ms%.0f ms]")
+        s"${model.selectedRows.mkString(", ")}  [${math.round(ms)} ms]")
       model.selectedRows.toSeq
     }
 

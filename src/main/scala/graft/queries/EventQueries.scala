@@ -273,6 +273,20 @@ object EventQueries {
           count(lit(1)).as("n_view_buy_pairs"))
     },
 
+    // Z-order layout values: Morton-interleave (value-bucket, hour) and
+    // aggregate per 16-wide z-range — the multi-dimensional locality key
+    // that makes parquet min/max stats prune on EITHER dimension after a
+    // z-sorted write (see graft.ops.SpatialLayout).
+    "q_zorder_stats" -> { (s, dir) =>
+      val x = pmod(floor(col("value")).cast("int"), lit(16))
+      val y = pmod(hour(col("ts")), lit(16))
+      events(s, dir)
+        .withColumn("z", graft.ops.SpatialLayout.zValue2(x, y, 4))
+        .groupBy((col("z") / 16).cast("long").as("z_range"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("z_range")
+    },
+
     // Durable-sink streaming ETL: readStream → project/filter →
     // writeStream to PARQUET FILES with a checkpoint (the production
     // shape — exactly-once via checkpointed file-sink log), drained with
@@ -549,6 +563,23 @@ object EventQueries {
         |  ON v.user_id = b.user_id
         | AND b.t_buy > v.t_view
         | AND b.t_buy - v.t_view <= 3600000000""".stripMargin,
+
+    "q_zorder_stats" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(value) AS INTEGER) % 16 AS x,
+         |         hour(CAST(ts AS TIMESTAMP)) % 16 AS y, value
+         |  FROM events),
+         |z AS (
+         |  SELECT value,
+         |    ((x // 1) % 2) * 2   + ((y // 1) % 2) * 1 +
+         |    ((x // 2) % 2) * 8   + ((y // 2) % 2) * 4 +
+         |    ((x // 4) % 2) * 32  + ((y // 4) % 2) * 16 +
+         |    ((x // 8) % 2) * 128 + ((y // 8) % 2) * 64 AS z
+         |  FROM b)
+         |SELECT CAST(z // 16 AS BIGINT) AS z_range, count(*) AS n,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM z GROUP BY z_range
+         |ORDER BY z_range""".stripMargin,
 
     "q_stream_etl" ->
       s"""SELECT event_type, count(*) AS n,

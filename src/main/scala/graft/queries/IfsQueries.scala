@@ -92,7 +92,14 @@ object IfsQueries {
       // rides along as pseudo-feature -1 (dropped from the returned
       // matrix), so [[labelsRow]] shares the pass instead of paying a
       // second full sort+collect.
-      val sortedDF = matrix(s, dir)
+      // The range partitioner's boundary-sampling pass executes the
+      // input once before the sort pass does — cache the (narrow)
+      // projected matrix so the parquet scan + discretization run once,
+      // not twice; released after materialization below.
+      val proj = matrix(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("label"),
+          col("f")).cache()
+      val sortedDF = proj
         .orderBy("l_orderkey", "l_linenumber")
         .select("label", "f")
       val nFeatures = featureDefs.size
@@ -127,6 +134,7 @@ object IfsQueries {
         .toDF("id", "features")
         .cache()
       df.count() // materialize once
+      proj.unpersist()
       df
     }).asInstanceOf[DataFrame]
 

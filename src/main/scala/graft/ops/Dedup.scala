@@ -74,8 +74,14 @@ object Dedup {
     val inter = col("inter").cast("double")
     val union = (col("sz_a") + col("sz_b")).cast("double") - inter
     try {
+      // exact length pruning: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t
+      // (|A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|)), so
+      // size-mismatched pairs can be dropped inside the join with zero
+      // false negatives — on skewed corpora this is most of the pairs.
       a.join(b, col("blk") === col("blk_b") && col("g") === col("g_b") &&
-          col("id_a") < col("id_b"))
+          col("id_a") < col("id_b") &&
+          col("sz_a") >= col("sz_b") * minJaccard &&
+          col("sz_b") >= col("sz_a") * minJaccard)
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(count(lit(1)).as("inter"))
         .withColumn("jaccard", round(inter / union, 6))
@@ -465,7 +471,9 @@ object Dedup {
       val inter = col("inter").cast("double")
       val union = (col("sz_t") + col("sz_e")).cast("double") - inter
       t.filter(mightMatch(col("g")))
-        .join(e, col("g") === col("g_e"))
+        .join(e, col("g") === col("g_e") &&
+          col("sz_t") >= col("sz_e") * minJaccard &&
+          col("sz_e") >= col("sz_t") * minJaccard) // exact length pruning
         .groupBy("train_id", "eval_id", "sz_t", "sz_e")
         .agg(count(lit(1)).as("inter"))
         .withColumn("jaccard", round(inter / union, 6))

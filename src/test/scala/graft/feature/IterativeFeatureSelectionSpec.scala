@@ -111,6 +111,37 @@ class IterativeFeatureSelectionSpec extends AnyFunSuite with Matchers
     got.zip(ref).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-9 }
   }
 
+  test("custom RowScore routes through the generic path (both argmax " +
+    "directions)") {
+    val (labels, m) = randomMatrix(seed = 21, rows = 90, cols = 5)
+    def colv(c: Int): Array[Double] = m.map(_(c))
+    def relOf(c: Int): Double = MutualInformation.fromVectors(
+      Vectors.dense(colv(c)), Vectors.dense(labels))
+    // pure-relevance criterion (MIM): ignores the selected set entirely
+    object Mim extends graft.stats.RowScore {
+      override def score(f: Vector, l: Vector, sel: Seq[Vector]): Double =
+        MutualInformation.fromVectors(f, l)
+    }
+    val got = IterativeFeatureSelection.selectRows(
+      alternateDF(labels, m), "id", "features", num = 3,
+      labelsRow = Vectors.dense(labels), score = Mim)
+    val want = (0 until 5).map(c => (c.toLong, relOf(c)))
+      .sortBy { case (c, s) => (-s, c) }.take(3)
+    got.map(_._1) shouldBe want.map(_._1)
+    got.zip(want).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-9 }
+    // lowerIsBetter flips the argmax
+    object AntiMim extends graft.stats.RowScore {
+      override def score(f: Vector, l: Vector, sel: Seq[Vector]): Double =
+        MutualInformation.fromVectors(f, l)
+      override def higherIsBetter: Boolean = false
+    }
+    val lo = IterativeFeatureSelection.selectRows(
+      alternateDF(labels, m), "id", "features", num = 1,
+      labelsRow = Vectors.dense(labels), score = AntiMim)
+    lo.head._1 shouldBe (0 until 5).map(c => (c.toLong, relOf(c)))
+      .sortBy { case (c, s) => (s, c) }.head._1
+  }
+
   test("maxCategories guard rejects high-cardinality columns") {
     import spark.implicits._
     val df = (0 until 50).map(i => (i % 2, Vectors.dense(i.toDouble)))

@@ -111,6 +111,22 @@ class IterativeFeatureSelectionSpec extends AnyFunSuite with Matchers
     got.zip(ref).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-9 }
   }
 
+  test("custom SelectionScore drives the conventional greedy loop") {
+    val (labels, m) = randomMatrix(seed = 22, rows = 90, cols = 5)
+    // pure-relevance criterion: selection = MI ranking against the label
+    object Mim extends graft.stats.SelectionScore {
+      override def score(rel: Double, red: Seq[Double]): Double = rel
+    }
+    val got = IterativeFeatureSelection.selectColumns(
+      conventionalDF(labels, m), "label", "features", num = 3, score = Mim)
+    def relOf(c: Int): Double = MutualInformation.fromVectors(
+      Vectors.dense(m.map(_(c))), Vectors.dense(labels))
+    val want = (0 until 5).map(c => (c, relOf(c)))
+      .sortBy { case (c, s) => (-s, c) }.take(3)
+    got.map(_._1) shouldBe want.map(_._1)
+    got.zip(want).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-9 }
+  }
+
   test("custom RowScore routes through the generic path (both argmax " +
     "directions)") {
     val (labels, m) = randomMatrix(seed = 21, rows = 90, cols = 5)

@@ -246,6 +246,23 @@ object Relational {
         .orderBy("c_mktsegment")
     },
 
+    // FULL OUTER join: daily order volume against daily event volume —
+    // day keys exist on either side alone, so both null directions are
+    // exercised (completes the join family: inner/left/semi/anti/full).
+    "q_full_outer" -> { (s, dir) =>
+      val od = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val ev = events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d_e"))
+        .agg(count(lit(1)).as("n_events"))
+      od.join(ev, col("d") === col("d_e"), "full_outer")
+        .select(coalesce(col("d"), col("d_e")).as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("day")
+    },
+
     // Set operation: BUILDING customers who have an urgent order.
     "q_intersect" -> { (s, dir) =>
       val building = t(s, dir, "customer")
@@ -511,6 +528,20 @@ object Relational {
         |                AND o_totalprice > 200000.0)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_full_outer" ->
+      """SELECT coalesce(o.d, e.d) AS day,
+        |  coalesce(o.n_orders, 0) AS n_orders,
+        |  coalesce(e.n_events, 0) AS n_events
+        |FROM (SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')
+        |        AS d, count(*) AS n_orders
+        |      FROM orders GROUP BY d) o
+        |FULL OUTER JOIN
+        |     (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+        |        AS d, count(*) AS n_events
+        |      FROM events GROUP BY d) e
+        |  ON o.d = e.d
+        |ORDER BY day""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_custkey AS custkey FROM customer

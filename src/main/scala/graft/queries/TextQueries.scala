@@ -287,6 +287,38 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Weighted deterministic sampling: keep probability proportional to
+    // doc length (longer docs over-sampled for token-budget balance) via
+    // the same md5-prefix rule — hash(doc) < weight·scale, no RNG,
+    // reproducible across engines/partitionings/reruns. Completes the
+    // sampling family (global rate, per-stratum rates, per-row weights).
+    "q_weighted_sample" -> { (s, dir) =>
+      val thresh = least(col("n_chars").cast("double") / 400.0, lit(1.0)) *
+        65536.0
+      t(s, dir, "documents")
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+          16, 10).cast("long") < thresh)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("source")
+    },
+
+    // Normalization sweep: lowercase + trim + collapse runs of spaces —
+    // the canonicalization pass before hashing/dedup; reports how many
+    // docs it changes and the normalized-corpus fingerprint per source.
+    "q_normalize_text" -> { (s, dir) =>
+      val norm = regexp_replace(lower(trim(col("text"))), " +", " ")
+      t(s, dir, "documents")
+        .withColumn("norm", norm)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("norm") =!= col("text"), 1).otherwise(0))
+            .cast("long").as("n_changed"),
+          count_distinct(md5(col("norm"))).as("n_distinct_norm"))
+        .orderBy("source")
+    },
+
     // Multimodal "resize": stride-downsample each blob to 64 bytes
     // (graft.ops.Multimodal.resizeStub — typed map plumbing; the byte
     // geometry is pure arithmetic, so the oracle reconstructs the exact
@@ -408,6 +440,27 @@ object TextQueries {
         |FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
         |  AS BIGINT) < CASE WHEN source = 'src0' THEN 13107 ELSE 3277 END
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT source, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |  AS BIGINT) <
+        |  least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) * 65536.0
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_normalize_text" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN regexp_replace(lower(trim(text)), ' +', ' ',
+        |                    'g') <> text
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  count(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ',
+        |    'g'))) AS n_distinct_norm
+        |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
 

@@ -246,6 +246,24 @@ object Relational {
         .orderBy("c_mktsegment")
     },
 
+    // Sketch family: approximate quantiles (Greenwald-Khanna) beside the
+    // exact ones — at scale the sketch is a bounded-size mergeable
+    // summary vs the exact percentile's full sort. Rows-only check
+    // (sketch values are engine-specific); the error contract vs the
+    // exact column is asserted in SketchSpec.
+    "q_approx_quantiles" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+          percentile_approx(col("o_totalprice"), lit(0.95), lit(10000))
+            .as("p95_approx"),
+          expr("percentile(o_totalprice, 0.95)").as("p95_exact"))
+        .orderBy("o_orderpriority")
+    },
+
     // FULL OUTER join: daily order volume against daily event volume —
     // day keys exist on either side alone, so both null directions are
     // exercised (completes the join family: inner/left/semi/anti/full).

@@ -24,6 +24,20 @@ class SketchSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  behavior of "q_approx_quantiles"
+
+  it should "track the exact percentiles within 2% relative error" in {
+    val rows = graft.SparkEntry.queries("q_approx_quantiles")(spark, dir)
+      .collect()
+    rows should not be empty
+    rows.foreach { r =>
+      math.abs(r.getDouble(1) - r.getDouble(2)) /
+        r.getDouble(2) should be <= 0.02
+      math.abs(r.getDouble(3) - r.getDouble(4)) /
+        r.getDouble(4) should be <= 0.02
+    }
+  }
+
   behavior of "contaminationPairs bloom prefilter"
 
   it should "produce the same pairs as the unfiltered join (no false " +

@@ -287,6 +287,35 @@ object EventQueries {
         .orderBy("z_range")
     },
 
+    // The bounded-heap top-k aggregate on a STREAM: per event type, the
+    // 3 highest-value events, maintained as streaming aggregation state
+    // (a k-element heap per group — state size k, not stream length),
+    // complete mode. Same collect_top_k that serves batch and SQL.
+    "q_stream_topk" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events*.parquet")
+      val agg = stream.groupBy("event_type")
+        .agg(graft.functions.TopK.collectTopK(
+          struct(col("value"), col("event_id")), 3).as("tk"))
+      val name = "q_stream_topk_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        val q = agg.writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .select(col("event_type"),
+          posexplode(sort_array(col("tk"), asc = false)))
+        .select(col("event_type"), (col("pos") + 1).as("rnk"),
+          col("col.event_id").as("event_id"), col("col.value").as("value"))
+        .orderBy("event_type", "rnk")
+    },
+
     // Durable-sink streaming ETL: readStream → project/filter →
     // writeStream to PARQUET FILES with a checkpoint (the production
     // shape — exactly-once via checkpointed file-sink log), drained with
@@ -580,6 +609,15 @@ object EventQueries {
          |  ${dsumSql("value")} AS sum_value
          |FROM z GROUP BY z_range
          |ORDER BY z_range""".stripMargin,
+
+    "q_stream_topk" ->
+      """SELECT event_type, rn AS rnk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn <= 3
+        |ORDER BY event_type, rnk""".stripMargin,
 
     "q_stream_etl" ->
       s"""SELECT event_type, count(*) AS n,

@@ -595,7 +595,9 @@ object EventQueries {
 
     "q_zorder_stats" ->
       s"""WITH b AS (
-         |  SELECT CAST(floor(value) AS INTEGER) % 16 AS x,
+         |  -- ((v % 16) + 16) % 16 mirrors Spark's pmod for negative
+         |  -- values (DuckDB % keeps the dividend's sign)
+         |  SELECT ((CAST(floor(value) AS INTEGER) % 16) + 16) % 16 AS x,
          |         hour(CAST(ts AS TIMESTAMP)) % 16 AS y, value
          |  FROM events),
          |z AS (

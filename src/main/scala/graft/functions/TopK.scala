@@ -35,12 +35,22 @@ object TopK {
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
                    tieCol: String, k: Int): DataFrame = {
     val packed = struct(col(orderCol), col(tieCol))
-    df.groupBy(groupCols.map(col): _*)
-      .agg(collectTopK(packed, k).as("tk"))
-      .select(groupCols.map(col) :+
-        posexplode(sort_array(col("tk"), asc = false)): _*)
+    unpackRanked(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(collectTopK(packed, k).as("tk")),
+      groupCols, "tk", orderCol, tieCol)
+  }
+
+  /** Unpack a [[collectTopK]] array of (orderCol, tieCol) structs into
+    * one row per element: (groupCols..., rnk, tieCol, orderCol), ranked
+    * descending. Shared by the batch and streaming query paths so the
+    * heap's struct layout and tie order live in exactly one place.
+    */
+  def unpackRanked(df: DataFrame, groupCols: Seq[String], tkCol: String,
+                   orderCol: String, tieCol: String): DataFrame =
+    df.select(groupCols.map(col) :+
+        posexplode(sort_array(col(tkCol), asc = false)): _*)
       .select(groupCols.map(col) ++ Seq((col("pos") + 1).as("rnk"),
         col(s"col.$tieCol").as(tieCol),
         col(s"col.$orderCol").as(orderCol)): _*)
-  }
 }

@@ -78,10 +78,14 @@ object Dedup {
       // (|A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|)), so
       // size-mismatched pairs can be dropped inside the join with zero
       // false negatives — on skewed corpora this is most of the pairs.
+      // Pruned with a 1e-6 slack because the FINAL filter compares the
+      // 6-decimal ROUNDED jaccard: a pair whose true J sits just under t
+      // but rounds up to t must survive the prune too.
+      val tSlack = minJaccard - 1e-6
       a.join(b, col("blk") === col("blk_b") && col("g") === col("g_b") &&
           col("id_a") < col("id_b") &&
-          col("sz_a") >= col("sz_b") * minJaccard &&
-          col("sz_b") >= col("sz_a") * minJaccard)
+          col("sz_a") >= col("sz_b") * tSlack &&
+          col("sz_b") >= col("sz_a") * tSlack)
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(count(lit(1)).as("inter"))
         .withColumn("jaccard", round(inter / union, 6))
@@ -470,10 +474,12 @@ object Dedup {
       val mightMatch = udf((g: String) => bBloom.value.mightContainString(g))
       val inter = col("inter").cast("double")
       val union = (col("sz_t") + col("sz_e")).cast("double") - inter
+      // length pruning with rounding slack — see ngramJaccardPairs
+      val tSlack = minJaccard - 1e-6
       t.filter(mightMatch(col("g")))
         .join(e, col("g") === col("g_e") &&
-          col("sz_t") >= col("sz_e") * minJaccard &&
-          col("sz_e") >= col("sz_t") * minJaccard) // exact length pruning
+          col("sz_t") >= col("sz_e") * tSlack &&
+          col("sz_e") >= col("sz_t") * tSlack)
         .groupBy("train_id", "eval_id", "sz_t", "sz_e")
         .agg(count(lit(1)).as("inter"))
         .withColumn("jaccard", round(inter / union, 6))

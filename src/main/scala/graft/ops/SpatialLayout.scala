@@ -17,12 +17,18 @@ object SpatialLayout {
 
   /** Morton interleave of two non-negative int columns, `bits` low bits
     * each (x at odd positions, y at even): z(1,0)=2, z(0,1)=1, z(3,3)=15.
+    * `bits` is capped at 15 so the 2·bits-bit result stays inside a
+    * positive Int — beyond that the top bit would land in the sign bit
+    * and corrupt the sort order silently.
     */
-  def zValue2(x: Column, y: Column, bits: Int): Column =
+  def zValue2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 15,
+      s"bits must be in [1, 15] (z uses 2*bits bits of a signed Int), got $bits")
     (0 until bits).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i + 1) +
         shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i)
     }.reduce(_ + _)
+  }
 
   /** `df` laid out in z-order of (xCol, yCol): range-partitioned and
     * sorted by the interleaved value (plus the original dims as

@@ -308,11 +308,8 @@ object EventQueries {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      s.table(name)
-        .select(col("event_type"),
-          posexplode(sort_array(col("tk"), asc = false)))
-        .select(col("event_type"), (col("pos") + 1).as("rnk"),
-          col("col.event_id").as("event_id"), col("col.value").as("value"))
+      graft.functions.TopK.unpackRanked(s.table(name), Seq("event_type"),
+          "tk", "value", "event_id")
         .orderBy("event_type", "rnk")
     },
 
@@ -327,39 +324,42 @@ object EventQueries {
       val stream = s.readStream.schema(schema)
         .option("basePath", dir)
         .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .filter(col("event_type").isin("view", "purchase"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
       val base = java.nio.file.Files
         .createTempDirectory("graft_stream_etl").toString
-      withStatePartitions(s) {
-        val q = stream.writeStream
-          .format("parquet")
-          .option("path", s"$base/out")
-          .option("checkpointLocation", s"$base/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+      // cleanup in finally: the tiny aggregate is checkpointed before the
+      // temp sink is deleted, and a failed write/read still cleans up —
+      // nothing accumulates across runs or across failures
+      try {
+        withStatePartitions(s) {
+          val q = stream.writeStream
+            .format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(s"$base/out")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("user_id")).as("n_users"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(base))
       }
-      // checkpoint the (tiny) aggregate so the temp sink files can be
-      // deleted before returning — nothing accumulates across runs
-      val res = s.read.parquet(s"$base/out")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          count_distinct(col("user_id")).as("n_users"),
-          dsum(col("value")).as("sum_value"))
-        .orderBy("event_type")
-        .localCheckpoint(true)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
-      res
     },
 
     // Sketch family: HyperLogLog++ distinct users per event type next to
     // the exact count — at 100 TB the exact distinct is a full shuffle
     // of every user id while the sketch is a few KB per group merged
     // map-side; the relative-error contract is asserted in
-    // EventQueriesSpec (rows-only here: sketch estimates are
+    // graft.queries.SketchSpec (rows-only here: sketch estimates are
     // engine-specific, so no cross-engine oracle exists by design).
     "q_hll_users" -> { (s, dir) =>
       events(s, dir)

@@ -43,7 +43,7 @@ class SketchSpec extends AnyFlatSpec with Matchers with SparkTestBase {
   it should "produce the same pairs as the unfiltered join (no false " +
     "negatives)" in {
     // fpp = 0.5 makes the bloom coarse; the exact verify must still
-    // yield exactly the oracle-checked pair set at fpp = 0.01
+    // yield exactly the oracle-checked pair set at the tight fpp
     val docs = Q.t(spark, dir, "documents")
     import org.apache.spark.sql.functions.col
     def run(fpp: Double) = graft.ops.Dedup.contaminationPairs(

@@ -201,6 +201,21 @@ object Relational {
         .orderBy("year")
     },
 
+    // UNPIVOT (melt): the inverse of q_pivot_status — wide per-year
+    // status columns back to long (year, status, price) form, nulls for
+    // absent combinations dropped (the melt every feature-matrix →
+    // long-format conversion uses).
+    "q_unpivot_status" -> { (s, dir) =>
+      val wide = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+      wide.unpivot(Array(col("year")),
+          Array(col("F"), col("O"), col("P")), "status", "price")
+        .filter(col("price").isNotNull)
+        .orderBy("year", "status")
+    },
+
     // Set operation EXCEPT: customers active in 1998 but gone in 1999+.
     "q_except" -> { (s, dir) =>
       val o = t(s, dir, "orders")
@@ -500,6 +515,14 @@ object Relational {
          |FROM orders
          |GROUP BY CUBE(o_orderpriority, o_orderstatus)
          |ORDER BY gid, pri, st""".stripMargin,
+
+    "q_unpivot_status" ->
+      s"""SELECT strftime(o_orderdate, '%Y') AS year,
+         |  o_orderstatus AS status,
+         |  ${dsumSql("o_totalprice")} AS price
+         |FROM orders
+         |GROUP BY year, status
+         |ORDER BY year, status""".stripMargin,
 
     "q_pivot_status" ->
       s"""SELECT strftime(o_orderdate, '%Y') AS year,

@@ -54,14 +54,13 @@ object IfsQueries {
       col("l_orderkey"), col("l_linenumber"))
 
   /** Alternate-encoding matrix: one record per feature, its values across
-    * all instances as a vector, built distributedly: range-partitioned sort
-    * on the natural key, `zipWithIndex` for a contiguous instance index
-    * (distributed — no single-task global window), explode → shuffle by
-    * feature id → positional re-assembly. The transpose is the one
-    * operation whose output row width equals the instance count — at the
-    * 100 TB design point this encoding is only usable when
-    * instances-per-feature fits a record, which is the same contract as the
-    * reference's alternate input files (SURVEY.md §1.1).
+    * all instances as a vector, built distributedly in one pass over the
+    * scan (per-partition columnization → shuffle by feature id →
+    * positional re-assembly; see [[rowMatrixBuild]]). The transpose is the
+    * one operation whose output row width equals the instance count — at
+    * the 100 TB design point this encoding is only usable when
+    * instances-per-feature fits a record, which is the same contract as
+    * the reference's alternate input files (SURVEY.md §1.1).
     *
     * Cached + memoized per (session, dir): three queries (select_rows,
     * row_model_flags fit + transform) share one transpose computation.
@@ -81,29 +80,22 @@ object IfsQueries {
   private def rowMatrixBuild(s: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate(("rowMatrix", s, dir), {
       import s.implicits._
-      // Range-partitioned sort on the natural key gives a deterministic
-      // global order; each sorted partition is then columnized in place
-      // (primitive builders over InternalRows — no Row boxing) and the
-      // per-partition chunks shuffle keyed by feature id, one (partIdx,
-      // chunk) record per partition per feature. Assembly sorts the few
-      // chunks by partition index and concatenates — global offsets are
-      // implied, so the whole transpose is ONE pass over the sorted data
-      // (no size-collect job, no cached intermediate). The label column
+      // Instance order is the parquet SCAN order — deterministic for a
+      // fixed input (file listing and split boundaries are stable), which
+      // is all the alternate encoding needs: vector positions must agree
+      // between features and the label row (they ride the same pass) and
+      // MI is instance-order invariant, so no global sort is required at
+      // all. Each scan partition is columnized in place (primitive
+      // builders over InternalRows — no Row boxing) and the chunks
+      // shuffle keyed by feature id, one (partIdx, chunk) record per
+      // partition per feature; assembly orders chunks by partition index,
+      // so offsets are implied. ONE pass over the data — no sort, no
+      // range-sampling pass, no cached intermediate. The label column
       // rides along as pseudo-feature -1 (dropped from the returned
-      // matrix), so [[labelsRow]] shares the pass instead of paying a
-      // second full sort+collect.
-      // The range partitioner's boundary-sampling pass executes the
-      // input once before the sort pass does — cache the (narrow)
-      // projected matrix so the parquet scan + discretization run once,
-      // not twice; released after materialization below.
-      val proj = matrix(s, dir)
-        .select(col("l_orderkey"), col("l_linenumber"), col("label"),
-          col("f")).cache()
-      val sortedDF = proj
-        .orderBy("l_orderkey", "l_linenumber")
-        .select("label", "f")
+      // matrix), so [[labelsRow]] shares the pass too.
+      val projDF = matrix(s, dir).select("label", "f")
       val nFeatures = featureDefs.size
-      val chunks = sortedDF.queryExecution.toRdd
+      val chunks = projDF.queryExecution.toRdd
         .mapPartitionsWithIndex { (pi, it) =>
           val bs = Array.fill(nFeatures + 1)(
             new scala.collection.mutable.ArrayBuilder.ofDouble)
@@ -134,7 +126,6 @@ object IfsQueries {
         .toDF("id", "features")
         .cache()
       df.count() // materialize once
-      proj.unpersist()
       df
     }).asInstanceOf[DataFrame]
 

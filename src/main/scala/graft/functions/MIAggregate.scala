@@ -18,10 +18,83 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
   */
 object MIAggregate {
 
-  /** Buffer key "x|y" keeps the buffer a natively-encoded Map[String,Long]
-    * (no Kryo), so partial merges stay Tungsten-friendly.
+  // ---- flat open-addressed pair-count table -------------------------------
+  //
+  // The buffer is a plain Array[Long] (natively encoded — ArrayType(Long),
+  // no Kryo): an open-addressed hash table of 3-long slots
+  // [xBits, yBits, count], count == 0 marking an empty slot (real counts are
+  // always ≥ 1). Levels are keyed on the raw `doubleToLongBits` patterns —
+  // exact 128-bit keys, no string building, no boxing. `reduce`/`merge`
+  // mutate the array in place and return it (the documented Aggregator
+  // fast path; ObjectHashAggregate keeps the live buffer as an object and
+  // only encodes on spill/shuffle), so the per-row cost is one hash probe —
+  // the same primitive-encoding idea as graft.stats.LongIntMap, flattened
+  // into an encodable array. Capacity is bounded by distinct level pairs
+  // (the engine's maxCategories guard), never by row count.
+
+  private final val SlotSize = 3
+  private final val InitialSlots = 16 // power of two
+
+  private def hashSlot(xBits: Long, yBits: Long, nSlots: Int): Int = {
+    var h = xBits * -7046029254386353131L
+    h ^= (h >>> 32)
+    h ^= yBits * 0x9e3779b97f4a7c15L
+    h ^= (h >>> 29)
+    (h & (nSlots - 1)).toInt
+  }
+
+  /** Number of occupied slots in `t`. */
+  private def occupied(t: Array[Long]): Int = {
+    var n = 0
+    var i = 0
+    while (i < t.length) {
+      if (t(i + 2) != 0L) n += 1
+      i += SlotSize
+    }
+    n
+  }
+
+  /** Add `c` to the (xBits, yBits) cell, growing if needed; returns the
+    * (possibly reallocated) table.
     */
-  private def key(x: Double, y: Double): String = s"$x|$y"
+  private def add(t0: Array[Long], xBits: Long, yBits: Long,
+                  c: Long): Array[Long] = {
+    var t = if (t0.length == 0) new Array[Long](InitialSlots * SlotSize)
+            else t0
+    val nSlots = t.length / SlotSize
+    var s = hashSlot(xBits, yBits, nSlots)
+    var probes = 0
+    while (true) {
+      val base = s * SlotSize
+      if (t(base + 2) == 0L) {
+        // empty: claim it, growing first if past 3/4 load
+        if ((occupied(t) + 1) * 4 > nSlots * 3) {
+          t = grow(t)
+          return add(t, xBits, yBits, c)
+        }
+        t(base) = xBits; t(base + 1) = yBits; t(base + 2) = c
+        return t
+      }
+      if (t(base) == xBits && t(base + 1) == yBits) {
+        t(base + 2) += c
+        return t
+      }
+      s = (s + 1) & (nSlots - 1)
+      probes += 1
+      require(probes <= nSlots, "MIAggregate: hash table full") // unreachable
+    }
+    t // unreachable
+  }
+
+  private def grow(t: Array[Long]): Array[Long] = {
+    var nt = new Array[Long](t.length * 2)
+    var i = 0
+    while (i < t.length) {
+      if (t(i + 2) != 0L) nt = add(nt, t(i), t(i + 1), t(i + 2))
+      i += SlotSize
+    }
+    nt
+  }
 
   /** Inputs are boxed so a NULL in either column is representable: a null
     * pair contributes nothing (SQL-aggregate convention — `corr`, `covar`
@@ -29,35 +102,45 @@ object MIAggregate {
     * whole aggregation with a non-nullable-field encoder error.
     */
   val aggregator: Aggregator[(java.lang.Double, java.lang.Double),
-      Map[String, Long], Double] =
+      Array[Long], Double] =
     new Aggregator[(java.lang.Double, java.lang.Double),
-        Map[String, Long], Double] {
-      override def zero: Map[String, Long] = Map.empty
+        Array[Long], Double] {
+      override def zero: Array[Long] = Array.emptyLongArray
 
-      override def reduce(b: Map[String, Long],
-          a: (java.lang.Double, java.lang.Double)): Map[String, Long] = {
+      override def reduce(b: Array[Long],
+          a: (java.lang.Double, java.lang.Double)): Array[Long] = {
         if (a._1 == null || a._2 == null) b
-        else {
-          val k = key(a._1.doubleValue, a._2.doubleValue)
-          b.updated(k, b.getOrElse(k, 0L) + 1L)
-        }
+        else add(b,
+          java.lang.Double.doubleToLongBits(a._1.doubleValue),
+          java.lang.Double.doubleToLongBits(a._2.doubleValue), 1L)
       }
 
-      override def merge(b1: Map[String, Long],
-                         b2: Map[String, Long]): Map[String, Long] = {
-        val (small, large) = if (b1.size < b2.size) (b1, b2) else (b2, b1)
-        small.foldLeft(large) { case (acc, (k, c)) =>
-          acc.updated(k, acc.getOrElse(k, 0L) + c)
+      override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+        // fold the smaller table into the larger one
+        val (small, large) = if (b1.length < b2.length) (b1, b2) else (b2, b1)
+        var acc = large
+        var i = 0
+        while (i < small.length) {
+          if (small(i + 2) != 0L)
+            acc = add(acc, small(i), small(i + 1), small(i + 2))
+          i += SlotSize
         }
+        acc
       }
 
-      override def finish(b: Map[String, Long]): Double =
-        MutualInformation.fromPairCounts(b.iterator.map { case (k, c) =>
-          val i = k.indexOf('|')
-          (k.substring(0, i).toDouble, k.substring(i + 1).toDouble, c)
-        }.toSeq)
+      override def finish(b: Array[Long]): Double = {
+        val triples = Seq.newBuilder[(Double, Double, Long)]
+        var i = 0
+        while (i < b.length) {
+          if (b(i + 2) != 0L)
+            triples += ((java.lang.Double.longBitsToDouble(b(i)),
+              java.lang.Double.longBitsToDouble(b(i + 1)), b(i + 2)))
+          i += SlotSize
+        }
+        MutualInformation.fromPairCounts(triples.result())
+      }
 
-      override def bufferEncoder: Encoder[Map[String, Long]] =
+      override def bufferEncoder: Encoder[Array[Long]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 
       override def outputEncoder: Encoder[Double] = Encoders.scalaDouble

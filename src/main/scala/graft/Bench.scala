@@ -34,25 +34,63 @@ object Bench {
     // measures steady-state query cost instead of charging whichever query
     // happens to run first for OS page-cache faults, parquet footer
     // parsing, and scan-path JIT (measured: the first query of a cold run
-    // pays 3–7s that vanishes on a second execution).
+    // pays 3–7s that vanishes on a second execution). Failures are logged,
+    // not swallowed — a missing table here means every downstream timing
+    // is garbage and should be visible in the run log.
+    import scala.util.control.NonFatal
+    def warm(label: String)(body: => Unit): Unit =
+      try body
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] warm-up '$label' failed: $e")
+      }
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings")
     tables.foreach { tn =>
-      try spark.read.parquet(s"$sfDir/$tn.parquet").foreach(_ => ())
-      catch { case _: Throwable => () }
+      warm(s"scan $tn") {
+        spark.read.parquet(s"$sfDir/$tn.parquet").foreach(_ => ())
+      }
     }
     // events' ts column is NANOS-precision — needs the legacy-conf read
-    try queries.Q.events(spark, sfDir).foreach(_ => ())
-    catch { case _: Throwable => () }
-    // Two representative queries untimed: they load the codegen/janino
-    // compiler, Dataset encoder machinery, window-exec paths, and the MI
-    // counting plan's generated classes (shared by the whole ifs_* family
-    // via the codegen cache) that otherwise tax whichever query the Map
-    // happens to order first (~4s of one-time JIT observed on the first
-    // query of a cold JVM).
-    Seq("q_emb_knn", "ifs_mi_relevance").foreach { qn =>
-      try SparkEntry.queries(qn)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    warm("scan events")(queries.Q.events(spark, sfDir).foreach(_ => ()))
+    // NEUTRAL machinery warmers — synthetic inputs, NOT gate queries, so no
+    // timed query gets a head start its siblings don't (each still compiles
+    // its own generated classes; what these remove is the one-time
+    // janino/encoder/window/UDAF infrastructure JIT, ~4s on a cold JVM,
+    // that otherwise lands on whichever query the Map orders first).
+    warm("window+join+agg") {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val d = spark.range(100000).select(col("id"),
+        (col("id") % 97).as("g"), (col("id") % 13).cast("double").as("v"))
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      d.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+        .join(broadcast(d.groupBy("g").agg(count(lit(1)).as("n"))), "g")
+        .agg(sum(col("v") * col("n"))).collect()
+      ()
+    }
+    warm("mi-family plan") {
+      // same explode→groupBy→window shapes as the ifs_* family, over a
+      // synthetic matrix (stabilizes ifs_mi_relevance, which was paying
+      // the family's plan warm-up as first-in-Map: 1.6s vs 4.4s run-to-run)
+      import org.apache.spark.sql.functions._
+      val synth = spark.range(50000).select(
+        (col("id") % 3).cast("double").as("label"),
+        array((col("id") % 5).cast("double"), (col("id") % 7).cast("double"),
+          (col("id") % 11).cast("double")).as("f"))
+      feature.IterativeFeatureSelection.pairMIMulti(synth,
+        Seq((0, -1), (1, -1), (2, -1), (1, 0), (2, 0), (2, 1)),
+        feature.IterativeFeatureSelection.DefaultMaxCategories)
+      ()
+    }
+    warm("knn machinery") {
+      // DotProduct codegen + unitVectors encoder path on synthetic vectors
+      import org.apache.spark.sql.functions._
+      val se = spark.range(500).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(16)),
+          i => (i * (col("id") + 1) % 17 + 1).cast("double")).as("embedding"))
+      ops.Similarity.bruteForceTopK(se,
+        se.filter(col("vec_id") < 2), "vec_id", "embedding", 3).count()
+      ()
     }
     resetState(spark)
     val only = args.toSet

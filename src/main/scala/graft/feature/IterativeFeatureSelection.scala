@@ -191,7 +191,16 @@ object IterativeFeatureSelection {
         s"column ${r.getInt(0)} has $levels distinct values, " +
           s"more than maxCategories = $maxCategories")
     }
-    mi.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // Round to 12 decimals: the distributed sum's partial-aggregation
+    // order varies with which OTHER pairs share the job (all-pairs fast
+    // path vs per-round batches), drifting results by ~1e-15 — enough to
+    // flip the greedy argmax on mathematically-tied scores, making the
+    // SELECTED SET depend on the batchSize perf knob. 12 decimals is far
+    // above the drift and far below any real MI gap, so both paths (and
+    // repeated runs) see bit-identical memo values. (MI ≤ ln(levels), so
+    // the scaled value is well inside exact double range.)
+    mi.map(r => (r.getInt(0), r.getInt(1)) ->
+      math.rint(r.getDouble(2) * 1e12) / 1e12).toMap
   }
 
   /** Alternate encoding: features are rows, instances are columns. Each

@@ -37,31 +37,39 @@ object PrefixSum {
       .sortWithinPartitions(sortCols.map(col): _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     // Cached so the partition-sum job and the output pass share one sort
-    // execution. The block outlives this call (the returned DataFrame is
-    // lazy) — callers with cache-hygiene needs release it via their usual
-    // sweep (Bench/Verify resetState clears all persisted RDDs between
-    // queries; a long-running service does the same per tenant).
+    // execution; released below once the result is materialized — this is
+    // a public framework op, so it cannot delegate cache hygiene to the
+    // caller (a long-running service invoking it per request would
+    // otherwise accumulate one persisted RDD per call).
     val rdd = sorted.rdd.cache()
-    val partSums = rdd
-      .mapPartitionsWithIndex { (pi, it) =>
-        var s = 0.0
-        it.foreach(r => s += r.get(vIdx).asInstanceOf[Number].doubleValue())
-        Iterator.single(pi -> s)
+    try {
+      val partSums = rdd
+        .mapPartitionsWithIndex { (pi, it) =>
+          var s = 0.0
+          it.foreach(r => s += r.get(vIdx).asInstanceOf[Number].doubleValue())
+          Iterator.single(pi -> s)
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = partSums.scanLeft(0.0)(_ + _)
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+        var run = bOffsets.value(pi)
+        it.map { r =>
+          val v = r.get(vIdx).asInstanceOf[Number].doubleValue()
+          val row = Row.fromSeq(run +: r.toSeq)
+          run += v
+          row
+        }
       }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0.0)(_ + _)
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
-      var run = bOffsets.value(pi)
-      it.map { r =>
-        val v = r.get(vIdx).asInstanceOf[Number].doubleValue()
-        val row = Row.fromSeq(run +: r.toSeq)
-        run += v
-        row
-      }
-    }
-    spark.createDataFrame(out,
-      StructType(StructField("prefix", DoubleType, nullable = false) +:
-        sorted.schema.fields))
+      // Eagerly materialize the RESULT (lineage truncated), then drop the
+      // intermediate sorted cache — net pinned storage is one copy of the
+      // output, released by the ContextCleaner when the returned frame is
+      // no longer referenced, instead of an intermediate block that leaks
+      // until a global sweep.
+      spark.createDataFrame(out,
+          StructType(StructField("prefix", DoubleType, nullable = false) +:
+            sorted.schema.fields))
+        .localCheckpoint(eager = true)
+    } finally { rdd.unpersist(blocking = false); () }
   }
 }

@@ -30,12 +30,20 @@ object RowIndex {
         sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     // zipWithIndex runs the size-count job itself; cache so the sort isn't
-    // executed twice (count + map). Callers (Bench/Verify resetState, or
-    // any long-running service's cache hygiene) release the block.
+    // executed twice (count + map). Released below once the result is
+    // materialized — a public framework op cannot delegate cache hygiene
+    // to the caller (one leaked persisted RDD per invocation otherwise).
     val rdd = sorted.rdd.cache()
-    val out = rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
-    spark.createDataFrame(out,
-      StructType(StructField("row_idx", LongType, nullable = false) +:
-        sorted.schema.fields))
+    try {
+      val out = rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(i +: r.toSeq)
+      }
+      // Eager result materialization (lineage truncated), intermediate
+      // cache dropped — see PrefixSum.withExclusivePrefix for rationale.
+      spark.createDataFrame(out,
+          StructType(StructField("row_idx", LongType, nullable = false) +:
+            sorted.schema.fields))
+        .localCheckpoint(eager = true)
+    } finally { rdd.unpersist(blocking = false); () }
   }
 }

@@ -82,11 +82,19 @@ object Similarity {
     * (minHashPairs, cosineNearDupLsh, lshCandidates) cannot drift.
     */
   private[graft] def lshBucketRows(df: DataFrame, idName: String,
-                                   hashCol: String): DataFrame =
+                                   hashCol: String): DataFrame = {
+    val hv = org.apache.spark.ml.functions.vector_to_array(col("hv"))
     df.select(col(idName), posexplode(col(hashCol)).as(Seq("tbl", "hv")))
       .select(col(idName), col("tbl"),
-        org.apache.spark.ml.functions.vector_to_array(col("hv"))
-          .getItem(0).as("h"))
+        // Current Spark LSH models emit exactly one value per hash table;
+        // if a model ever emits more, equality on element 0 alone would
+        // silently WEAKEN the candidate join to first-element equality —
+        // fail loudly instead.
+        when(size(hv) === 1, hv.getItem(0))
+          .otherwise(raise_error(lit(
+            "lshBucketRows: expected a 1-element hash vector per table")))
+          .as("h"))
+  }
 
   /** Bounded deterministic UNBIASED training sample of unit vectors:
     * rows ordered by a hash of the id, not by the id itself — low ids

@@ -412,13 +412,24 @@ object EventQueries {
         .option("basePath", dir)
         .parquet(s"$dir/events*.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Watermark bounds join STATE (production shape: ~2 hours — the 1h
+      // join range + slack). For THIS harness the oracle equivalence
+      // requires that no state drops between micro-batches: AvailableNow
+      // usually drains the source in one batch, but if it ever splits
+      // (more files at larger scale, maxFilesPerTrigger), a 2h watermark
+      // advancing between batches would silently drop cross-batch
+      // view/purchase pairs and diverge from the batch-SQL oracle. An
+      // effectively-infinite watermark keeps inner-join EMISSION semantics
+      // identical (append-mode inner joins emit matches immediately;
+      // watermark only expires state) while making the drain
+      // batch-count-proof.
       val views = stream.filter(col("event_type") === "view")
         .select(col("user_id").as("u"), col("ts").as("ts_v"))
-        .withWatermark("ts_v", "2 hours")
+        .withWatermark("ts_v", "3650 days")
       val buys = stream.filter(col("event_type") === "purchase")
         .select(col("user_id").as("u_b"), col("ts").as("ts_b"),
           col("value").as("buy_value"))
-        .withWatermark("ts_b", "2 hours")
+        .withWatermark("ts_b", "3650 days")
       val joined = views.join(buys,
         col("u") === col("u_b") &&
           col("ts_b") > col("ts_v") &&

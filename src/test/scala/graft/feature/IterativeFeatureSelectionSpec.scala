@@ -100,15 +100,15 @@ class IterativeFeatureSelectionSpec extends AnyFunSuite with Matchers
   test("round 1 picks the max-relevance feature, batching preserved") {
     val (labels, m) = randomMatrix(seed = 5, rows = 100, cols = 6)
     // batchSize=2 forces multiple counting jobs per round (and disables
-    // the all-pairs fast path, whose one-job plan may differ from the
-    // per-round jobs in FP summation order — scores agree to ~1e-15,
-    // selections must agree exactly)
+    // the all-pairs fast path). pairMIMulti rounds MI to 12 decimals
+    // precisely so the two paths' memo values are BIT-IDENTICAL despite
+    // the ~1e-15 FP summation-order drift between their plans — so exact
+    // equality is asserted here, scores included.
     val got = IterativeFeatureSelection.selectColumns(
       conventionalDF(labels, m), "label", "features", num = 2, batchSize = 2)
     val ref = IterativeFeatureSelection.selectColumns(
       conventionalDF(labels, m), "label", "features", num = 2)
-    got.map(_._1) shouldBe ref.map(_._1)
-    got.zip(ref).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-9 }
+    got shouldBe ref
   }
 
   test("custom SelectionScore drives the conventional greedy loop") {

@@ -358,15 +358,20 @@ object EventQueries {
     // Sketch family: HyperLogLog++ distinct users per event type next to
     // the exact count — at 100 TB the exact distinct is a full shuffle
     // of every user id while the sketch is a few KB per group merged
-    // map-side; the relative-error contract is asserted in
-    // graft.queries.SketchSpec (rows-only here: sketch estimates are
-    // engine-specific, so no cross-engine oracle exists by design).
+    // map-side. HASH-CHECKABLE gate: the estimate itself is
+    // engine-specific, so the query emits the exact count (plain SQL)
+    // plus `hll_ok` = relative error ≤ 5% per group (2.5× the configured
+    // rsd; measured ≤0.4% across sfs) — constant TRUE while the sketch
+    // honors its contract, red in the hash compare if it ever drifts.
     "q_hll_users" -> { (s, dir) =>
       events(s, dir)
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
             .as("approx_users"),
           count_distinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) * 100 <=
+            col("exact_users") * 5).as("hll_ok"))
         .orderBy("event_type")
     },
 
@@ -470,6 +475,13 @@ object EventQueries {
   def oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
     "q_session_window" -> sessionizeSql,
+
+    "q_hll_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_session_stats" ->
       s"""WITH b AS (

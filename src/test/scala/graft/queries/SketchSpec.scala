@@ -13,8 +13,20 @@ class SketchSpec extends AnyFlatSpec with Matchers with SparkTestBase {
 
   behavior of "q_hll_users"
 
-  it should "estimate within 3x the configured 2% relative error" in {
+  it should "emit exact counts with the error-contract boolean true" in {
     val rows = graft.SparkEntry.queries("q_hll_users")(spark, dir)
+      .collect()
+    rows should not be empty
+    // schema: (event_type, exact_users, hll_ok)
+    rows.foreach { r => r.getBoolean(2) shouldBe true }
+  }
+
+  it should "estimate within 3x the configured 2% relative error" in {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count_distinct}
+    val rows = Q.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("a"),
+        count_distinct(col("user_id")).as("e"))
       .collect()
     rows should not be empty
     rows.foreach { r =>
@@ -26,8 +38,28 @@ class SketchSpec extends AnyFlatSpec with Matchers with SparkTestBase {
 
   behavior of "q_approx_quantiles"
 
-  it should "track the exact percentiles within 2% relative error" in {
+  it should "emit exact percentiles with rank-contract booleans true" in {
     val rows = graft.SparkEntry.queries("q_approx_quantiles")(spark, dir)
+      .collect()
+    rows should not be empty
+    // schema: (o_orderpriority, n, p50_exact, p95_exact, p50_ok, p95_ok)
+    rows.foreach { r =>
+      r.getBoolean(4) shouldBe true
+      r.getBoolean(5) shouldBe true
+    }
+  }
+
+  it should "track the exact percentiles within 2% relative error" in {
+    import org.apache.spark.sql.functions.{col, expr, lit, percentile_approx}
+    val rows = Q.t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("a50"),
+        expr("percentile(o_totalprice, 0.5)").as("e50"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(10000))
+          .as("a95"),
+        expr("percentile(o_totalprice, 0.95)").as("e95"))
       .collect()
     rows should not be empty
     rows.foreach { r =>

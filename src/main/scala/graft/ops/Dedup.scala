@@ -91,7 +91,7 @@ object Dedup {
         .withColumn("jaccard", round(inter / union, 6))
         .filter(col("jaccard") >= minJaccard)
         .select("id_a", "id_b", "jaccard")
-        .localCheckpoint(eager = true) // small: only passing pairs
+        .transform(Pin.pin) // small: only passing pairs
     } finally { ex.unpersist(); () }
   }
 
@@ -185,7 +185,7 @@ object Dedup {
           else Iterator.empty
         }
         .toDF("id_a", "id_b", "jaccard_dist")
-        .localCheckpoint(eager = true)
+        .transform(Pin.pin)
     } finally { signed.unpersist(); () }
   }
 
@@ -292,7 +292,7 @@ object Dedup {
     val out = lbl
       .map { case (id, c) => (id, c, id == c) }
       .toDF("doc_id", "cluster_id", "keep")
-      .localCheckpoint(eager = true) // small: one row per paired doc
+      .transform(Pin.pin) // small: one row per paired doc
     lbl.unpersist()
     byNeighbor.unpersist()
     out
@@ -485,7 +485,7 @@ object Dedup {
         .withColumn("jaccard", round(inter / union, 6))
         .filter(col("jaccard") >= minJaccard)
         .select("train_id", "eval_id", "jaccard")
-        .localCheckpoint(eager = true) // small: only flagged pairs
+        .transform(Pin.pin) // small: only flagged pairs
     } finally { e.unpersist(); () }
   }
 

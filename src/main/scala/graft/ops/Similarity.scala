@@ -297,7 +297,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(rankW))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid").as(idCol), col("sim"))
-      .localCheckpoint(eager = true) // small: ≤ k rows per query
+      .transform(Pin.pin) // small: ≤ k rows per query
     corpus.unpersist()
     out
   }
@@ -435,7 +435,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid").as(idCol), col("adc_dist"))
-      .localCheckpoint(eager = true) // small: ≤ k rows per query
+      .transform(Pin.pin) // small: ≤ k rows per query
     corpus.unpersist()
     out
   }
@@ -508,7 +508,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid").as(idCol), col("adc_dist"))
-      .localCheckpoint(eager = true) // small: ≤ k rows per query
+      .transform(Pin.pin) // small: ≤ k rows per query
     corpus.unpersist()
     out
   }
@@ -702,7 +702,7 @@ object Similarity {
           } else Iterator.empty
         }
         .toDF("id_a", "id_b", "sim")
-        .localCheckpoint(eager = true)
+        .transform(Pin.pin)
     } finally { hashed.unpersist(); () }
   }
 
@@ -757,7 +757,7 @@ object Similarity {
           }
         }
         .toDF("nid", "qid", "l2")
-        .localCheckpoint(eager = true)
+        .transform(Pin.pin)
     } finally { hashed.unpersist(); () }
   }
 }

@@ -79,6 +79,58 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
     } should not be empty
   }
 
+  it should "never plan a cartesian product, and bound every " +
+    "nested-loop join's build side, across the join-heavy gate queries" in {
+    // The quadratic-self-join tripwire (VERDICT r3: the old
+    // q_emb_cosine_neardup gate died at 100x data). Pin.disabled keeps
+    // operators' eager localCheckpoints from truncating the plan to an
+    // RDD leaf, so the assertions see every join. A
+    // BroadcastNestedLoopJoin is acceptable ONLY when its broadcast side
+    // is explicitly bounded (a Limit — the md5 audit sample / top-k
+    // training sample — or a Filter such as `vec_id < 5` query rows);
+    // an unbounded corpus x corpus nested loop fails here.
+    val joinHeavy = Seq(
+      "q_emb_knn", "q_emb_mmr", "q_emb_cosine_neardup", "q_emb_ivf_ann",
+      "q_emb_pq_ann", "q_emb_ivfpq_ann", "q_emb_lsh_ann",
+      "q_ngram_jaccard", "q_minhash_neardup", "q_banded_minhash",
+      "q_simhash_buckets", "q_fingerprint", "q_decontaminate",
+      "q_asof_join", "q_range_join", "q_salted_join", "q_semi_join",
+      "q_anti_join", "q_full_outer", "q3_top_orders", "q5_nation_revenue")
+    graft.ops.Pin.disabled = true
+    try {
+      joinHeavy.foreach { name =>
+        val plan = planOf(name).queryExecution.executedPlan
+        withClue(s"$name: ") {
+          collect(plan) {
+            case c: org.apache.spark.sql.execution.joins
+              .CartesianProductExec => c
+          } shouldBe empty
+          val nlJoins = collect(plan) {
+            case j: org.apache.spark.sql.execution.joins
+              .BroadcastNestedLoopJoinExec => j
+          }
+          nlJoins.foreach { j =>
+            val build = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+                j.left
+              case _ => j.right
+            }
+            val bounded = build.collect {
+              case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+              case l: org.apache.spark.sql.execution.LocalLimitExec => l
+              case l: org.apache.spark.sql.execution
+                .TakeOrderedAndProjectExec => l
+              case f: org.apache.spark.sql.execution.FilterExec => f
+            }
+            withClue(s"unbounded nested-loop build side:\n$build\n") {
+              bounded should not be empty
+            }
+          }
+        }
+      }
+    } finally { graft.ops.Pin.disabled = false }
+  }
+
   it should "prune partitions on a hive-layout write (no data read " +
     "outside the filtered partition)" in {
     // The 100 TB layout lever the other specs don't cover: a filter on

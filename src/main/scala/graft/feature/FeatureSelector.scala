@@ -1,9 +1,10 @@
 package graft.feature
 
 import org.apache.spark.ml.feature.VectorSlicer
+import org.apache.spark.ml.graft.PersistShim
 import org.apache.spark.ml.linalg.SQLDataTypes.VectorType
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -98,11 +99,18 @@ object FeatureSelector extends DefaultParamsReadable[FeatureSelector]
   * in selection order; `transform` projects the features vector down to the
   * selected indices in ascending order via Spark's own `VectorSlicer`
   * (same delegation as `reference:FeatureSelector.scala:119-162`).
+  *
+  * FULL persistence: `write` saves the params metadata AND the
+  * `selectedFeatures` data (parquet under `data/`), and the companion's
+  * `read`/`load` restores a working model — the reference persists params
+  * only (`reference:FeatureSelector.scala:8,45` — its model cannot be
+  * loaded back at all), which is the first thing a real pipeline user
+  * hits; this exceeds that on purpose.
   */
 class FeatureSelectorModel private[feature](override val uid: String,
                                             val selectedFeatures: Array[Int])
   extends Model[FeatureSelectorModel] with FeatureSelectorParams
-    with DefaultParamsWritable {
+    with MLWritable {
 
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
   def setOutputCol(value: String): this.type = set(outputCol, value)
@@ -127,4 +135,43 @@ class FeatureSelectorModel private[feature](override val uid: String,
   override def copy(extra: ParamMap): FeatureSelectorModel =
     copyValues(new FeatureSelectorModel(uid, selectedFeatures), extra)
       .setParent(parent)
+
+  override def write: MLWriter =
+    new FeatureSelectorModel.FeatureSelectorModelWriter(this)
+}
+
+object FeatureSelectorModel extends MLReadable[FeatureSelectorModel] {
+
+  private[feature] class FeatureSelectorModelWriter(
+      instance: FeatureSelectorModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      PersistShim.saveMetadata(instance, path, sparkSession)
+      val spark = sparkSession
+      import spark.implicits._
+      // one tiny row: the selection order matters, so an array column —
+      // not one row per index — keeps it explicit
+      Seq(Tuple1(instance.selectedFeatures.toSeq))
+        .toDF("selectedFeatures")
+        .repartition(1)
+        .write.parquet(new org.apache.hadoop.fs.Path(path, "data").toString)
+    }
+  }
+
+  private class FeatureSelectorModelReader
+    extends MLReader[FeatureSelectorModel] {
+    override def load(path: String): FeatureSelectorModel = {
+      val dataPath = new org.apache.hadoop.fs.Path(path, "data").toString
+      val selected = sparkSession.read.parquet(dataPath)
+        .select("selectedFeatures").head()
+        .getAs[scala.collection.Seq[Int]](0).toArray
+      PersistShim.loadWithMetadata(path, sparkSession,
+        classOf[FeatureSelectorModel].getName,
+        uid => new FeatureSelectorModel(uid, selected))
+    }
+  }
+
+  override def read: MLReader[FeatureSelectorModel] =
+    new FeatureSelectorModelReader
+
+  override def load(path: String): FeatureSelectorModel = super.load(path)
 }

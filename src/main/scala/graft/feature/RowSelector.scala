@@ -1,9 +1,10 @@
 package graft.feature
 
+import org.apache.spark.ml.graft.PersistShim
 import org.apache.spark.ml.linalg.SQLDataTypes.VectorType
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StructField, StructType}
@@ -109,11 +110,15 @@ object RowSelector extends DefaultParamsReadable[RowSelector]
   * selected set (`outputCol = id IN (selected)`); with `filtered = true`,
   * keeps only the flagged rows. Pure DataFrame ops, same as
   * `reference:RowSelector.scala:198-205`.
+  *
+  * FULL persistence (params metadata + `selectedRows` data), restorable
+  * via the companion's `load` — see [[FeatureSelectorModel]] for why this
+  * deliberately exceeds the reference's params-only save.
   */
 class RowSelectorModel private[feature](override val uid: String,
                                         val selectedRows: Array[Long])
   extends Model[RowSelectorModel] with RowSelectorParams
-    with DefaultParamsWritable {
+    with MLWritable {
 
   def setIdCol(value: String): this.type = set(idCol, value)
   def setOutputCol(value: String): this.type = set(outputCol, value)
@@ -135,4 +140,39 @@ class RowSelectorModel private[feature](override val uid: String,
   override def copy(extra: ParamMap): RowSelectorModel =
     copyValues(new RowSelectorModel(uid, selectedRows), extra)
       .setParent(parent)
+
+  override def write: MLWriter =
+    new RowSelectorModel.RowSelectorModelWriter(this)
+}
+
+object RowSelectorModel extends MLReadable[RowSelectorModel] {
+
+  private[feature] class RowSelectorModelWriter(instance: RowSelectorModel)
+    extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      PersistShim.saveMetadata(instance, path, sparkSession)
+      val spark = sparkSession
+      import spark.implicits._
+      Seq(Tuple1(instance.selectedRows.toSeq))
+        .toDF("selectedRows")
+        .repartition(1)
+        .write.parquet(new org.apache.hadoop.fs.Path(path, "data").toString)
+    }
+  }
+
+  private class RowSelectorModelReader extends MLReader[RowSelectorModel] {
+    override def load(path: String): RowSelectorModel = {
+      val dataPath = new org.apache.hadoop.fs.Path(path, "data").toString
+      val selected = sparkSession.read.parquet(dataPath)
+        .select("selectedRows").head()
+        .getAs[scala.collection.Seq[Long]](0).toArray
+      PersistShim.loadWithMetadata(path, sparkSession,
+        classOf[RowSelectorModel].getName,
+        uid => new RowSelectorModel(uid, selected))
+    }
+  }
+
+  override def read: MLReader[RowSelectorModel] = new RowSelectorModelReader
+
+  override def load(path: String): RowSelectorModel = super.load(path)
 }

@@ -113,4 +113,48 @@ class SelectorStagesSpec extends AnyFunSuite with Matchers
     loaded.getNumTopFeatures shouldBe 7
     loaded.getOutputCol shouldBe "sel"
   }
+
+  test("FeatureSelectorModel full save -> load -> transform round-trip " +
+    "(params AND selectedFeatures data; exceeds the reference's " +
+    "params-only save)") {
+    val df = dataset(7, 100, 6)
+    val model = new FeatureSelector()
+      .setNumTopFeatures(3).setOutputCol("selected")
+      .fit(df)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-ml-write").toString + "/fsm"
+    model.save(tmp)
+    val loaded = FeatureSelectorModel.load(tmp)
+    loaded.uid shouldBe model.uid
+    loaded.selectedFeatures shouldBe model.selectedFeatures
+    loaded.getOutputCol shouldBe "selected"
+    val a = model.transform(df).select("selected").collect().map(_.toString)
+    val b = loaded.transform(df).select("selected").collect().map(_.toString)
+    b shouldBe a
+  }
+
+  test("RowSelectorModel full save -> load -> transform round-trip") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val rows = 60; val cols = 5
+    val labels = Array.fill(rows)(rnd.nextInt(3).toDouble)
+    val m = Array.fill(cols, rows)(rnd.nextInt(4).toDouble)
+    val df = (0 until cols).map(c =>
+      (c.toLong, Vectors.dense(m(c)): Vector)).toDF("id", "features")
+    val model = new RowSelector()
+      .setNumTopRows(2).setIdCol("id").setFeaturesCol("features")
+      .setLabelVector(labels).setOutputCol("keep").setFiltered(true)
+      .fit(df)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-ml-write").toString + "/rsm"
+    model.save(tmp)
+    val loaded = RowSelectorModel.load(tmp)
+    loaded.uid shouldBe model.uid
+    loaded.selectedRows shouldBe model.selectedRows
+    loaded.getFiltered shouldBe true
+    val a = model.transform(df).select("id", "keep").collect().map(_.toString)
+    val b = loaded.transform(df).select("id", "keep").collect()
+      .map(_.toString)
+    b shouldBe a
+  }
 }

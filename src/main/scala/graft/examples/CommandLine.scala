@@ -26,41 +26,111 @@ import scala.io.Source
   */
 object CommandLine {
 
-  private def parseFlags(args: Seq[String]): Map[String, String] =
-    args.grouped(2).collect {
-      case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+  private[examples] val Usage: String =
+    "usage: gen --rows R --cols C [--file F] [--alt-file A --labels L]" +
+      " [--seed S] | select [--num-features N] [--file F]" +
+      " [--alt-file A --labels L]"
 
-  def main(args: Array[String]): Unit = args.toSeq match {
-    case "gen" +: rest => gen(parseFlags(rest))
-    case "select" +: rest => select(parseFlags(rest))
-    case _ =>
-      System.err.println(
-        "usage: gen --rows R --cols C [--file F] [--alt-file A --labels L]" +
-          " [--seed S] | select --num-features N [--file F]" +
-          " [--alt-file A --labels L]")
+  // ---- parsing + validation ----------------------------------------------
+  //
+  // Same rules the reference enforces through scallop
+  // (`reference:CommandLine.scala:239-244`): `--alt-file` and `--labels`
+  // are codependent, at least one of `--file` / `--alt-file` is required,
+  // and numeric options must be positive integers — every violation is a
+  // clean usage message (exit 2), never a MatchError/KeyError stack trace.
+
+  private[examples] sealed trait Cmd
+  private[examples] final case class GenCmd(rows: Int, cols: Int,
+      file: Option[String], alt: Option[(String, String)],
+      seed: Option[Long]) extends Cmd
+  private[examples] final case class SelectCmd(numFeatures: Int,
+      file: Option[String], alt: Option[(String, String)]) extends Cmd
+
+  private def flags(rest: Seq[String],
+                    known: Set[String]): Either[String, Map[String, String]] =
+    rest.grouped(2).foldLeft(
+      Right(Map.empty): Either[String, Map[String, String]]) {
+      case (acc, Seq(k, v)) if k.startsWith("--") =>
+        val name = k.drop(2)
+        acc.flatMap { m =>
+          if (!known(name)) Left(s"unknown option --$name")
+          else if (m.contains(name)) Left(s"duplicate option --$name")
+          else if (v.startsWith("--")) Left(s"option --$name needs a value")
+          else Right(m.updated(name, v))
+        }
+      case (acc, Seq(k, _)) => acc.flatMap(_ => Left(s"expected an option, got '$k'"))
+      case (acc, Seq(k)) =>
+        acc.flatMap(_ =>
+          if (k.startsWith("--")) Left(s"option $k needs a value")
+          else Left(s"unexpected trailing argument '$k'"))
+      case (acc, _) => acc
+    }
+
+  private def posInt(f: Map[String, String], name: String,
+                     default: Option[Int] = None): Either[String, Int] =
+    f.get(name) match {
+      case None => default.toRight(s"--$name is required")
+      case Some(v) =>
+        v.toIntOption.filter(_ > 0)
+          .toRight(s"--$name must be a positive integer, got '$v'")
+    }
+
+  private def altPair(
+      f: Map[String, String]): Either[String, Option[(String, String)]] =
+    (f.get("alt-file"), f.get("labels")) match {
+      case (Some(a), Some(l)) => Right(Some((a, l)))
+      case (None, None) => Right(None)
+      case _ => Left("--alt-file and --labels are codependent " +
+        "(both or neither)")
+    }
+
+  private[examples] def parse(args: Seq[String]): Either[String, Cmd] =
+    args match {
+      case "gen" +: rest =>
+        for {
+          f <- flags(rest,
+            Set("rows", "cols", "file", "alt-file", "labels", "seed"))
+          rows <- posInt(f, "rows")
+          cols <- posInt(f, "cols")
+          alt <- altPair(f)
+          _ <- Either.cond(f.contains("file") || alt.nonEmpty, (),
+            "at least one of --file / --alt-file+--labels is required")
+          seed <- f.get("seed") match {
+            case None => Right(None)
+            case Some(v) => v.toLongOption.map(Some(_))
+              .toRight(s"--seed must be an integer, got '$v'")
+          }
+        } yield GenCmd(rows, cols, f.get("file"), alt, seed)
+      case "select" +: rest =>
+        for {
+          f <- flags(rest,
+            Set("num-features", "file", "alt-file", "labels"))
+          k <- posInt(f, "num-features", default = Some(10))
+          alt <- altPair(f)
+          _ <- Either.cond(f.contains("file") || alt.nonEmpty, (),
+            "at least one of --file / --alt-file+--labels is required")
+        } yield SelectCmd(k, f.get("file"), alt)
+      case cmd +: _ => Left(s"unknown subcommand '$cmd'")
+      case _ => Left("missing subcommand")
+    }
+
+  def main(args: Array[String]): Unit = parse(args.toSeq) match {
+    case Right(g: GenCmd) => gen(g)
+    case Right(s: SelectCmd) => select(s)
+    case Left(err) =>
+      System.err.println(s"error: $err")
+      System.err.println(Usage)
       sys.exit(2)
   }
 
-  private def gen(f: Map[String, String]): Unit = {
-    val alt = (f.get("alt-file"), f.get("labels")) match {
-      case (Some(a), Some(l)) => Some((a, l))
-      case (None, None) => None
-      case _ => sys.error("--alt-file and --labels are codependent")
-    }
-    require(f.contains("file") || alt.nonEmpty,
-      "at least one of --file / --alt-file+--labels is required")
-    Gen.randomMatricesToCsv(f("rows").toInt, f("cols").toInt,
-      f.get("file"), alt, f.get("seed").map(_.toLong))
-  }
+  private def gen(cmd: GenCmd): Unit =
+    Gen.randomMatricesToCsv(cmd.rows, cmd.cols, cmd.file, cmd.alt, cmd.seed)
 
   private def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("inferSchema", "true").csv(path)
 
-  private def select(f: Map[String, String]): Unit = {
-    val k = f.getOrElse("num-features", "10").toInt
-    require(f.contains("file") || f.contains("alt-file"),
-      "at least one of --file / --alt-file+--labels is required")
+  private def select(cmd: SelectCmd): Unit = {
+    val k = cmd.numFeatures
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-cli")
@@ -70,7 +140,7 @@ object CommandLine {
     spark.sparkContext.setLogLevel("WARN")
 
     // conventional: col _c0 is the label, the rest are features
-    val conv = f.get("file").map { path =>
+    val conv = cmd.file.map { path =>
       val df = readCsv(spark, path).withColumnRenamed("_c0", "label")
       val featureCols = df.columns.filter(_ != "label")
       val assembled = new VectorAssembler()
@@ -90,9 +160,7 @@ object CommandLine {
 
     // alternate: one CSV row per feature + a driver-side labels file
     // (read with scala.io.Source, like reference:CommandLine.scala:119-124)
-    val alt = f.get("alt-file").map { path =>
-      val labelsPath = f.getOrElse("labels",
-        sys.error("--alt-file and --labels are codependent"))
+    val alt = cmd.alt.map { case (path, labelsPath) =>
       val src = Source.fromFile(labelsPath)
       val labels =
         try src.mkString.trim.split(",").map(_.trim.toDouble)

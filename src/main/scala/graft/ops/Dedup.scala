@@ -550,6 +550,121 @@ object Dedup {
           col("n_tokens"), 6).as("dup_frac"))
   }
 
+  // ---- substring-level dedup: content-defined chunking -------------------
+
+  /** Per-token content-defined chunk ids — the primitive under
+    * substring-level dedup (the span family's q_dup_span catches FIXED
+    * n-token spans; CDC catches repeated substrings of ANY length).
+    *
+    * Chunking rule, deterministic and engine-reproducible: each token
+    * hashes to the first 8 hex digits of its md5 (an exact 32-bit integer
+    * in any engine); a chunk BOUNDARY falls after token i when the
+    * rolling hash of the 3-token window ending at i
+    * (`th(i−2)·961 + th(i−1)·31 + th(i)`) is ≡ 0 mod `d` — so boundaries
+    * depend only on a 3-token suffix of content, and an edit shifts
+    * boundaries only locally (the CDC property fixed-width shingles lack;
+    * same recipe as content-defined chunking in dedup storage systems,
+    * with the token stream in place of bytes). Mean chunk length ≈ `d`
+    * tokens; documents shorter than 3 tokens form one chunk.
+    *
+    * Everything is Catalyst window/agg expressions (codegen'd, no UDF);
+    * cost is one shuffle by document for the windows — linear, the shape
+    * that survives 100 TB.
+    *
+    * Returns one row per (id, pos, tok, chunk_id).
+    */
+  private def cdcTokens(df: DataFrame, idCol: String, textCol: String,
+                        d: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val th = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val wh = lag(col("th"), 2).over(w) * 961L +
+      lag(col("th"), 1).over(w) * 31L + col("th")
+    df.select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("th", th)
+      .withColumn("boundary",
+        when(wh.isNotNull && wh % d === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id",
+        coalesce(sum(col("boundary")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .select("id", "pos", "tok", "chunk_id")
+  }
+
+  /** Content-defined chunks per document: (id, chunk_id, chunk_text,
+    * n_toks, chash) — `chash` is the md5 of the space-joined chunk text,
+    * the identity used for cross-document matching.
+    */
+  private def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                        d: Int): DataFrame =
+    cdcTokens(df, idCol, textCol, d)
+      .groupBy("id", "chunk_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"),
+          col("tok")))), x => x.getField("tok")), " ").as("chunk_text"),
+        count(lit(1)).as("n_toks"))
+      .withColumn("chash", md5(col("chunk_text")))
+
+  /** Substring-level duplication stats per document: the fraction of each
+    * document's tokens that sit inside a content-defined chunk whose text
+    * also occurs in at least one OTHER document. The variable-length
+    * sibling of [[duplicatedSpanStats]] — a long boilerplate block counts
+    * once however long it is, and chunks shared at any length are caught
+    * without choosing an n.
+    *
+    * Shape: chunking is linear (window functions by doc); shared-chunk
+    * detection is one hash aggregation on `chash` (distinct-doc count ≥
+    * 2) + a join back — no pairwise work anywhere.
+    *
+    * Returns (idCol, n_tokens, n_shared_tokens, cdc_dup_frac) per doc,
+    * `cdc_dup_frac` rounded to 6 decimals.
+    */
+  def cdcSharedChunkStats(df: DataFrame, idCol: String, textCol: String,
+                          d: Int = 8): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, d)
+    val shared = chunks.groupBy("chash")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("chash").as("sh_hash"))
+    chunks
+      .join(shared, col("chash") === col("sh_hash"), "left")
+      .groupBy("id")
+      .agg(sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("sh_hash").isNotNull, col("n_toks")).otherwise(0L))
+          .as("n_shared_tokens"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_shared_tokens"),
+        round(col("n_shared_tokens").cast("double") / col("n_tokens"), 6)
+          .as("cdc_dup_frac"))
+  }
+
+  /** Substring-level dedup REMOVAL: each document's text with its shared
+    * content-defined chunks stripped (token order preserved) — the
+    * cleanup step after [[cdcSharedChunkStats]] flags boilerplate.
+    * Returns (idCol, cleaned_text, n_tokens, n_kept_tokens).
+    */
+  def cdcStripShared(df: DataFrame, idCol: String, textCol: String,
+                     d: Int = 8): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, d)
+    val shared = chunks.groupBy("chash")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("chash").as("sh_hash"))
+    chunks
+      .join(shared, col("chash") === col("sh_hash"), "left")
+      .groupBy("id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("chunk_id"),
+            when(col("sh_hash").isNull, col("chunk_text"))
+              .otherwise(lit(null)).as("kept")))),
+          x => x.getField("kept")), " ").as("cleaned_text"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("sh_hash").isNull, col("n_toks")).otherwise(0L))
+          .as("n_kept_tokens"))
+      .select(col("id").as(idCol), col("cleaned_text"), col("n_tokens"),
+        col("n_kept_tokens"))
+  }
+
   /** 64-bit SimHash of a token array (deterministic: token hash is a
     * 64-bit FNV-1a, bit-vote aggregation). Column-level UDF.
     */

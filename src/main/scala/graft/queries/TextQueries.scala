@@ -494,6 +494,17 @@ object TextQueries {
         .orderBy("lang", "pred")
     },
 
+    // Substring-level dedup (content-defined chunking): per document, the
+    // token fraction inside variable-length chunks whose text recurs in
+    // another document — catches repeated substrings of ANY length where
+    // q_dup_span's fixed n-gram test needs an n. Chunk boundaries come
+    // from a 3-token rolling hash over md5-derived token hashes, so the
+    // oracle reproduces the chunking exactly in SQL.
+    "q_cdc_dedup" -> { (s, dir) =>
+      Dedup.cdcSharedChunkStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Winnowing-fingerprint gate: hash values are engine-specific, so the
     // checkable contract is the collision property the fingerprint is FOR
     // — near-identical documents (Jaccard ≥ 0.9) share their minimal
@@ -649,6 +660,50 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_cdc_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    unnest(range(len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, pos, tok,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th
+        |  FROM tok),
+        |wh AS (
+        |  SELECT doc_id, pos, tok,
+        |    lag(th, 2) OVER w * 961 + lag(th, 1) OVER w * 31 + th AS wh
+        |  FROM th
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |b AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN wh IS NOT NULL AND wh % 8 = 0 THEN 1 ELSE 0 END
+        |      AS boundary
+        |  FROM wh),
+        |c AS (
+        |  SELECT doc_id, pos, tok,
+        |    COALESCE(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM b),
+        |chunks AS (
+        |  SELECT doc_id, chunk_id,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chash,
+        |    count(*) AS n_toks
+        |  FROM c GROUP BY doc_id, chunk_id),
+        |shared AS (
+        |  SELECT chash FROM chunks
+        |  GROUP BY chash HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT ch.doc_id,
+        |  CAST(sum(ch.n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN s.chash IS NOT NULL THEN ch.n_toks ELSE 0 END)
+        |       AS BIGINT) AS n_shared_tokens,
+        |  round(sum(CASE WHEN s.chash IS NOT NULL THEN ch.n_toks ELSE 0 END)
+        |    / CAST(sum(ch.n_toks) AS DOUBLE), 6) AS cdc_dup_frac
+        |FROM chunks ch LEFT JOIN shared s ON ch.chash = s.chash
+        |GROUP BY ch.doc_id
+        |ORDER BY ch.doc_id""".stripMargin,
 
     "q_minhash_neardup" -> truthOracle(0.8, "minhash_recall_ok"),
     "q_banded_minhash" -> truthOracle(0.8, "band_recall_ok"),

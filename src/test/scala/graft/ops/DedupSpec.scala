@@ -215,4 +215,71 @@ class DedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) should be <= 12
     java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) should be > 12
   }
+
+  behavior of "cdcSharedChunkStats"
+
+  it should "cover exact duplicates fully and leave unique docs at zero" in {
+    val out = Dedup.cdcSharedChunkStats(
+      docs((1L, base), (2L, base), (3L, unrelated)), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    out(1L)._3 shouldBe 1.0
+    out(2L)._3 shouldBe 1.0
+    out(3L)._3 shouldBe 0.0
+    out(1L)._1 shouldBe base.split(" ").length.toLong
+  }
+
+  it should "catch a long repeated substring planted mid-document " +
+    "regardless of its length (no fixed n)" in {
+    // 40-token boilerplate block shared by two otherwise-different docs:
+    // CDC must attribute substantial coverage to both, while the purely
+    // unique doc stays at 0.
+    val boiler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d1 = s"alpha beta gamma $boiler delta epsilon"
+    val d2 = s"one two three four five $boiler six seven"
+    val out = Dedup.cdcSharedChunkStats(
+      docs((1L, d1), (2L, d2), (3L, unrelated)), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    out(1L) should be >= 0.5
+    out(2L) should be >= 0.5
+    out(3L) shouldBe 0.0
+  }
+
+  it should "be stable across partitionings" in {
+    val d = docs((1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+    def run(parts: Int) = Dedup.cdcSharedChunkStats(
+        d.repartition(parts), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    run(1) shouldBe run(7)
+  }
+
+  behavior of "cdcStripShared"
+
+  it should "remove exactly the shared chunks and preserve token order" in {
+    val boiler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d1 = s"alpha beta gamma $boiler delta epsilon"
+    val d2 = s"one two three four five $boiler six seven"
+    val d = docs((1L, d1), (2L, d2), (3L, unrelated))
+    val stats = Dedup.cdcSharedChunkStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stripped = Dedup.cdcStripShared(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    stripped.foreach { case (id, (cleaned, nTok, nKept)) =>
+      nKept shouldBe (nTok - stats(id)._2)
+      val kept = if (cleaned.isEmpty) 0 else cleaned.split(" ").length
+      kept.toLong shouldBe nKept
+    }
+    // kept tokens of doc 1 must be a subsequence of the original
+    val keep1 = stripped(1L)._1.split(" ").filter(_.nonEmpty)
+    val orig1 = d1.split(" ")
+    keep1.foldLeft(0) { (from, tok) =>
+      val idx = orig1.indexOf(tok, from)
+      idx should be >= 0
+      idx + 1
+    }
+    // the unique doc is untouched
+    stripped(3L)._1 shouldBe unrelated
+  }
 }

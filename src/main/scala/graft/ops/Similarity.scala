@@ -651,6 +651,16 @@ object Similarity {
     * the cosine threshold on the unit sphere), then an exact re-rank —
     * near-linear candidate generation instead of the quadratic join. Recall
     * vs [[cosineNearDupPairs]] is asserted in SimilaritySpec.
+    *
+    * CONTRAST CAVEAT (measured, BENCH_SF1.md): near-linear holds only
+    * when `minCosine` sits well above the corpus's random-pair
+    * similarity tail. If the threshold is inside the tail (dup:random
+    * per-projection collision ratio ≈ 1), bucket collisions degrade the
+    * candidate join toward all-pairs — 421 s at 20k near-random vectors
+    * with minCosine 0.45 vs linear behavior at production thresholds
+    * (τ ≥ 0.8). That regime is inherent to the problem, not this
+    * implementation; cap the input (audit sample) when the threshold is
+    * weak.
     */
   def cosineNearDupLsh(emb: DataFrame, idCol: String, embCol: String,
                        minCosine: Double, bucketLength: Double = 0.5,

@@ -125,22 +125,29 @@ object EmbeddingQueries {
         .orderBy("label")
     },
 
-    // Embedding-cosine near-duplicate detection (dedup family). The GATE
-    // runs the scale path — random-projection LSH over the FULL corpus,
-    // near-linear candidate generation — and proves it against an exact
-    // truth set computed on a fixed-size md5-ordered audit sample (the
-    // quadratic is bounded at AuditSample² pairs at ANY corpus size; the
-    // unbounded O(n²) form, cosineNearDupPairs, is demoted to spec/audit
-    // duty). Output = the sample's exact pairs + recall_ok: LSH found
-    // ≥80% of them (measured 86–100% across sf0.001/0.01/0.1).
+    // Embedding-cosine near-duplicate detection (dedup family), BOUNDED
+    // at any corpus size: everything runs on a fixed-size md5-ordered
+    // audit sample (deterministic, SQL-expressible), never the unbounded
+    // O(n²) full-corpus join the r3 gate had. Output = the sample's exact
+    // pairs + lsh_recall_ok: the random-projection-LSH path re-finds ≥80%
+    // of them on the same sample (measured 86–100% across sfs).
+    //
+    // Why the LSH is NOT run full-corpus here: this corpus's near-dups
+    // sit at cosine ≈ 0.5 over a random tail reaching 0.45, so at the
+    // 0.45 threshold the dup:random per-projection collision ratio is
+    // ~1.3 — no LSH/ANN family is selective at that contrast (measured:
+    // full-corpus LSH candidates degrade toward all-pairs, 421 s at 20k
+    // vectors) and "all pairs ≥ τ-in-the-noise-tail" is inherently Θ(n²).
+    // At production dedup thresholds (τ ≥ 0.8, where near-dups are truly
+    // near) the full-corpus LSH shape is selective and linear — that
+    // regime is exercised in SimilaritySpec.
     "q_emb_cosine_neardup" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val sample = emb
+      val sample = t(s, dir, "embeddings")
         .orderBy(md5(col("vec_id").cast("string")))
         .limit(AuditSample)
       val truth = Similarity.cosineNearDupPairs(sample, "vec_id",
         "embedding", minCosine = NearDupCosine)
-      val lsh = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding",
+      val lsh = Similarity.cosineNearDupLsh(sample, "vec_id", "embedding",
           minCosine = NearDupCosine)
         .select(col("id_a").as("fa"), col("id_b").as("fb")).distinct()
       val flag = truth

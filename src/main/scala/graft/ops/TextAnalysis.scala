@@ -54,6 +54,23 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Token n-gram shingles WITH duplicates (one entry per position) —
+    * the multiset the repetition-filter statistics need, where
+    * [[shingles]]'s distinct set would erase exactly the signal being
+    * measured. n = 1 degenerates to the token array itself.
+    */
+  def shinglesWithDuplicates(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    if (n == 1) toks
+    else {
+      val cnt = size(toks) - (n - 1)
+      when(cnt >= 1,
+        transform(sequence(lit(1), cnt),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
   /** BPE-ish pre-tokenization pattern (GPT-2 style, merges elided): a
     * token is a letter run, a digit run, or a punctuation run. Counting
     * these pre-token pieces is the standard cheap proxy for "how many BPE

@@ -494,6 +494,39 @@ object TextQueries {
         .orderBy("lang", "pred")
     },
 
+    // Gopher-style repetition filter: per document, the fraction of
+    // token n-gram occurrences taken by the single most frequent n-gram
+    // (n = 1, 2, 3) — the standard "document is one phrase on repeat"
+    // quality signal; a doc is flagged when any fraction crosses its
+    // threshold (0.20 / 0.18 / 0.16, the published Gopher-rule shape).
+    // Pure count arithmetic, so the oracle reproduces it exactly.
+    "q_repetition_filter" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def topFrac(n: Int, out: String): DataFrame =
+        docs.select(col("doc_id"), col("source"),
+            explode(TextAnalysis.shinglesWithDuplicates(col("text"), n))
+              .as("g"))
+          .groupBy("doc_id", "source", "g")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "source")
+          .agg(round(max(col("c")).cast("double") / sum(col("c")), 6)
+            .as(out))
+      topFrac(1, "f1")
+        .join(topFrac(2, "f2"), Seq("doc_id", "source"), "left")
+        .join(topFrac(3, "f3"), Seq("doc_id", "source"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("f1") > 0.20, 1).otherwise(0)).cast("long")
+            .as("n_flag_uni"),
+          sum(when(col("f2") > 0.18, 1).otherwise(0)).cast("long")
+            .as("n_flag_bi"),
+          sum(when(col("f3") > 0.16, 1).otherwise(0)).cast("long")
+            .as("n_flag_tri"),
+          round(sum(col("f1").cast(DecimalType(18, 6))).cast(DoubleType) /
+            count(lit(1)), 6).as("avg_top_unigram_frac"))
+        .orderBy("source")
+    },
+
     // Substring-level dedup (content-defined chunking): per document, the
     // token fraction inside variable-length chunks whose text recurs in
     // another document — catches repeated substrings of ANY length where
@@ -660,6 +693,51 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_repetition_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, source, unnest(t) AS g FROM toks),
+        |g2 AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(len(t), 1)),
+        |      i -> array_to_string(t[i:i+1], ' '))) AS g
+        |  FROM toks),
+        |g3 AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM toks),
+        |f1 AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS f FROM (
+        |    SELECT doc_id, source, g, count(*) AS c FROM g1
+        |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |f2 AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS f FROM (
+        |    SELECT doc_id, source, g, count(*) AS c FROM g2
+        |    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |f3 AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS f FROM (
+        |    SELECT doc_id, source, g, count(*) AS c FROM g3
+        |    GROUP BY 1, 2, 3) GROUP BY 1, 2)
+        |SELECT f1.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN f1.f > 0.20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flag_uni,
+        |  CAST(sum(CASE WHEN f2.f > 0.18 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flag_bi,
+        |  CAST(sum(CASE WHEN f3.f > 0.16 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flag_tri,
+        |  round(CAST(sum(CAST(f1.f AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_top_unigram_frac
+        |FROM f1
+        |LEFT JOIN f2 ON f1.doc_id = f2.doc_id
+        |LEFT JOIN f3 ON f1.doc_id = f3.doc_id
+        |GROUP BY f1.source
+        |ORDER BY f1.source""".stripMargin,
 
     "q_cdc_dedup" ->
       """WITH tok AS (

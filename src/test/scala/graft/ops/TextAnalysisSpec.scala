@@ -66,4 +66,37 @@ class TextAnalysisSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     TextAnalysis.fingerprintOf("a b", 5) shouldBe
       TextAnalysis.rollingHash(Seq("a", "b"))
   }
+
+  behavior of "shinglesWithDuplicates"
+
+  it should "keep every positional n-gram occurrence (multiset, not set)" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("spam spam spam ham").toDF("text")
+    val uni = df.select(TextAnalysis.shinglesWithDuplicates(col("text"), 1))
+      .head().getSeq[String](0)
+    uni shouldBe Seq("spam", "spam", "spam", "ham")
+    val bi = df.select(TextAnalysis.shinglesWithDuplicates(col("text"), 2))
+      .head().getSeq[String](0)
+    bi shouldBe Seq("spam spam", "spam spam", "spam ham")
+    // the distinct variant collapses exactly these duplicates
+    val set = df.select(TextAnalysis.shingles(col("text"), 2))
+      .head().getSeq[String](0)
+    set shouldBe Seq("spam spam", "spam ham")
+  }
+
+  it should "flag a degenerate repeated-phrase doc via top-ngram fraction" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(("rep", ("buy now " * 30).trim), ("ok",
+      (1 to 60).map(i => s"tok$i").mkString(" "))).toDF("id", "text")
+    val frac = df.select(col("id"),
+        explode(TextAnalysis.shinglesWithDuplicates(col("text"), 2)).as("g"))
+      .groupBy("id", "g").count()
+      .groupBy("id")
+      .agg((max("count").cast("double") / sum("count")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    frac("rep") should be > 0.18
+    frac("ok") should be < 0.05
+  }
 }

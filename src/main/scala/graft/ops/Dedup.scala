@@ -42,8 +42,8 @@ object Dedup {
     * is a shuffled hash join/agg — the shape that survives 100 TB.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, n: Int,
-                        minJaccard: Double): DataFrame = {
+                        blockCol: String, n: Int, minJaccard: Double,
+                        prefixFilter: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nPart = spark.sparkContext.defaultParallelism
@@ -67,32 +67,104 @@ object Dedup {
       }
       .toDF("id", "blk", "sz", "g")
       .cache()
+    try {
+      // Both paths are exact (pairwise-equal on random corpora incl.
+      // heavy boilerplate, DedupSpec). Default is the full posting join:
+      // on corpora whose posting lists lack heavy hitters it is strictly
+      // faster (measured 1.6-2.5x at sf0.1 AND at 10x that — the prefix
+      // machinery's freq join + per-doc rank sort + verify joins cost
+      // more than the collisions they avoid). Opt into `prefixFilter`
+      // when a high threshold meets boilerplate-dominated posting lists
+      // (few very popular shingles) — the regime where the full join's
+      // hot keys go quadratic and the prefix bound caps them.
+      if (prefixFilter && minJaccard >= 0.5) prefixFilteredPairs(ex, minJaccard)
+      else fullPostingPairs(ex, minJaccard)
+    } finally { ex.unpersist(); () }
+  }
+
+  /** Full posting-list self-join: every shared shingle becomes a join row.
+    * Right at LOW thresholds, where the prefix filter would keep most of
+    * each set anyway.
+    */
+  private def fullPostingPairs(ex: DataFrame,
+                               minJaccard: Double): DataFrame = {
     val a = ex.select(col("id").as("id_a"), col("blk"), col("sz").as("sz_a"),
       col("g"))
     val b = ex.select(col("id").as("id_b"), col("blk").as("blk_b"),
       col("sz").as("sz_b"), col("g").as("g_b"))
     val inter = col("inter").cast("double")
     val union = (col("sz_a") + col("sz_b")).cast("double") - inter
-    try {
-      // exact length pruning: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t
-      // (|A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|)), so
-      // size-mismatched pairs can be dropped inside the join with zero
-      // false negatives — on skewed corpora this is most of the pairs.
-      // Pruned with a 1e-6 slack because the FINAL filter compares the
-      // 6-decimal ROUNDED jaccard: a pair whose true J sits just under t
-      // but rounds up to t must survive the prune too.
-      val tSlack = minJaccard - 1e-6
-      a.join(b, col("blk") === col("blk_b") && col("g") === col("g_b") &&
+    // exact length pruning: J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t
+    // (|A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|)), so
+    // size-mismatched pairs can be dropped inside the join with zero
+    // false negatives — on skewed corpora this is most of the pairs.
+    // Pruned with a 1e-6 slack because the FINAL filter compares the
+    // 6-decimal ROUNDED jaccard: a pair whose true J sits just under t
+    // but rounds up to t must survive the prune too.
+    val tSlack = minJaccard - 1e-6
+    a.join(b, col("blk") === col("blk_b") && col("g") === col("g_b") &&
+        col("id_a") < col("id_b") &&
+        col("sz_a") >= col("sz_b") * tSlack &&
+        col("sz_b") >= col("sz_a") * tSlack)
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(inter / union, 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+      .transform(Pin.pin) // small: only passing pairs
+  }
+
+  /** Prefix-filtered exact pair generation (the AllPairs/PPJoin principle)
+    * for HIGH thresholds: order every document's shingles by global
+    * rarity (frequency asc, shingle asc — one total order corpus-wide);
+    * a pair with J ≥ t must share a shingle inside BOTH documents'
+    * prefixes of length `|d| − ⌈t·|d|⌉ + 1` (if all shared shingles sat
+    * in a suffix of length ⌈t·|d|⌉ − 1 < ⌈t·|d|⌉ ≤ |A∩B|, the suffix
+    * couldn't hold them), so the candidate join touches only the rarest
+    * ~(1−t) of each posting list — at t = 0.8 that is ~25× less join
+    * volume than the full self-join, and popular boilerplate shingles
+    * (the quadratic hot keys at corpus scale) land OUTSIDE the prefixes.
+    * Survivors are verified with their exact intersection size from the
+    * full (cached) posting lists, so output is IDENTICAL to
+    * [[fullPostingPairs]] (asserted pairwise on random corpora in
+    * DedupSpec).
+    */
+  private def prefixFilteredPairs(ex: DataFrame,
+                                  minJaccard: Double): DataFrame = {
+    val tSlack = minJaccard - 1e-6
+    // global rarity order; ties on the shingle string keep it total
+    val freq = ex.groupBy("g").agg(count(lit(1)).as("fcnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("fcnt"), col("g"))
+    val prefixLen = (col("sz") - ceil(col("sz") * tSlack) + 1).cast("int")
+    val pre = ex.join(freq, "g")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= prefixLen)
+      .select("id", "blk", "sz", "g")
+    // candidates: prefix × prefix on (block, shingle) + length pruning
+    val cands = pre.select(col("id").as("id_a"), col("blk"),
+        col("sz").as("sz_a"), col("g"))
+      .join(pre.select(col("id").as("id_b"), col("blk").as("blk_b"),
+          col("sz").as("sz_b"), col("g").as("g_b")),
+        col("blk") === col("blk_b") && col("g") === col("g_b") &&
           col("id_a") < col("id_b") &&
           col("sz_a") >= col("sz_b") * tSlack &&
           col("sz_b") >= col("sz_a") * tSlack)
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard", round(inter / union, 6))
-        .filter(col("jaccard") >= minJaccard)
-        .select("id_a", "id_b", "jaccard")
-        .transform(Pin.pin) // small: only passing pairs
-    } finally { ex.unpersist(); () }
+      .select("id_a", "id_b", "sz_a", "sz_b").distinct()
+    // exact verify: true intersection size from the full posting lists
+    val inter = col("inter").cast("double")
+    val union = (col("sz_a") + col("sz_b")).cast("double") - inter
+    val pa = ex.select(col("id").as("ja"), col("g").as("ga"))
+    val pb = ex.select(col("id").as("jb"), col("g").as("gb"))
+    cands
+      .join(pa, col("id_a") === col("ja"))
+      .join(pb, col("id_b") === col("jb") && col("ga") === col("gb"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(inter / union, 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+      .transform(Pin.pin) // small: only passing pairs
   }
 
   /** MinHash-LSH near-duplicate candidate pairs at Jaccard distance ≤

@@ -216,6 +216,38 @@ class DedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) should be > 12
   }
 
+  behavior of "ngramJaccardPairs prefix filter"
+
+  it should "produce exactly the full-join pair set on random corpora " +
+    "(AllPairs prefix principle, high thresholds)" in {
+    import spark.implicits._
+    // random docs with planted near-dups and heavy shared boilerplate
+    // (popular shingles are where the prefix filter must not cheat)
+    val rnd = new scala.util.Random(97)
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val rows = (0 until 60).flatMap { i =>
+      val body = (0 until 20).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+      val doc = s"$boiler $body"
+      // every 4th doc gets a near-identical twin
+      if (i % 4 == 0)
+        Seq((i.toLong * 2, doc), (i.toLong * 2 + 1, doc + " tail" + i))
+      else Seq((i.toLong * 2, doc))
+    }
+    val df = rows.toDF("doc_id", "text").withColumn("source",
+      org.apache.spark.sql.functions.lit("s0"))
+    Seq(0.5, 0.7, 0.9).foreach { t =>
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source",
+          3, t, prefixFilter = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      val want = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source",
+          3, t) // default full-join path
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      withClue(s"t=$t: ") { got shouldBe want }
+    }
+  }
+
   behavior of "cdcSharedChunkStats"
 
   it should "cover exact duplicates fully and leave unique docs at zero" in {

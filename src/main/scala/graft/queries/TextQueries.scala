@@ -494,6 +494,28 @@ object TextQueries {
         .orderBy("lang", "pred")
     },
 
+    // Token-budget truncation (context-length capping): clip every
+    // document to its first 48 tokens — the sequence-prep step between
+    // quality filtering and packing. Aggregates per source so the clip
+    // arithmetic (kept vs dropped tokens, how many docs were cut) is
+    // fully hash-checked.
+    "q_doc_truncate" -> { (s, dir) =>
+      val budget = 48
+      val toks = TextAnalysis.tokens(col("text"))
+      val kept = least(size(toks), lit(budget))
+      t(s, dir, "documents")
+        .select(col("source"), size(toks).as("n_tok"), kept.as("n_keep"),
+          concat_ws(" ", slice(toks, 1, budget)).as("clipped"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tok") > budget, 1).otherwise(0)).cast("long")
+            .as("n_truncated"),
+          sum(col("n_tok")).cast("long").as("tokens_in"),
+          sum(col("n_keep")).cast("long").as("tokens_kept"),
+          sum(length(col("clipped"))).cast("long").as("chars_kept"))
+        .orderBy("source")
+    },
+
     // Gopher-style repetition filter: per document, the fraction of
     // token n-gram occurrences taken by the single most frequent n-gram
     // (n = 1, 2, 3) — the standard "document is one phrase on repeat"
@@ -693,6 +715,24 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_doc_truncate" ->
+      """WITH d AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents),
+        |c AS (
+        |  SELECT source, len(t) AS n_tok,
+        |    least(len(t), 48) AS n_keep,
+        |    array_to_string(t[1:48], ' ') AS clipped
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_tok > 48 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_in,
+        |  CAST(sum(n_keep) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(len(clipped)) AS BIGINT) AS chars_kept
+        |FROM c
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_repetition_filter" ->
       """WITH toks AS (

@@ -376,6 +376,29 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Mixture construction by exact QUOTA (vs the rate-based strata
+    // above): each source contributes exactly n_i documents, n_i set by
+    // its mixture weight (src0 weight 3, src1/2 weight 2, rest 1 —
+    // deterministic), members chosen as the n_i smallest md5(doc_id)
+    // within the source. This is how a domain-mixture recipe ("20% code,
+    // 5% wiki, ...") is materialized reproducibly: exact counts, stable
+    // across engines/partitionings/reruns, no RNG.
+    "q_mixture_sample" -> { (s, dir) =>
+      val quota = when(col("source") === "src0", 15)
+        .when(col("source").isin("src1", "src2"), 10)
+        .otherwise(5)
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= quota)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("source")
+    },
+
     // Normalization sweep: lowercase + trim + collapse runs of spaces —
     // the canonicalization pass before hashing/dedup; reports how many
     // docs it changes and the normalized-corpus fingerprint per source.
@@ -715,6 +738,22 @@ object TextQueries {
          |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk,
+        |    CASE WHEN source = 'src0' THEN 15
+        |         WHEN source IN ('src1', 'src2') THEN 10
+        |         ELSE 5 END AS quota
+        |  FROM documents)
+        |SELECT source, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM q WHERE rk <= quota
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_doc_truncate" ->
       """WITH d AS (

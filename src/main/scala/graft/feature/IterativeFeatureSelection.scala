@@ -203,6 +203,64 @@ object IterativeFeatureSelection {
       math.rint(r.getDouble(2) * 1e12) / 1e12).toMap
   }
 
+  /** One distributed job: Pearson chi-square statistic for an arbitrary
+    * list of (cand, other) column pairs (`other == -1` is the label
+    * column) — the classic univariate alternative to MI relevance
+    * (sklearn's chi2 / SelectKBest shape). Same physical plan as
+    * [[pairMIMulti]]: broadcast pair table → explode → partial
+    * hash-aggregate of distinct tuples → window marginals → one fold per
+    * pair; the driver receives |pairs| scalars, never a contingency
+    * matrix, so the 100 TB contract is identical.
+    *
+    * @return per pair: (chi2, distinct levels of cand, distinct levels of
+    *         other, total count n) — enough for the caller to derive
+    *         degrees of freedom `(lx−1)(ly−1)` and Cramér's V
+    *         `sqrt(chi2 / (n · min(lx−1, ly−1)))` without another job.
+    */
+  private[graft] def pairChi2Multi(data: DataFrame, pairs: Seq[(Int, Int)],
+                                   maxCategories: Int)
+  : Map[(Int, Int), (Double, Long, Long, Long)] = {
+    require(pairs.nonEmpty, "pairs must be non-empty")
+    val par = data.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (data.rdd.getNumPartitions < par) data.repartition(par) else data
+    import src.sparkSession.implicits._
+    val pairsDf = pairs.toDF("cand", "other")
+    val counts = src
+      .crossJoin(broadcast(pairsDf))
+      .select(col("cand"), col("other"),
+        element_at(col("f"), col("cand") + 1).as("cv"),
+        when(col("other") < 0, col("label"))
+          .otherwise(element_at(col("f"), col("other") + 1)).as("ov"))
+      .groupBy("cand", "other", "cv", "ov")
+      .agg(count(lit(1)).as("c"))
+    val n = sum("c").over(Window.partitionBy("cand", "other"))
+    val cx = sum("c").over(Window.partitionBy("cand", "other", "cv"))
+    val cy = sum("c").over(Window.partitionBy("cand", "other", "ov"))
+    val chi = counts
+      .select(col("cand"), col("other"), col("cv"), col("ov"), col("c"),
+        n.as("n"), cx.as("cx"), cy.as("cy"))
+      .withColumn("e", col("cx") * col("cy") / col("n"))
+      .groupBy("cand", "other")
+      .agg(
+        sum((col("c") - col("e")) * (col("c") - col("e")) / col("e"))
+          .as("chi2"),
+        count_distinct(col("cv")).as("lx"),
+        count_distinct(col("ov")).as("ly"),
+        max(col("n")).cast(LongType).as("n"))
+      .collect()
+    chi.foreach { r =>
+      val levels = r.getLong(3)
+      if (levels > maxCategories) throw new IllegalArgumentException(
+        s"column ${r.getInt(0)} has $levels distinct values, " +
+          s"more than maxCategories = $maxCategories")
+    }
+    // Same 12-decimal stabilization rationale as pairMIMulti.
+    chi.map(r => (r.getInt(0), r.getInt(1)) ->
+      ((math.rint(r.getDouble(2) * 1e12) / 1e12,
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+  }
+
   /** Alternate encoding: features are rows, instances are columns. Each
     * record is (featureId, valueVector); per-instance class labels arrive as
     * a driver-side vector (`labelsRow`), broadcast to executors.

@@ -191,6 +191,23 @@ object IfsQueries {
         .orderBy("l_linestatus")
     },
 
+    // Chi-square relevance — the classic univariate alternative to MI
+    // (sklearn SelectKBest/chi2 shape), from the same one-job counting
+    // machinery: per feature vs label, the Pearson chi2 statistic, its
+    // degrees of freedom, and Cramér's V effect size.
+    "ifs_chi2_relevance" -> { (s, dir) =>
+      import s.implicits._
+      val res = IterativeFeatureSelection.pairChi2Multi(
+        matrix(s, dir).select("label", "f"), featureDefs.indices.map(i => (i, -1)),
+        IterativeFeatureSelection.DefaultMaxCategories)
+      res.toSeq.map { case ((i, _), (chi2, lx, ly, n)) =>
+        val dof = (lx - 1) * (ly - 1)
+        val v = math.sqrt(chi2 / (n.toDouble * math.min(lx - 1, ly - 1)))
+        (featureNames(i), math.rint(chi2 * 1e6) / 1e6, dof,
+          math.rint(v * 1e6) / 1e6)
+      }.toDF("feature", "chi2", "dof", "cramers_v").orderBy("feature")
+    },
+
     // O1/O3/O6/O8: greedy mRMR selection, conventional encoding.
     "ifs_select_topk" -> { (s, dir) =>
       import s.implicits._
@@ -331,6 +348,25 @@ object IfsQueries {
          |          FROM lineitem GROUP BY 1, 2, 3))
          |  GROUP BY l_linestatus)
          |ORDER BY l_linestatus""".stripMargin,
+
+    "ifs_chi2_relevance" ->
+      (featureDefs.map { case (nm, _, d) =>
+        s"""SELECT '$nm' AS feature, round(chi2, 6) AS chi2,
+           |  CAST((rx - 1) * (ry - 1) AS BIGINT) AS dof,
+           |  round(sqrt(chi2 / (n * least(rx - 1, ry - 1))), 6) AS cramers_v
+           |FROM (
+           |  SELECT
+           |    (SELECT sum((c - cx * cy / n) * (c - cx * cy / n) / (cx * cy / n))
+           |     FROM (SELECT c, sum(c) OVER () AS n,
+           |                  sum(c) OVER (PARTITION BY x) AS cx,
+           |                  sum(c) OVER (PARTITION BY y) AS cy
+           |           FROM (SELECT $d AS x, $labelDuck AS y,
+           |                        CAST(count(*) AS DOUBLE) AS c
+           |                 FROM lineitem GROUP BY 1, 2))) AS chi2,
+           |    (SELECT count(DISTINCT $d) FROM lineitem) AS rx,
+           |    (SELECT count(DISTINCT $labelDuck) FROM lineitem) AS ry,
+           |    (SELECT CAST(count(*) AS DOUBLE) FROM lineitem) AS n)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY feature")),
 
     "ifs_select_topk" -> greedySelectionSql,
     "ifs_select_rows" -> greedySelectionSql,

@@ -158,6 +158,31 @@ class IterativeFeatureSelectionSpec extends AnyFunSuite with Matchers
       .sortBy { case (c, s) => (s, c) }.head._1
   }
 
+  test("pairChi2Multi matches a naive driver-side chi-square") {
+    val (labels, m) = randomMatrix(seed = 17, rows = 150, cols = 5)
+    import spark.implicits._
+    val df = m.zip(labels).toSeq
+      .map { case (row, l) => (l, row) }.toDF("label", "f")
+    val got = IterativeFeatureSelection.pairChi2Multi(
+      df, (0 until 5).map(c => (c, -1)), maxCategories = 10000)
+    (0 until 5).foreach { c =>
+      val x = m.map(_(c))
+      val n = x.length.toDouble
+      val cells = x.zip(labels).groupBy(identity).view.mapValues(_.length.toDouble)
+      val cx = x.groupBy(identity).view.mapValues(_.length.toDouble)
+      val cy = labels.groupBy(identity).view.mapValues(_.length.toDouble)
+      val chi2 = cells.map { case ((xv, yv), cnt) =>
+        val e = cx(xv) * cy(yv) / n
+        (cnt - e) * (cnt - e) / e
+      }.sum
+      val (g, lx, ly, gn) = got((c, -1))
+      g shouldBe chi2 +- 1e-6
+      lx shouldBe cx.size.toLong
+      ly shouldBe cy.size.toLong
+      gn shouldBe x.length.toLong
+    }
+  }
+
   test("maxCategories guard rejects high-cardinality columns") {
     import spark.implicits._
     val df = (0 until 50).map(i => (i % 2, Vectors.dense(i.toDouble)))

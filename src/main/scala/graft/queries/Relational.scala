@@ -120,6 +120,53 @@ object Relational {
         .orderBy("o_custkey", "od_us", "o_orderkey")
     },
 
+    // Entity-resolution near-dup: blocked edit-distance join. Classic
+    // blocking (equi-join on (brand, size) — bounded block sizes, never
+    // all-pairs) then a Levenshtein verify on the survivors, using
+    // Spark's banded threshold variant (O(len·k) per pair instead of
+    // O(len²), early-exit above the bound). Cost is Σ block², controlled
+    // by the blocking key — the standard record-linkage scale shape.
+    "q_blocked_editdist" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+      val a = p.select(col("p_partkey").as("id_a"), col("p_brand"),
+        col("p_size"), col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("id_b"),
+        col("p_brand").as("brand_b"), col("p_size").as("size_b"),
+        col("p_name").as("name_b"))
+      a.join(b, col("p_brand") === col("brand_b") &&
+          col("p_size") === col("size_b") && col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 4))
+        .filter(col("dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // RANGE-frame window (value-range frame over day numbers, vs
+    // q_running_total's ROWS frame): per order priority, the rolling
+    // 7-day revenue — frame membership is by day distance, so gap days
+    // are handled correctly (a ROWS frame would silently span gaps).
+    // Daily pre-aggregation bounds the window input to days × priorities
+    // rows regardless of order count — the 100 TB shape.
+    "q_rolling_revenue" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("day"))
+        // decimal through the WINDOW sum too (dsum casts back to double,
+        // which would re-introduce order-dependent drift in rev7)
+        .agg(sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("rev"))
+        .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+      val w = Window.partitionBy("pri").orderBy("day_num")
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("rev7", sum(col("rev")).over(w).cast("double"))
+        .filter(col("day_num") % 7 === 0)
+        .select(col("pri"),
+          unix_micros(col("day").cast("timestamp")).as("day_us"),
+          col("rev").cast("double").as("rev"), col("rev7"))
+        .orderBy("pri", "day_us")
+    },
+
     // GROUPING SETS distinct from ROLLUP/CUBE: exactly two groupings —
     // by (returnflag, linestatus) and by (linestatus) alone.
     "q_grouping_sets" -> { (s, dir) =>
@@ -500,6 +547,29 @@ object Relational {
         |FROM orders
         |WHERE o_custkey % 100 = 0
         |ORDER BY o_custkey, od_us, o_orderkey""".stripMargin,
+
+    "q_blocked_editdist" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_rolling_revenue" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS pri, o_orderdate AS day,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS day_num,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT pri, epoch_us(CAST(day AS TIMESTAMP)) AS day_us,
+        |  CAST(rev AS DOUBLE) AS rev,
+        |  CAST(SUM(rev) OVER (PARTITION BY pri ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev7
+        |FROM d
+        |QUALIFY day_num % 7 = 0
+        |ORDER BY pri, day_us""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

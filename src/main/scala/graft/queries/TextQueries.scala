@@ -128,6 +128,63 @@ object TextQueries {
         .limit(15)
     },
 
+    // Heavy hitters with a Count-Min sketch error contract: the exact
+    // top-15 tokens (plain aggregation — the oracle side), plus two
+    // booleans proving the CMS estimate obeys its guarantees on every
+    // heavy hitter: est ≥ exact (always, by construction) and
+    // est ≤ exact + eps·N (the probabilistic bound, deterministic here
+    // under a fixed seed — CMS cells are sums, so the merged sketch is
+    // independent of partition order). The sketch itself is fixed-size
+    // (depth × ceil(2/eps) longs) and mergeable — the one-pass build is
+    // the 100 TB path; only 15 (token, count) rows and one sketch ever
+    // reach the driver.
+    "q_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt")).cache()
+      try {
+        val total = exact.agg(sum("cnt")).head().getLong(0)
+        val top = exact.orderBy(col("cnt").desc, col("token")).limit(15)
+          .as[(String, Long)].collect()
+        val eps = 0.005
+        val cms = toks.stat.countMinSketch("token", eps, 0.99, 42)
+        top.toSeq.map { case (tok, cnt) =>
+          val est = cms.estimateCount(tok)
+          (tok, cnt, est >= cnt, est <= cnt + (eps * total).toLong)
+        }.toDF("token", "cnt", "cms_ge_exact", "cms_le_bound")
+          .orderBy(col("cnt").desc, col("token"))
+      } finally { exact.unpersist(); () }
+    },
+
+    // Distribution-drift detection: per-source Jensen-Shannon divergence
+    // between the source's unigram token distribution and the whole
+    // corpus's (the standard domain-shift statistic for training-data
+    // mixes). All shuffles are keyed aggregations; the per-(source,
+    // vocab-term) expansion is sources × vocabulary — the bounded shape
+    // (never per-document) that survives corpus scale.
+    "q_js_divergence" -> { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text")))
+          .as("token"))
+      val src = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val sTot = src.groupBy("source").agg(sum("c").as("sn"))
+      val glob = tok.groupBy("token").agg(count(lit(1)).as("g"))
+      val gn = glob.agg(sum("g")).head().getLong(0).toDouble
+      sTot.crossJoin(glob)
+        .join(src, Seq("source", "token"), "left")
+        .withColumn("p",
+          coalesce(col("c"), lit(0L)).cast("double") / col("sn"))
+        .withColumn("q", col("g").cast("double") / lit(gn))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("term",
+          when(col("p") > 0, col("p") * log(col("p") / col("m")) * 0.5)
+            .otherwise(lit(0.0)) +
+            col("q") * log(col("q") / col("m")) * 0.5)
+        .groupBy("source").agg(round(sum("term"), 6).as("js"))
+        .orderBy("source")
+    },
+
     // Quality scoring per source: docs, good docs, exact-summed score.
     "q_quality_score" -> { (s, dir) =>
       val toks = TextAnalysis.tokenCount(col("text")).cast("double")
@@ -684,6 +741,39 @@ object TextQueries {
         |GROUP BY token
         |ORDER BY cnt DESC, token
         |LIMIT 15""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT token, count(*) AS cnt,
+        |  TRUE AS cms_ge_exact, TRUE AS cms_le_bound
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 15""".stripMargin,
+
+    "q_js_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |src AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS c
+        |        FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, sum(c) AS sn FROM src GROUP BY 1),
+        |gl AS (SELECT token, CAST(count(*) AS DOUBLE) AS g
+        |       FROM tok GROUP BY 1),
+        |gt AS (SELECT CAST(count(*) AS DOUBLE) AS gn FROM tok)
+        |SELECT source, round(sum(term), 6) AS js FROM (
+        |  SELECT st.source,
+        |    CASE WHEN src.c IS NULL THEN 0
+        |         ELSE (src.c / st.sn) *
+        |              ln((src.c / st.sn) /
+        |                 ((src.c / st.sn + gl.g / gt.gn) / 2)) * 0.5 END +
+        |    (gl.g / gt.gn) *
+        |      ln((gl.g / gt.gn) /
+        |         ((COALESCE(src.c, 0) / st.sn + gl.g / gt.gn) / 2)) * 0.5
+        |      AS term
+        |  FROM st CROSS JOIN gl CROSS JOIN gt
+        |  LEFT JOIN src ON src.source = st.source AND src.token = gl.token)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_quality_score" ->
       s"""WITH d AS (

@@ -232,6 +232,40 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Streaming SESSION windows: the native session_window operator in
+    // append mode with a zero-lateness watermark — sessions emit exactly
+    // when the watermark passes their end, so the final emitted set is
+    // every session whose (last event + gap) precedes the stream's max
+    // event time; the last open session per user stays in state and is
+    // NOT emitted. The oracle reproduces this emission rule relationally
+    // (lag-gap sessionization + the watermark cutoff), making the
+    // append-mode semantics themselves the checked contract — the
+    // complement of q_session_window's batch check, one shared
+    // Sessionize definition for both modes.
+    "q_stream_session" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sessions = graft.streaming.Sessionize.sessionStream(
+        stream, "30 minutes", "0 seconds")
+      val name = "q_stream_session_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        val q = graft.streaming.Sessionize.writer(sessions)
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"))
+        .orderBy("user_id")
+    },
+
     // Streaming SLIDING event-time windows (2h width, 1h slide — each
     // event lands in exactly two windows), complete mode.
     "q_stream_sliding" -> { (s, dir) =>
@@ -475,6 +509,23 @@ object EventQueries {
   def oracles: Map[String, String] = Map(
     "q_sessionize" -> sessionizeSql,
     "q_session_window" -> sessionizeSql,
+
+    "q_stream_session" ->
+      s"""WITH s AS (
+         |  SELECT user_id, sid, count(*) AS n_ev, max(us) AS last_us
+         |  FROM (
+         |    SELECT user_id, us,
+         |      sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS sid
+         |    FROM ($breaksSql))
+         |  GROUP BY user_id, sid)
+         |SELECT user_id, count(*) AS n_sessions,
+         |  CAST(sum(n_ev) AS BIGINT) AS n_events
+         |FROM s
+         |WHERE last_us + $GapUs <=
+         |  (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin,
 
     "q_hll_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): partition the embedding space into clusters, then
+  * prune near-duplicate pairs only WITHIN each cluster. The cluster step
+  * is what makes embedding-level dedup tractable at corpus scale — the
+  * quadratic verification is bounded to cluster-sized blocks instead of
+  * the full corpus, and each block is an independent shuffle partition.
+  *
+  * The gate-facing entry point uses a FIXED centroid set (the unit
+  * vectors with id < k) so a relational oracle can reproduce the cluster
+  * assignment exactly. The production path at 100 TB swaps in the
+  * driver-trained spherical-KMeans quantizer from [[Similarity]] with
+  * k ≈ √n — assignment and the within-cluster join below are identical;
+  * only where the centroids come from changes.
+  *
+  * Scale shape: centroids ride as a broadcast table (k rows), assignment
+  * is a map-side argmax collapsed by partial aggregation (one narrow row
+  * per vector reaches the shuffle), and the pair join is an equi-join on
+  * the cluster id — never an unbounded cross product.
+  */
+object SemanticDedup {
+
+  /** Cluster assignment for every vector: (vid, cluster) where cluster is
+    * the centroid id with the highest 6-decimal-rounded cosine; ties break
+    * on the lowest centroid id. `centroids` must be (cid, cu) unit
+    * vectors, small enough to broadcast.
+    */
+  private[graft] def assign(u: DataFrame, centroids: DataFrame): DataFrame =
+    u.crossJoin(broadcast(centroids))
+      // 1 - sim (not -sim) keeps the sort key non-negative, dodging any
+      // -0.0-vs-0.0 ordering question; monotone because rounded sims
+      // differ by >= 1e-6 >> ulp(1).
+      .select(col("vid"),
+        struct((lit(1.0) - round(Similarity.dot(col("u"), col("cu")), 6))
+          .as("ns"), col("cid")).as("sk"))
+      .groupBy("vid")
+      .agg(min(col("sk")).as("m"))
+      .select(col("vid"), col("m.cid").as("cluster"))
+
+  /** Per-cluster dedup stats over `emb`: one row per cluster with the
+    * member count and how many members a semantic dedup pass would drop.
+    * Drop rule (the same pairwise keep-lowest-id contract as the other
+    * near-dup ops here): a vector is dropped iff some LOWER-id vector in
+    * the same cluster has cosine ≥ `threshold` with it.
+    */
+  def semanticDedupStats(emb: DataFrame, idCol: String, embCol: String,
+                         k: Int, threshold: Double): DataFrame = {
+    val u = Similarity.unitVectors(emb, idCol, embCol, "vid", "u")
+    val centroids = u.filter(col("vid") < k)
+      .select(col("vid").as("cid"), col("u").as("cu"))
+    val uu = u.join(assign(u, centroids), "vid")
+    val left = uu.select(col("cluster"), col("vid").as("id_a"),
+      col("u").as("ua"))
+    val right = uu.select(col("cluster"), col("vid").as("id_b"),
+      col("u").as("ub"))
+    val dropped = left.join(right, "cluster")
+      .where(col("id_a") < col("id_b") &&
+        round(Similarity.dot(col("ua"), col("ub")), 6) >= threshold)
+      .select(col("id_b").as("vid")).distinct()
+      .withColumn("dup", lit(1))
+    uu.join(dropped, Seq("vid"), "left")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("dup")).cast("long").as("n_dropped"))
+      .orderBy("cluster")
+  }
+}

@@ -22,6 +22,7 @@ object EmbeddingQueries {
   private val K = 5
   private val NQueries = 5
   private val NearDupCosine = 0.45
+  private val SemClusters = 16
 
   /** Fixed-size deterministic audit sample for the exact near-dup truth:
     * the `AuditSample` vectors with the smallest md5(vec_id) — the same
@@ -160,6 +161,18 @@ object EmbeddingQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // SemDeDup semantic dedup (cluster → prune within cluster): per-
+    // cluster member counts and how many a keep-lowest-id pass at the
+    // near-dup threshold drops. Centroids are FIXED (unit vectors with
+    // id < SemClusters) so the oracle reproduces assignment relationally;
+    // at 100 TB the driver-trained spherical-KMeans quantizer (k ≈ √n)
+    // slots in and the within-cluster equi-join — the part that bounds
+    // the quadratic — is unchanged.
+    "q_semantic_dedup" -> { (s, dir) =>
+      graft.ops.SemanticDedup.semanticDedupStats(t(s, dir, "embeddings"),
+        "vec_id", "embedding", SemClusters, NearDupCosine)
+    },
+
     // MMR diverse top-3 out of the 10 nearest candidates (λ = 0.7): the
     // de-redundancy selection a training-data sampler runs where plain
     // top-k returns near-copies. Oracle unrolls the 3 greedy rounds as
@@ -283,6 +296,39 @@ object EmbeddingQueries {
          |WHERE a.vec_id < b.vec_id
          |  AND round(list_dot_product(a.u, b.u), 6) >= $NearDupCosine
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_semantic_dedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |u AS (
+         |  SELECT vec_id,
+         |    list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+         |  FROM e),
+         |c AS (SELECT vec_id AS cid, u AS cu FROM u
+         |      WHERE vec_id < $SemClusters),
+         |p AS (
+         |  SELECT u.vec_id, c.cid,
+         |    round(list_dot_product(u.u, c.cu), 6) AS sim
+         |  FROM u, c),
+         |r AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY sim DESC, cid) AS rnk
+         |  FROM p),
+         |asg AS (SELECT vec_id, cid AS cluster FROM r WHERE rnk = 1),
+         |uu AS (
+         |  SELECT a.cluster, u.vec_id, u.u
+         |  FROM u JOIN asg a ON u.vec_id = a.vec_id),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM uu a JOIN uu b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.u, b.u), 6) >= $NearDupCosine)
+         |SELECT uu.cluster, count(*) AS n_vecs,
+         |  CAST(count(d.vec_id) AS BIGINT) AS n_dropped
+         |FROM uu LEFT JOIN dup d ON uu.vec_id = d.vec_id
+         |GROUP BY uu.cluster
+         |ORDER BY uu.cluster""".stripMargin,
 
     "q_emb_ivf_ann" -> knnOracle("recall_ok"),
     "q_emb_pq_ann" -> knnOracle("recall_ok"),

@@ -92,6 +92,7 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
     val joinHeavy = Seq(
       "q_emb_knn", "q_emb_mmr", "q_emb_cosine_neardup", "q_emb_ivf_ann",
       "q_emb_pq_ann", "q_emb_ivfpq_ann", "q_emb_lsh_ann",
+      "q_semantic_dedup",
       "q_ngram_jaccard", "q_minhash_neardup", "q_banded_minhash",
       "q_simhash_buckets", "q_fingerprint", "q_decontaminate",
       "q_asof_join", "q_range_join", "q_salted_join", "q_semi_join",

@@ -27,6 +27,27 @@ object TextAnalysis {
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text)))
 
+  /** PII patterns, deliberately restricted to the regex dialect common to
+    * Java (Spark) and RE2 (DuckDB, Go scrubbers): no lookarounds, no
+    * backreferences — so one pattern string drives both the engine and
+    * the oracle. Redaction is a chain of global regexp_replace calls
+    * (left-to-right, email → phone → IPv4), pure codegen'd string ops.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Replaces emails, +1-NNN-NNNN phone numbers, and IPv4 addresses with
+    * typed placeholder tags. Email runs first so an address's domain dots
+    * can never be half-eaten by the IPv4 pass.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   /** Composite quality score in [0,1]:
     * 0.4·min(tokens/100, 1) + 0.3·(1 − stopwordRatio) + 0.3·distinctRatio.
     * Pure integer-derived arithmetic → bit-identical across engines.

@@ -249,6 +249,31 @@ object IfsQueries {
         .select(col("id"), col("selected"))
         .orderBy("id")
     },
+
+    // Continuous-feature path: the reference consumes pre-discretized
+    // integer matrices; this gate runs the discretization itself —
+    // equal-width-bin events.value (10 bins over exact min/max), then
+    // MI(bin, event_type) from the exact contingency. Per-bin counts +
+    // the single MI as a constant column. The (bin × event_type) count
+    // collect is bounded by 10 × |event types| regardless of corpus size,
+    // and the triples are sorted before summation so the driver-side MI
+    // is partition-order independent.
+    "ifs_bin_mi" -> { (s, dir) =>
+      import s.implicits._
+      val binned = graft.ops.Discretize.equalWidthAuto(
+        Q.events(s, dir).select(col("value"), col("event_type")),
+        "value", "bin", 10)
+      val triples = binned.groupBy("bin", "event_type").count()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      val mi = math.rint(graft.stats.MutualInformation
+        .fromPairCounts(triples) * 1e6) / 1e6
+      triples.groupBy(_._1).view
+        .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+        .toDF("bin", "n")
+        .withColumn("mi", lit(mi))
+        .orderBy("bin")
+    },
   )
 
   // ---------------------------------------------------------------- oracle
@@ -380,5 +405,27 @@ object IfsQueries {
          |FROM (VALUES $values) AS v(id, fname)
          |ORDER BY id""".stripMargin
     },
+
+    "ifs_bin_mi" ->
+      """WITH lims AS (SELECT min(value) AS lo, max(value) AS hi
+        |              FROM events),
+        |b AS (
+        |  SELECT CAST(greatest(least(
+        |      floor((value - lo) / ((hi - lo) / 10)), 9), 0) AS BIGINT)
+        |    AS bin, event_type AS et
+        |  FROM events, lims),
+        |ct AS (
+        |  SELECT bin, et, CAST(count(*) AS DOUBLE) AS c
+        |  FROM b GROUP BY 1, 2),
+        |w AS (
+        |  SELECT bin, et, c, sum(c) OVER () AS n,
+        |         sum(c) OVER (PARTITION BY bin) AS cb,
+        |         sum(c) OVER (PARTITION BY et) AS ce
+        |  FROM ct),
+        |m AS (SELECT sum((c / n) * ln((c * n) / (cb * ce))) AS mi FROM w)
+        |SELECT bin, CAST(sum(c) AS BIGINT) AS n,
+        |       round((SELECT mi FROM m), 6) AS mi
+        |FROM w GROUP BY bin
+        |ORDER BY bin""".stripMargin,
   )
 }

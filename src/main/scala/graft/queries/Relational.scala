@@ -26,6 +26,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pairwise Pearson correlation matrix over lineitem's numeric
+    // columns — all 6 pairs from ONE aggregation pass of exact decimal
+    // moment sums (native corr() is partition-order dependent in any
+    // engine; see graft.stats.Correlation).
+    "q_corr_matrix" -> { (s, dir) =>
+      graft.stats.Correlation.pairwiseCorr(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+
     // TPC-H Q1: pricing summary report.
     "q1_pricing_summary" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -471,6 +480,10 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_corr_matrix" -> graft.stats.Correlation.pairwiseCorrSql(
+      "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")),
+
     "q_approx_quantiles" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,

@@ -471,6 +471,34 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // PII scrubbing (the privacy pass every training-data pipeline runs
+    // before publication). The synthetic corpus carries no organic PII,
+    // so the gate plants deterministic fixtures — doc_id-derived emails /
+    // phones / IPv4s appended per modular rules BOTH engines compute
+    // identically — then counts matches and hashes the redacted text.
+    // Patterns live in TextAnalysis (Java∩RE2 dialect); Spark
+    // regexp_replace is global by default, the oracle passes 'g'.
+    "q_pii_scrub" -> { (s, dir) =>
+      import graft.ops.TextAnalysis._
+      val id = col("doc_id")
+      val aug = concat(col("text"),
+        when(id % 3 =!= 0, concat(lit(" reach u"), id.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(id % 4 === 0, concat(lit(" call +1-555-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" from 10.0."),
+          (id % 256).cast("string"), lit(".7"))).otherwise(lit("")))
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .withColumn("aug", aug)
+        .select(col("doc_id"),
+          regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_email"),
+          regexp_count(col("aug"), lit(PhoneRe)).cast("long").as("n_phone"),
+          regexp_count(col("aug"), lit(Ipv4Re)).cast("long").as("n_ip"),
+          md5(redactPii(col("aug"))).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+
     // Multimodal "resize": stride-downsample each blob to 64 bytes
     // (graft.ops.Multimodal.resizeStub — typed map plumbing; the byte
     // geometry is pure arithmetic, so the oracle reconstructs the exact
@@ -700,6 +728,37 @@ object TextQueries {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      s"""WITH a AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 <> 0
+         |         THEN ' reach u' || CAST(doc_id AS VARCHAR) ||
+         |              '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0
+         |         THEN ' call +1-555-' ||
+         |              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |              '.7' ELSE '' END AS aug
+         |  FROM documents WHERE doc_id < 50)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT)
+         |    AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '$phone')) AS BIGINT)
+         |    AS n_phone,
+         |  CAST(len(regexp_extract_all(aug, '$ip')) AS BIGINT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g'),
+         |    '$ip', '<IP>', 'g')) AS scrub_md5
+         |FROM a
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_media_resize" ->
       """WITH d AS (

@@ -99,4 +99,24 @@ class TextAnalysisSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     frac("rep") should be > 0.18
     frac("ok") should be < 0.05
   }
+
+  it should "redact emails, phones, and IPv4s with typed tags" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      "mail a.b+c@sub.example.org or x@y.io now",
+      "call +1-555-0147 twice",
+      "host 10.0.255.7 and 192.168.1.1 up",
+      "version 1.2 is not an ip, nor is 1.2.3",
+      "no pii here"
+    ).toDF("text")
+    val out = df.select(TextAnalysis.redactPii(col("text")))
+      .collect().map(_.getString(0))
+    out shouldBe Array(
+      "mail <EMAIL> or <EMAIL> now",
+      "call <PHONE> twice",
+      "host <IP> and <IP> up",
+      "version 1.2 is not an ip, nor is 1.2.3",
+      "no pii here")
+  }
 }

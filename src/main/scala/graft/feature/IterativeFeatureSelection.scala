@@ -237,14 +237,18 @@ object IterativeFeatureSelection {
     val n = sum("c").over(Window.partitionBy("cand", "other"))
     val cx = sum("c").over(Window.partitionBy("cand", "other", "cv"))
     val cy = sum("c").over(Window.partitionBy("cand", "other", "ov"))
+    // chi2 via the identity n·Σ_obs(c²/(cx·cy)) − n, which equals the
+    // Pearson statistic INCLUDING the expected-count mass of zero-count
+    // (absent) cells — summing (c−e)²/e over observed cells only would
+    // understate chi2 whenever the contingency table is sparse.
     val chi = counts
-      .select(col("cand"), col("other"), col("cv"), col("ov"), col("c"),
-        n.as("n"), cx.as("cx"), cy.as("cy"))
-      .withColumn("e", col("cx") * col("cy") / col("n"))
+      .select(col("cand"), col("other"), col("cv"), col("ov"),
+        col("c").cast("double").as("c"),
+        n.as("n"), cx.cast("double").as("cx"), cy.cast("double").as("cy"))
       .groupBy("cand", "other")
       .agg(
-        sum((col("c") - col("e")) * (col("c") - col("e")) / col("e"))
-          .as("chi2"),
+        (max(col("n")) * sum(col("c") * col("c") / (col("cx") * col("cy")))
+          - max(col("n"))).as("chi2"),
         count_distinct(col("cv")).as("lx"),
         count_distinct(col("ov")).as("ly"),
         max(col("n")).cast(LongType).as("n"))

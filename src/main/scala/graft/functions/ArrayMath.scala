@@ -13,6 +13,18 @@ object ArrayMath {
   def dotProduct(a: Column, b: Column): Column =
     org.apache.spark.sql.graftfns.bridge.dot(a, b)
 
+  /** Codegen'd language-ID heuristic over a string column — see
+    * [[org.apache.spark.sql.graftfns.LangId]].
+    */
+  def langId(text: Column): Column =
+    org.apache.spark.sql.graftfns.textBridge.langId(text)
+
+  /** Codegen'd winnowing fingerprint (min rolling hash over n-token
+    * windows) — see [[org.apache.spark.sql.graftfns.Fingerprint]].
+    */
+  def fingerprint(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftfns.textBridge.fingerprint(text, n)
+
   /** Register graft's native functions (`dot_product`) for SQL use in an
     * already-running session; cluster-wide installs should set
     * `spark.sql.extensions=graft.GraftExtensions` instead.

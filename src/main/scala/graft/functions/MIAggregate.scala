@@ -34,6 +34,10 @@ object MIAggregate {
 
   private final val SlotSize = 3
   private final val InitialSlots = 16 // power of two
+  // Array index 0 holds the occupied-slot count so the 3/4-load check is
+  // O(1) per insertion (a full-table rescan per new key would make k
+  // distinct-pair ingestion O(k²)); slots start at index `Header`.
+  private final val Header = 1
 
   private def hashSlot(xBits: Long, yBits: Long, nSlots: Int): Int = {
     var h = xBits * -7046029254386353131L
@@ -43,36 +47,27 @@ object MIAggregate {
     (h & (nSlots - 1)).toInt
   }
 
-  /** Number of occupied slots in `t`. */
-  private def occupied(t: Array[Long]): Int = {
-    var n = 0
-    var i = 0
-    while (i < t.length) {
-      if (t(i + 2) != 0L) n += 1
-      i += SlotSize
-    }
-    n
-  }
-
   /** Add `c` to the (xBits, yBits) cell, growing if needed; returns the
     * (possibly reallocated) table.
     */
   private def add(t0: Array[Long], xBits: Long, yBits: Long,
                   c: Long): Array[Long] = {
-    var t = if (t0.length == 0) new Array[Long](InitialSlots * SlotSize)
+    var t = if (t0.length == 0)
+              new Array[Long](Header + InitialSlots * SlotSize)
             else t0
-    val nSlots = t.length / SlotSize
+    val nSlots = (t.length - Header) / SlotSize
     var s = hashSlot(xBits, yBits, nSlots)
     var probes = 0
     while (true) {
-      val base = s * SlotSize
+      val base = Header + s * SlotSize
       if (t(base + 2) == 0L) {
         // empty: claim it, growing first if past 3/4 load
-        if ((occupied(t) + 1) * 4 > nSlots * 3) {
+        if ((t(0) + 1) * 4 > nSlots * 3) {
           t = grow(t)
           return add(t, xBits, yBits, c)
         }
         t(base) = xBits; t(base + 1) = yBits; t(base + 2) = c
+        t(0) += 1
         return t
       }
       if (t(base) == xBits && t(base + 1) == yBits) {
@@ -87,8 +82,8 @@ object MIAggregate {
   }
 
   private def grow(t: Array[Long]): Array[Long] = {
-    var nt = new Array[Long](t.length * 2)
-    var i = 0
+    var nt = new Array[Long](Header + (t.length - Header) * 2)
+    var i = Header
     while (i < t.length) {
       if (t(i + 2) != 0L) nt = add(nt, t(i), t(i + 1), t(i + 2))
       i += SlotSize
@@ -119,7 +114,7 @@ object MIAggregate {
         // fold the smaller table into the larger one
         val (small, large) = if (b1.length < b2.length) (b1, b2) else (b2, b1)
         var acc = large
-        var i = 0
+        var i = Header
         while (i < small.length) {
           if (small(i + 2) != 0L)
             acc = add(acc, small(i), small(i + 1), small(i + 2))
@@ -130,7 +125,7 @@ object MIAggregate {
 
       override def finish(b: Array[Long]): Double = {
         val triples = Seq.newBuilder[(Double, Double, Long)]
-        var i = 0
+        var i = Header
         while (i < b.length) {
           if (b(i + 2) != 0L)
             triples += ((java.lang.Double.longBitsToDouble(b(i)),

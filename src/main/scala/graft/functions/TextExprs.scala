@@ -1,0 +1,86 @@
+// Hosted inside org.apache.spark.sql for the same reason as
+// DotProductExpr.scala: the private[sql] Column bridge. Public entry
+// points are graft.functions.TextFns.
+package org.apache.spark.sql.graftfns
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static call targets for the generated code of [[LangId]] /
+  * [[Fingerprint]] (a Scala `object` emits Java static forwarders, so
+  * janino can call these without `MODULE$` plumbing). They take and return
+  * `UTF8String`, so the only per-row conversion left is the one
+  * `toString` the heuristics' char-level logic genuinely needs — no
+  * CatalystTypeConverters, no closure dispatch, no codegen fence like
+  * `ScalaUDF`.
+  */
+object TextExprHelpers {
+  def langId(t: UTF8String): UTF8String =
+    UTF8String.fromString(TextAnalysis.langIdOf(t.toString))
+
+  def fingerprint(t: UTF8String, n: Int): Long =
+    TextAnalysis.fingerprintOf(t.toString, n)
+}
+
+/** Native expression form of [[graft.ops.TextAnalysis.langIdOf]]: keeps
+  * the language-ID heuristic inside whole-stage codegen on the document
+  * hot path (a ScalaUDF here costs per-row converter allocation + a
+  * codegen boundary at 100 TB).
+  */
+case class LangId(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextExprHelpers.langId(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftfns.TextExprHelpers.langId($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+/** Native expression form of [[graft.ops.TextAnalysis.fingerprintOf]]
+  * (winnowing min-rolling-hash over `n`-token windows), codegen'd for the
+  * same reason as [[LangId]]. `n` is a literal parameter, not a child —
+  * the window width is a plan-time constant.
+  */
+case class Fingerprint(child: Expression, n: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextExprHelpers.fingerprint(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftfns.TextExprHelpers.fingerprint($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Fingerprint =
+    copy(child = newChild)
+}
+
+/** Internal Column bridge — use graft.functions.TextFns instead. */
+object textBridge {
+  def langId(c: Column): Column =
+    ExpressionUtils.column(LangId(ExpressionUtils.expression(c)))
+
+  def fingerprint(c: Column, n: Int): Column =
+    ExpressionUtils.column(Fingerprint(ExpressionUtils.expression(c), n))
+}

@@ -737,6 +737,88 @@ object Dedup {
         col("n_kept_tokens"))
   }
 
+  /** ExactSubstr-style suffix-window dedup: per document, the merged
+    * token spans covered by a `w`-token window whose exact text occurs at
+    * ≥ 2 sites in the corpus (within- or cross-document) — the fixed-
+    * granularity complement of [[cdcSharedChunkStats]]: a repeated run
+    * that straddles a CDC chunk boundary is only partially caught there,
+    * while every length-≥`w` repeat is fully covered by overlapping
+    * `w`-windows here (the sliding-window spelling of the suffix-array
+    * ExactSubstr pass).
+    *
+    * Shape, in scale order: (1) token hashing is a projection; (2) the
+    * candidate key per window start — (Σ token-hash over the window,
+    * first hash, last hash) — is a sliding windowed sum, O(tokens) rows
+    * through one by-doc sort; (3) ONE corpus-wide hash shuffle counts key
+    * sites, and only keys at ≥ 2 sites survive; (4) window TEXT is
+    * materialized for survivors only (the O(candidates·w) cost lands on
+    * the tiny candidate set, never the corpus) and verified by exact
+    * md5 equality; (5) span merge is a by-doc gaps-and-islands window.
+    * No pairwise work anywhere; every stage is a hash shuffle or a by-doc
+    * window.
+    *
+    * Returns per doc: (idCol, n_tokens, n_dup_windows, n_spans,
+    * dup_tokens, substr_dup_frac) — zero-filled for clean docs,
+    * `substr_dup_frac` rounded to 6 decimals.
+    */
+  def substrDupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                         w: Int = 50): DataFrame = {
+    require(w >= 2, "window must be >= 2 tokens")
+    val toks = df.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("t"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("s")
+    // (2) start-anchored candidate key over tokens s..s+w-1
+    val keyed = toks
+      .select(col("id"), size(col("t")).cast("long").as("n_tokens"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("id"), col("n_tokens"), (col("p0") + 1).as("s"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          .as("th"))
+      .select(col("id"), col("n_tokens"), col("s"),
+        sum(col("th")).over(byDoc.rowsBetween(0, w - 1)).as("whs"),
+        col("th").as("th_first"),
+        lead(col("th"), w - 1).over(byDoc).as("th_last"))
+      .filter(col("s") <= col("n_tokens") - w + 1)
+    // (3) corpus-wide pre-filter: candidate keys seen at >= 2 sites
+    val cand = keyed
+      .withColumn("nk", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("whs", "th_first", "th_last")))
+      .filter(col("nk") >= 2)
+    // (4) exact verify on survivors: window text occurs at >= 2 sites
+    val dup = cand
+      .join(toks, "id")
+      .select(col("id"), col("n_tokens"), col("s"),
+        md5(array_join(slice(col("t"), col("s"), lit(w)), " ")).as("h"))
+      .withColumn("nsites",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("h")))
+      .filter(col("nsites") >= 2)
+    // (5) merge overlapping windows ([s, s+w-1] runs with gap <= w) into
+    // spans; coverage per island = last_start - first_start + w
+    val spans = dup
+      .withColumn("ni",
+        when(col("s") - lag(col("s"), 1).over(byDoc) <= w, 0L)
+          .otherwise(1L))
+      .withColumn("isl", sum(col("ni")).over(byDoc))
+      .groupBy("id", "n_tokens", "isl")
+      .agg(min(col("s")).as("s0"), max(col("s")).as("s1"),
+        count(lit(1)).as("nw"))
+      .groupBy("id")
+      .agg(sum(col("nw")).as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        sum(col("s1") - col("s0") + w).as("dup_tokens"))
+    toks.select(col("id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("substr_dup_frac"))
+  }
+
   /** 64-bit SimHash of a token array (deterministic: token hash is a
     * 64-bit FNV-1a, bit-vote aggregation). Column-level UDF.
     */

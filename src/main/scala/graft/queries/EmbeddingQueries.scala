@@ -44,8 +44,10 @@ object EmbeddingQueries {
                                  simFloor: Option[Double] = None,
                                  okCol: String = "recall_ok"): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val exact = Similarity.bruteForceTopK(emb,
-      emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K)
+    // Pinned: `exact` is referenced twice (recall join via `must`, final
+    // emit) — without the pin the brute-force kNN executes per reference.
+    val exact = graft.ops.Pin.pin(Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K))
     val found = ann
       .select(col("qid").as("fq"), col(annIdCol).cast("long").as("fi"))
       .distinct()

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.feature.{IterativeFeatureSelection, RowSelector}
+import graft.feature.{FeatureSelector, IterativeFeatureSelection, RowSelector}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -250,6 +250,39 @@ object IfsQueries {
         .orderBy("id")
     },
 
+    // P1/P2: the conventional Estimator/Model surface end-to-end under
+    // the oracle — fit a FeatureSelector (greedy mRMR), transform
+    // (VectorSlicer projection to the selected indices, ascending), then
+    // aggregate the sliced matrix per slot: both the selected WINNERS and
+    // the slice plumbing are hash-checked, not just spec-asserted.
+    "ifs_feature_model_slice" -> { (s, dir) =>
+      import s.implicits._
+      val data = matrix(s, dir).select(
+        col("label").cast("int").as("label"),
+        array_to_vector(col("f")).as("features"))
+      val model = new FeatureSelector()
+        .setNumTopFeatures(k)
+        .setLabelCol("label")
+        .setFeaturesCol("features")
+        .setOutputCol("selected")
+        .fit(data)
+      // slot i (1-based) = i-th selected feature in ascending index order
+      // (VectorSlicer's slice order).
+      val slotNames = model.selectedFeatures.sorted.toSeq.zipWithIndex
+        .map { case (fi, i) => ((i + 1).toLong, featureNames(fi)) }
+        .toDF("slot", "feature")
+      model.transform(data)
+        .select(org.apache.spark.ml.functions.vector_to_array(
+          col("selected")).as("sel"))
+        .select(posexplode(col("sel")).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n_rows"), Q.dsum(col("v"), 2).as("sum_val"))
+        .withColumn("slot", (col("pos") + 1).cast(LongType))
+        .join(broadcast(slotNames), "slot")
+        .select(col("slot"), col("feature"), col("n_rows"), col("sum_val"))
+        .orderBy("slot")
+    },
+
     // Continuous-feature path: the reference consumes pre-discretized
     // integer matrices; this gate runs the discretization itself —
     // equal-width-bin events.value (10 bins over exact min/max), then
@@ -381,7 +414,7 @@ object IfsQueries {
            |  round(sqrt(chi2 / (n * least(rx - 1, ry - 1))), 6) AS cramers_v
            |FROM (
            |  SELECT
-           |    (SELECT sum((c - cx * cy / n) * (c - cx * cy / n) / (cx * cy / n))
+           |    (SELECT max(n) * sum(c * c / (cx * cy)) - max(n)
            |     FROM (SELECT c, sum(c) OVER () AS n,
            |                  sum(c) OVER (PARTITION BY x) AS cx,
            |                  sum(c) OVER (PARTITION BY y) AS cy
@@ -395,6 +428,25 @@ object IfsQueries {
 
     "ifs_select_topk" -> greedySelectionSql,
     "ifs_select_rows" -> greedySelectionSql,
+
+    "ifs_feature_model_slice" -> {
+      val sums = featureDefs.map { case (nm, _, d) =>
+        s"""SELECT '$nm' AS feature, CAST(count(*) AS BIGINT) AS n_rows,
+           |  ${Q.dsumSql(d, 2)} AS sum_val FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$greedyCtes,
+         |win AS (${(1 to k).map(r => s"SELECT f FROM w$r")
+          .mkString(" UNION ALL ")}),
+         |slots AS (
+         |  SELECT f AS feature, row_number() OVER (ORDER BY f) AS slot
+         |  FROM win),
+         |fsums AS (
+         |$sums)
+         |SELECT CAST(slots.slot AS BIGINT) AS slot, slots.feature,
+         |  fsums.n_rows, fsums.sum_val
+         |FROM slots JOIN fsums ON slots.feature = fsums.feature
+         |ORDER BY slot""".stripMargin
+    },
 
     "ifs_row_model_flags" -> {
       val values = featureNames.zipWithIndex

@@ -17,6 +17,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedTables {
 
+  private val ensured =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String),
+      Unit]
+
+  /** Idempotent ingest: (re)write the bucketed table only when the session
+    * catalog doesn't already hold a copy with the same row count as `df`.
+    * Keyed on (session, table, tag) — the pay-the-shuffle-once-at-ingest
+    * contract means a gate query that joins the bucketed tables must not
+    * re-pay the write on every execution; callers run this from an untimed
+    * setup step (Bench warm-up) and the join gate re-invokes it as a
+    * no-op guard.
+    */
+  def ensureBucketed(df: DataFrame, table: String, bucketCol: String,
+                     buckets: Int, tag: String): Unit = {
+    val spark = df.sparkSession
+    ensured.getOrElseUpdate((spark, table, tag), {
+      val reusable = spark.catalog.tableExists(table) &&
+        scala.util.Try(spark.table(table).count()).toOption
+          .contains(df.count())
+      if (!reusable) writeBucketed(df, table, bucketCol, buckets)
+    })
+  }
+
   /** Write `df` as a bucketed parquet table registered in the session
     * catalog, replacing any previous version.
     */

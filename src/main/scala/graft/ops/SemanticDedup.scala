@@ -52,6 +52,37 @@ object SemanticDedup {
     val u = Similarity.unitVectors(emb, idCol, embCol, "vid", "u")
     val centroids = u.filter(col("vid") < k)
       .select(col("vid").as("cid"), col("u").as("cu"))
+    statsWithCentroids(u, centroids, threshold)
+  }
+
+  /** The production-path entry: identical stats, but the cluster step
+    * uses a TRAINED spherical-KMeans quantizer (fit driver-side on a
+    * bounded hash-ordered sample, like the IVF coarse quantizer) instead
+    * of the oracle-reproducible fixed centroid set. Every within-cluster
+    * drop satisfies the exact pairwise criterion regardless of how the
+    * clusters were formed — clustering quality only decides RECALL of the
+    * cross-cluster pairs — so swapping quantizers can never introduce a
+    * false drop; `SemanticDedupSpec` asserts the recall relationship
+    * against the exact pass.
+    */
+  def semanticDedupStatsTrained(emb: DataFrame, idCol: String,
+                                embCol: String, k: Int, threshold: Double,
+                                sampleSize: Int = 4096,
+                                seed: Long = 42L): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val u = Similarity.unitVectors(emb, idCol, embCol, "vid", "u")
+    val sample = Similarity.trainSample(
+      u.select(col("vid").as("nid"), col("u").as("nu")), sampleSize)
+    val cents = Similarity.sphericalKMeans(sample, k, iters = 5, seed = seed)
+    val centroids = cents.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }
+      .toDF("cid", "cu")
+    statsWithCentroids(u, centroids, threshold)
+  }
+
+  private def statsWithCentroids(u: DataFrame, centroids: DataFrame,
+                                 threshold: Double): DataFrame = {
     val uu = u.join(assign(u, centroids), "vid")
     val left = uu.select(col("cluster"), col("vid").as("id_a"),
       col("u").as("ua"))

@@ -103,8 +103,8 @@ object Similarity {
     * cluster. Hash order is reproducible across runs and partitionings;
     * cost is one top-K job regardless of corpus size.
     */
-  private def trainSample(corpus: DataFrame,
-                          sampleSize: Int): Array[Array[Double]] = {
+  private[graft] def trainSample(corpus: DataFrame,
+                                 sampleSize: Int): Array[Array[Double]] = {
     val s = corpus.sparkSession
     import s.implicits._
     corpus.orderBy(xxhash64(col("nid")), col("nid")).limit(sampleSize)

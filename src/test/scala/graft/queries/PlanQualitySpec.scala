@@ -132,6 +132,30 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
     } finally { graft.ops.Pin.disabled = false }
   }
 
+  it should "run lang-ID and fingerprint as native expressions, not " +
+    "ScalaUDFs" in {
+    // VERDICT r4 #7: the per-row ScalaUDF converter/closure tax on the
+    // document hot path. graftfns.LangId / Fingerprint are codegen'd
+    // expressions; if someone reverts to udf(...) this trips.
+    graft.ops.Pin.disabled = true
+    try {
+      Seq("q_lang_id", "q_fingerprint").foreach { name =>
+        withClue(s"$name: ") {
+          val plan = planOf(name).queryExecution.executedPlan.toString
+          (plan should not).include("ScalaUDF")
+        }
+      }
+    } finally { graft.ops.Pin.disabled = false }
+  }
+
+  it should "plan the substr-dedup pass with no joins beyond the bounded " +
+    "survivor joins and no cartesian product" in {
+    val plan = planOf("q_substr_dedup").queryExecution.executedPlan
+    val str = plan.toString
+    (str should not).include("CartesianProduct")
+    (str should not).include("BroadcastNestedLoopJoin")
+  }
+
   it should "prune partitions on a hive-layout write (no data read " +
     "outside the filtered partition)" in {
     // The 100 TB layout lever the other specs don't cover: a filter on

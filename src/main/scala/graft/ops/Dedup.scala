@@ -819,6 +819,67 @@ object Dedup {
           col("n_tokens"), 6).as("substr_dup_frac"))
   }
 
+  /** Removal twin of [[substrDupSpanStats]]: each document's text with
+    * the tokens inside duplicated-window spans stripped (token order
+    * preserved) — the cleanup step after the stats pass flags repeats.
+    * Keeps ONE copy semantics out of scope on purpose (like
+    * [[cdcStripShared]], every site of a repeated span is stripped; the
+    * keep-lowest-id policy belongs to doc-level dedup).
+    * Returns (idCol, cleaned_text, n_tokens, n_kept_tokens).
+    */
+  def substrStripShared(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 50): DataFrame = {
+    // A token at 1-based position p is stripped iff some duplicated
+    // window start s has s <= p <= s + w - 1; duplicated starts are
+    // found exactly as in [[substrDupSpanStats]] and collected per doc
+    // (bounded by tokens-per-doc), then the strip is one per-token
+    // array filter.
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ")
+      .as("t"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("s")
+    val keyed = toks
+      .select(col("id"), size(col("t")).cast("long").as("n_tokens"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("id"), col("n_tokens"), (col("p0") + 1).as("s"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          .as("th"))
+      .select(col("id"), col("n_tokens"), col("s"),
+        sum(col("th")).over(byDoc.rowsBetween(0, w - 1)).as("whs"),
+        col("th").as("th_first"),
+        lead(col("th"), w - 1).over(byDoc).as("th_last"))
+      .filter(col("s") <= col("n_tokens") - w + 1)
+    val cand = keyed
+      .withColumn("nk", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("whs", "th_first", "th_last")))
+      .filter(col("nk") >= 2)
+    val dupStarts = cand
+      .join(toks, "id")
+      .select(col("id"), col("s"),
+        md5(array_join(slice(col("t"), col("s"), lit(w)), " ")).as("h"))
+      .withColumn("nsites",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("h")))
+      .filter(col("nsites") >= 2)
+      .groupBy("id")
+      .agg(collect_set(col("s")).as("starts"))
+    toks
+      .join(dupStarts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        array_join(filter(col("t"), (tok, i) =>
+          col("starts").isNull ||
+            !exists(col("starts"), st =>
+              st <= i + 1 && i + 1 <= st + (w - 1))), " ")
+          .as("cleaned_text"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("t"), (tok, i) =>
+          col("starts").isNull ||
+            !exists(col("starts"), st =>
+              st <= i + 1 && i + 1 <= st + (w - 1)))).cast("long")
+          .as("n_kept_tokens"))
+  }
+
   /** 64-bit SimHash of a token array (deterministic: token hash is a
     * 64-bit FNV-1a, bit-vote aggregation). Column-level UDF.
     */

@@ -137,8 +137,15 @@ object IfsQueries {
     */
   def labelsRow(s: SparkSession, dir: String): Array[Double] =
     cache.getOrElseUpdate(("labelsRow", s, dir), {
-      rowMatrixBuild(s, dir)
-        .filter(col("id") === -1L)
+      val df = rowMatrixBuild(s, dir)
+      // Cache BEFORE the head(): fetching the label pseudo-row
+      // materializes the whole transpose, and every caller of labelsRow
+      // immediately runs the selection over rowMatrix — without this the
+      // cold path pays the full transpose twice per query (measured 2×
+      // on ifs_row_model_flags at sf1).
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.cache()
+      df.filter(col("id") === -1L)
         .head().getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
     }).asInstanceOf[Array[Double]]
 

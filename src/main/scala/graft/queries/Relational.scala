@@ -33,12 +33,16 @@ object Relational {
     */
   def setupBucketedTables(s: SparkSession, dir: String): Unit = {
     import graft.sources.BucketedTables
+    // 32 buckets = the bench machine's core count: bucket count caps the
+    // exchange-free join's parallelism (8 buckets left 24 of 32 cores
+    // idle). At cluster scale, size bucket count to executor-cores ×
+    // executors the table's consumers run with.
     BucketedTables.ensureBucketed(
       t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
-      "g_orders_bkt", "o_orderkey", 8, dir)
+      "g_orders_bkt", "o_orderkey", 32, dir)
     BucketedTables.ensureBucketed(
       t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
-      "g_lineitem_bkt", "l_orderkey", 8, dir)
+      "g_lineitem_bkt", "l_orderkey", 32, dir)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -314,4 +314,50 @@ class DedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     // the unique doc is untouched
     stripped(3L)._1 shouldBe unrelated
   }
+
+  behavior of "substrDupSpanStats"
+
+  it should "merge overlapping duplicated windows into spans and " +
+    "zero-fill clean docs" in {
+    // docs 0/1 share the exact run "a b c d": at w=3 that is windows
+    // "a b c" and "b c d" at starts {1,2} (doc 0) / {3,4} (doc 1), each
+    // merging into ONE 4-token span; doc 2 is clean.
+    val out = Dedup.substrDupSpanStats(
+      docs((0L, "a b c d e f"), (1L, "x y a b c d z"), (2L, "p q r s")),
+      "doc_id", "text", w = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    out(0L) shouldBe ((6L, 2L, 1L, 4L, 0.666667))
+    out(1L) shouldBe ((7L, 2L, 1L, 4L, 0.571429))
+    out(2L) shouldBe ((4L, 0L, 0L, 0L, 0.0))
+  }
+
+  it should "catch a WITHIN-doc repeat and cover the whole doc when " +
+    "everything repeats" in {
+    val out = Dedup.substrDupSpanStats(
+      docs((0L, "m n o m n o m n o"), (1L, "p q r s t u")),
+      "doc_id", "text", w = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4), r.getDouble(5)))).toMap
+    // every 3-window of the periodic doc recurs -> one span covers all 9
+    out(0L) shouldBe ((9L, 9L, 1.0))
+    out(1L)._2 shouldBe 0L
+  }
+
+  behavior of "substrStripShared"
+
+  it should "strip exactly the tokens covered by duplicated windows" in {
+    val out = Dedup.substrStripShared(
+      docs((0L, "a b c d e f"), (1L, "x y a b c d z"), (2L, "p q r s")),
+      "doc_id", "text", w = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    out(0L) shouldBe (("e f", 6L, 2L))
+    out(1L) shouldBe (("x y z", 7L, 3L))
+    out(2L) shouldBe (("p q r s", 4L, 4L))
+  }
 }

@@ -27,6 +27,12 @@ object Correlation {
 
   /** (x, y, corr) for every unordered column pair, x < y lexically,
     * corr rounded to `scale` decimals.
+    *
+    * NULL policy: listwise deletion — a row with a NULL in ANY of `cols`
+    * is excluded from every moment, so `n` and the NULL-skipping sums
+    * always describe the same row set. (Without the filter, `count(*)`
+    * counts rows the sums skipped and every moment-based term is
+    * silently skewed.) The oracle spelling applies the same WHERE.
     */
   def pairwiseCorr(df: DataFrame, cols: Seq[String],
                    scale: Int = 6): DataFrame = {
@@ -42,7 +48,7 @@ object Correlation {
         pairs.map { case (x, y) =>
           sum(dec(col(x) * col(y))).cast(DoubleType).as(s"p_${x}_$y")
         }
-    val moments = df.agg(
+    val moments = df.na.drop(sorted).agg(
       count(lit(1)).cast(DoubleType).as("n"), aggs: _*)
     def corrCol(x: String, y: String): Column = round(
       (col("n") * col(s"p_${x}_$y") - col(s"s_$x") * col(s"s_$y")) /
@@ -85,10 +91,12 @@ object Correlation {
          |     sqrt(n * ss_$y - s_$y * s_$y)), $scale) AS corr
          |FROM m""".stripMargin
     }
+    val notNull = sorted.map(c => s"$c IS NOT NULL").mkString(" AND ")
     s"""WITH m AS (
        |  SELECT CAST(count(*) AS DOUBLE) AS n,
        |    ${sums.mkString(",\n    ")}
-       |  FROM $table)
+       |  FROM $table
+       |  WHERE $notNull)
        |${rows.mkString("\nUNION ALL\n")}
        |ORDER BY x, y""".stripMargin
   }

@@ -34,6 +34,23 @@ class CorrelationSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     out(1)._3 shouldBe -1.0 // c is an exact linear flip of a
   }
 
+  it should "exclude rows with a NULL in any column (listwise)" in {
+    val s = spark
+    import s.implicits._
+    val clean = Seq((1.0, 2.0, 5.0), (2.0, 4.1, 4.0), (3.0, 5.9, 3.0),
+      (4.0, 8.2, 2.0), (5.0, 9.8, 1.0))
+    val withNulls = clean.map { case (a, b, c) =>
+      (Option(a), Option(b), Option(c))
+    } ++ Seq((Some(9.0), None, Some(9.0)), (None, Some(1.0), None))
+    val got = Correlation
+      .pairwiseCorr(withNulls.toDF("a", "b", "c"), Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val want = Correlation
+      .pairwiseCorr(clean.toDF("a", "b", "c"), Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    got shouldBe want
+  }
+
   it should "be invariant to partitioning (exact decimal sums)" in {
     val s = spark
     import s.implicits._

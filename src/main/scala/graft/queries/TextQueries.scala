@@ -686,6 +686,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic global shuffle + sharding (ops.Sharding.trainShards):
+    // the write-training-shards step after dedup/filter/mix. Gate emits
+    // each shard's size and its first 3 docs in seeded-hash order —
+    // pinning both the deal (shard assignment) and the intra-shard order.
+    "q_train_shards" -> { (s, dir) =>
+      val sh = graft.ops.Sharding.trainShards(
+        t(s, dir, "documents"), "doc_id", 16, "graft")
+      val counts = sh.groupBy("shard")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      sh.filter(col("pos") <= 3)
+        .join(counts, "shard")
+        .select(col("shard"), col("n_docs"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    },
+
+    // Removal twin of q_substr_dedup: the cleaned corpus with every
+    // duplicated-window span stripped (all sites — keep-one policy is
+    // doc-level dedup's job). Same candidate key + md5 verify as the
+    // stats pass, so the oracle shares its CTE prefix verbatim.
+    "q_substr_strip" -> { (s, dir) =>
+      Dedup.substrStripShared(t(s, dir, "documents"), "doc_id", "text",
+          w = 20)
+        .orderBy("doc_id")
+    },
+
     // Winnowing-fingerprint gate: hash values are engine-specific, so the
     // checkable contract is the collision property the fingerprint is FOR
     // — near-identical documents (Jaccard ≥ 0.9) share their minimal
@@ -707,6 +732,46 @@ object TextQueries {
         okCol = "fp_match_ok")
     },
   )
+
+  /** Window width shared by the q_substr_dedup / q_substr_strip gates. */
+  private val SubstrW = 20
+
+  /** Shared oracle CTE chain for the substring-window gates: tokens with
+    * positions and md5-prefix hashes (`e`, carrying the token text),
+    * per-window candidate keys (`k`/`kf`), corpus-wide candidate filter
+    * (`cand`), and the md5-verified duplicated window starts (`dup`) —
+    * the SQL twin of the candidate/verify phases of
+    * `Dedup.substrDupSpanStats` / `Dedup.substrStripShared`.
+    */
+  private def substrDupCtePrefix(W: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |e AS (
+       |  SELECT doc_id, len(t) AS n_tokens, i AS s, t[i] AS tok,
+       |    CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT) AS th
+       |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+       |k AS (
+       |  SELECT doc_id, n_tokens, s,
+       |    sum(th) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS whs,
+       |    th AS th_first,
+       |    lead(th, ${W - 1}) OVER (PARTITION BY doc_id ORDER BY s)
+       |      AS th_last
+       |  FROM e),
+       |kf AS (SELECT * FROM k WHERE s <= n_tokens - $W + 1),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY whs, th_first, th_last)
+       |      AS nk FROM kf)
+       |  WHERE nk >= 2),
+       |dup AS (
+       |  SELECT * FROM (
+       |    SELECT c.doc_id, c.n_tokens, c.s,
+       |      count(*) OVER (PARTITION BY
+       |        md5(array_to_string(t.t[c.s:c.s + ${W - 1}], ' ')))
+       |        AS nsites
+       |    FROM cand c JOIN toks t ON c.doc_id = t.doc_id)
+       |  WHERE nsites >= 2)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_hash_sample" ->
@@ -990,35 +1055,8 @@ object TextQueries {
     // hash, same (window-sum, first, last) candidate key, same md5
     // window-text verify, same gaps-and-islands span merge.
     "q_substr_dedup" -> {
-      val W = 20
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |e AS (
-         |  SELECT doc_id, len(t) AS n_tokens, i AS s,
-         |    CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT) AS th
-         |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
-         |k AS (
-         |  SELECT doc_id, n_tokens, s,
-         |    sum(th) OVER (PARTITION BY doc_id ORDER BY s
-         |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS whs,
-         |    th AS th_first,
-         |    lead(th, ${W - 1}) OVER (PARTITION BY doc_id ORDER BY s)
-         |      AS th_last
-         |  FROM e),
-         |kf AS (SELECT * FROM k WHERE s <= n_tokens - $W + 1),
-         |cand AS (
-         |  SELECT * FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY whs, th_first, th_last)
-         |      AS nk FROM kf)
-         |  WHERE nk >= 2),
-         |dup AS (
-         |  SELECT * FROM (
-         |    SELECT c.doc_id, c.n_tokens, c.s,
-         |      count(*) OVER (PARTITION BY
-         |        md5(array_to_string(t.t[c.s:c.s + ${W - 1}], ' ')))
-         |        AS nsites
-         |    FROM cand c JOIN toks t ON c.doc_id = t.doc_id)
-         |  WHERE nsites >= 2),
+      val W = SubstrW
+      s"""WITH ${substrDupCtePrefix(W)},
          |ni AS (
          |  SELECT doc_id, n_tokens, s,
          |    CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s)
@@ -1044,6 +1082,56 @@ object TextQueries {
          |    6) AS substr_dup_frac
          |FROM (SELECT doc_id, len(t) AS n_tokens FROM toks) tk
          |LEFT JOIN pd ON tk.doc_id = pd.doc_id
+         |ORDER BY tk.doc_id""".stripMargin
+    },
+
+    // SQL twin of ops.Sharding.trainShards at 16 shards, seed 'graft'.
+    "q_train_shards" ->
+      """WITH sh AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'graft') AS h
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, h,
+        |    CAST(CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % 16 AS INT)
+        |      AS shard
+        |  FROM sh),
+        |p AS (
+        |  SELECT doc_id, shard,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |      AS pos
+        |  FROM a),
+        |c AS (
+        |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM p GROUP BY 1)
+        |SELECT p.shard, c.n_docs, CAST(p.pos AS INT) AS pos, p.doc_id
+        |FROM p JOIN c ON p.shard = c.shard
+        |WHERE p.pos <= 3
+        |ORDER BY p.shard, p.pos""".stripMargin,
+
+    // SQL twin of Dedup.substrStripShared at w=20: positions covered by
+    // any duplicated window start are dropped, survivors re-joined in
+    // order. Fully-stripped docs coalesce to the empty string.
+    "q_substr_strip" -> {
+      val W = SubstrW
+      s"""WITH ${substrDupCtePrefix(W)},
+         |cov AS (
+         |  SELECT DISTINCT d.doc_id, u.p
+         |  FROM dup d, unnest(range(d.s, d.s + $W)) AS u(p)),
+         |kept AS (
+         |  SELECT e.doc_id, e.s AS p, e.tok
+         |  FROM e LEFT JOIN cov
+         |    ON cov.doc_id = e.doc_id AND cov.p = e.s
+         |  WHERE cov.p IS NULL),
+         |o AS (
+         |  SELECT doc_id,
+         |    array_to_string(list(tok ORDER BY p), ' ') AS cleaned_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY 1)
+         |SELECT tk.doc_id, coalesce(o.cleaned_text, '') AS cleaned_text,
+         |  CAST(tk.n_tokens AS BIGINT) AS n_tokens,
+         |  coalesce(o.n_kept, 0) AS n_kept_tokens
+         |FROM (SELECT doc_id, len(t) AS n_tokens FROM toks) tk
+         |LEFT JOIN o ON tk.doc_id = o.doc_id
          |ORDER BY tk.doc_id""".stripMargin
     },
 

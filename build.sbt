@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 100+ whole-stage-codegen queries in one JVM overflow the default
+  // 240 MB JIT code cache; the resulting flush/recompile storms made
+  // late-run queries 3-8x slower (measured: the 105-query sf0.1 bench
+  // dropped 223s -> 151s with this flag; one query went 75s -> 7s).
+  // Reserved, not committed - costs address space only until used.
+  "-XX:ReservedCodeCacheSize=2g",
 )

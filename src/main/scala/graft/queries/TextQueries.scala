@@ -731,6 +731,105 @@ object TextQueries {
       truthWithContract(truth, matched, pctBound = 90,
         okCol = "fp_match_ok")
     },
+
+    // Windowed token co-occurrence + PMI: the collocation-mining pass of
+    // a corpus-analysis stack (multi-word expressions, tokenizer-merge
+    // candidates). Plan shape is the 100 TB one: pairs are generated
+    // MAP-SIDE from the token array (slice + transform — no positional
+    // self-join, no per-doc shuffle), so the only shuffles are the two
+    // partial-aggregated groupBys, bounded by |vocab| and |vocab|², not
+    // corpus size. PMI = ln(p(a,b)/(p(a)p(b))) is computed in double
+    // (the integer numerator c_ab·n_tok² overflows int64 at corpus
+    // scale) with the identical association order in the oracle, and the
+    // top-20 cutoff is decided on the ROUNDED value + token order, so
+    // the emitted set is engine-independent.
+    "q_token_pmi" -> { (s, dir) =>
+      val withTk = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+      def pairsAt(d: Int) = expr(
+        s"transform(slice(tk, 1, greatest(size(tk) - $d, 0)), " +
+          s"(x, i) -> struct(x AS tok_a, element_at(tk, i + 1 + $d) AS tok_b))")
+      val pairs = withTk
+        .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+        .select(col("p.tok_a"), col("p.tok_b"))
+        .filter(col("tok_a") =!= "" && col("tok_b") =!= "")
+        .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      val uni = withTk.select(explode(col("tk")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val nTok = uni.agg(sum("c").as("n_tok"))
+      val nPair = pairs.agg(sum("c_ab").as("n_pair"))
+      pairs
+        .join(broadcast(uni.select(col("tok").as("tok_a"),
+          col("c").as("c_a"))), "tok_a")
+        .join(broadcast(uni.select(col("tok").as("tok_b"),
+          col("c").as("c_b"))), "tok_b")
+        .crossJoin(broadcast(nTok))
+        .crossJoin(broadcast(nPair))
+        .filter(col("c_ab") >= 5)
+        .select(col("tok_a"), col("tok_b"), col("c_ab"),
+          round(log(col("c_ab").cast(DoubleType) * col("n_tok") *
+            col("n_tok") /
+            (col("c_a").cast(DoubleType) * col("c_b") * col("n_pair"))), 6)
+            .as("pmi"))
+        .orderBy(desc("pmi"), col("tok_a"), col("tok_b"))
+        .limit(20)
+    },
+
+    // Frequency-ranked vocabulary build + integer encoding — the
+    // tokenize-and-encode step before training. Ids are assigned by
+    // (count DESC, token ASC) through a single-partition window: bounded
+    // by |vocab| (the standard vocab-build shape — the RANK table is
+    // small even when the corpus isn't), then broadcast back for the
+    // encode join. The gate emits per-source totals of the encoded ids
+    // plus a position-weighted checksum, pinning both the id assignment
+    // and every token's encoded position.
+    "q_vocab_encode" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .withColumn("tok_id",
+          row_number().over(Window.orderBy(desc("c"), col("tok"))) - 1)
+      toks.join(broadcast(vocab.select("tok", "tok_id")), "tok")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("tok_id")).as("sum_ids"),
+          sum(col("tok_id") * (col("pos") + 1)).as("pos_weighted"))
+        .orderBy("source")
+    },
+
+    // Temperature-weighted mixture sampling (alpha = 0.5): per-source
+    // quotas proportional to sqrt(char share) — the standard
+    // low-resource-upweighting mix. The weight is floor(sqrt(chars))
+    // and the quota split is integer division, so every value that
+    // decides WHICH rows survive is integer-exact cross-engine (the
+    // rounded-double incident class from q_emb_dim_stats can't recur).
+    // Row pick within a source is the same md5 hash-order as
+    // q_mixture_sample.
+    "q_mixture_temp" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val srcW = docs.groupBy("source")
+        .agg(sum(col("n_chars")).cast("long").as("src_chars"))
+        .withColumn("wgt",
+          floor(sqrt(col("src_chars").cast(DoubleType))).cast("long"))
+      val tot = srcW.agg(sum("wgt").as("tot_w"))
+      val quotas = srcW.crossJoin(broadcast(tot))
+        .withColumn("quota", expr("200 * wgt div tot_w"))
+        .select("source", "quota")
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")))
+      docs.withColumn("rk", row_number().over(w))
+        .join(broadcast(quotas), "source")
+        .filter(col("rk") <= col("quota"))
+        .groupBy("source")
+        .agg(max(col("quota")).as("quota"),
+          count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("source")
+    },
   )
 
   /** Window width shared by the q_substr_dedup / q_substr_strip gates. */
@@ -1391,5 +1490,100 @@ object TextQueries {
         |  CAST(64 + ascii(substr(text, 3, 1)) % 32 AS BIGINT) AS fake_height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the map-side pair generation: distance-1 and distance-2
+    // ordered pairs via 1-based list indexing, unigram/pair totals from
+    // the SAME filtered sets, and the identical left-to-right double
+    // association in the PMI log as the Spark expression.
+    "q_token_pmi" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS tk FROM documents),
+        |prs AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+        |    i -> struct_pack(tok_a := tk[i], tok_b := tk[i + 1]))) AS p
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+        |    i -> struct_pack(tok_a := tk[i], tok_b := tk[i + 2]))) AS p
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT p.tok_a AS tok_a, p.tok_b AS tok_b, count(*) AS c_ab
+        |  FROM prs
+        |  WHERE p.tok_a <> '' AND p.tok_b <> ''
+        |  GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(tk) AS tok FROM toks)
+        |  WHERE tok <> '' GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_tok,
+        |         (SELECT CAST(sum(c_ab) AS BIGINT) FROM pairs) AS n_pair)
+        |SELECT p.tok_a, p.tok_b, p.c_ab,
+        |  round(ln(CAST(p.c_ab AS DOUBLE) * t.n_tok * t.n_tok /
+        |    (CAST(a.c AS DOUBLE) * b.c * t.n_pair)), 6) AS pmi
+        |FROM pairs p
+        |JOIN uni a ON p.tok_a = a.tok
+        |JOIN uni b ON p.tok_b = b.tok
+        |CROSS JOIN tot t
+        |WHERE p.c_ab >= 5
+        |ORDER BY pmi DESC, tok_a, tok_b
+        |LIMIT 20""".stripMargin,
+
+    // pos is the 0-based position in the ORIGINAL token array (the
+    // posexplode contract): computed from the range index BEFORE the
+    // empty-token filter, exactly as Spark filters after posexplode.
+    "q_vocab_encode" ->
+      """WITH raw AS (
+        |  SELECT source, string_split(text, ' ') AS tk FROM documents),
+        |ex AS (
+        |  SELECT source, unnest(list_transform(range(1, len(tk) + 1),
+        |    i -> struct_pack(pos := CAST(i - 1 AS INT), tok := tk[i])))
+        |    AS u
+        |  FROM raw),
+        |toks AS (
+        |  SELECT source, u.pos AS pos, u.tok AS tok FROM ex
+        |  WHERE u.tok <> ''),
+        |vocab AS (
+        |  SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |vid AS (
+        |  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) - 1
+        |    AS tok_id
+        |  FROM vocab)
+        |SELECT t.source, count(*) AS n_tokens,
+        |  CAST(sum(v.tok_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(v.tok_id * (t.pos + 1)) AS BIGINT) AS pos_weighted
+        |FROM toks t JOIN vid v ON t.tok = v.tok
+        |GROUP BY t.source
+        |ORDER BY t.source""".stripMargin,
+
+    // floor(sqrt(..)) is IEEE-exact cross-engine; the quota split is
+    // BIGINT integer division (// on BIGINT-cast totals) so every value
+    // deciding survivorship is integer, like the Spark `div`.
+    "q_mixture_temp" ->
+      """WITH srcw AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source,
+        |    CAST(floor(sqrt(CAST(src_chars AS DOUBLE))) AS BIGINT) AS wgt
+        |  FROM srcw),
+        |q AS (
+        |  SELECT source,
+        |    CAST(200 * wgt // (SELECT CAST(sum(wgt) AS BIGINT) FROM w)
+        |      AS BIGINT) AS quota
+        |  FROM w),
+        |rk AS (
+        |  SELECT d.source, d.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR))) AS rk
+        |  FROM documents d)
+        |SELECT r.source, CAST(max(q.quota) AS BIGINT) AS quota,
+        |  count(*) AS n_sampled,
+        |  CAST(sum(r.n_chars) AS BIGINT) AS sum_chars,
+        |  min(r.doc_id) AS min_doc
+        |FROM rk r JOIN q ON r.source = q.source
+        |WHERE r.rk <= q.quota
+        |GROUP BY r.source
+        |ORDER BY r.source""".stripMargin,
   )
 }

@@ -830,6 +830,115 @@ object TextQueries {
           min(col("doc_id")).as("min_doc"))
         .orderBy("source")
     },
+
+    // One BPE merge iteration (tokenizer training): adjacent character
+    // pairs inside each vocabulary entry, weighted by the entry's corpus
+    // frequency. The expansion runs on the VOCAB table — after the first
+    // groupBy everything is bounded by |vocab| · max token length, not
+    // corpus size, which is exactly why real BPE trainers count on the
+    // word-frequency table. length>=2 filter keeps Spark's sequence()
+    // from generating a DESCENDING range on single-char tokens (sequence
+    // (1,0) = [1,0], not empty — a silent wrong-pair bug otherwise).
+    "q_bpe_merge" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .filter(length(col("tok")) >= 2)
+        .withColumn("pair", explode(expr(
+          "transform(sequence(1, length(tok) - 1), " +
+            "i -> substring(tok, i, 2))")))
+        .groupBy("pair").agg(sum("c").as("wcount"))
+        .orderBy(desc("wcount"), col("pair"))
+        .limit(20)
+    },
+
+    // Gopher-style filter cascade with per-rule attribution: length
+    // bounds, distinct-token ratio, stopword presence, mean word length.
+    // Every predicate is integer cross-multiplication (n_dist*10 <
+    // n_tok*4 instead of ratios), so survivorship is exact cross-engine.
+    // Attribution counts (which rule fires how often per source) are the
+    // signal a pipeline operator actually tunes on.
+    "q_gopher_rules" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+      val nTok = size(col("tk"))
+      val nDist = size(array_distinct(col("tk")))
+      val totLen = expr(
+        "aggregate(transform(tk, x -> length(x)), 0L, (a, x) -> a + x)")
+      val nStop = TextAnalysis.stopwordCount(col("text"))
+      docs
+        .withColumn("f_len", !nTok.between(30, 90))
+        .withColumn("f_dist", nDist * 10 < nTok * 4)
+        .withColumn("f_stop", nStop < 2)
+        .withColumn("f_wlen", totLen < nTok * 4 || totLen > nTok * 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("f_len"), 1).otherwise(0)).cast("long")
+            .as("n_fail_len"),
+          sum(when(col("f_dist"), 1).otherwise(0)).cast("long")
+            .as("n_fail_dist"),
+          sum(when(col("f_stop"), 1).otherwise(0)).cast("long")
+            .as("n_fail_stop"),
+          sum(when(col("f_wlen"), 1).otherwise(0)).cast("long")
+            .as("n_fail_wlen"),
+          sum(when(!col("f_len") && !col("f_dist") && !col("f_stop") &&
+            !col("f_wlen"), 1).otherwise(0)).cast("long").as("n_pass"))
+        .orderBy("source")
+    },
+
+    // CCNet-style quality bucketing: rank docs per source by unigram
+    // LM likelihood (the q_lm_quality score), split into exact thirds
+    // (head/middle/tail) by integer rank arithmetic — no quantile
+    // estimation, so the bucket boundary is deterministic cross-engine.
+    // The ORDER key is the 6-dp-rounded avg_lp (already proven
+    // hash-stable by q_lm_quality) with doc_id as the total tiebreak.
+    "q_quality_buckets" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      val perDoc = toks.join(vocab, "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"),
+          round(log(col("c").cast("double") / col("n_total")), 9).as("lp"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("lp").cast(DecimalType(18, 9))).cast(DoubleType)
+            .as("sum_lp"))
+        .withColumn("avg_lp", round(col("sum_lp") / col("n_tok"), 6))
+      val rkW = Window.partitionBy("source")
+        .orderBy(desc("avg_lp"), col("doc_id"))
+      perDoc
+        .withColumn("rk", row_number().over(rkW))
+        .withColumn("n_src",
+          count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("bucket", expr("(3 * (rk - 1)) div n_src"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          sum(col("avg_lp").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("sum_avg_lp"))
+        .orderBy("source", "bucket")
+    },
+
+    // Dedup survivor materialization: the half of exact dedup the stats
+    // gates don't show — WHICH row survives (global min doc_id per text
+    // class) and what each source loses. One hash-partitioned window,
+    // O(n) like the groupBy form.
+    "q_dedup_keep" -> { (s, dir) =>
+      val w = Window.partitionBy(md5(col("text")))
+      t(s, dir, "documents")
+        .withColumn("keep_id", min("doc_id").over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("keep_id"), 1).otherwise(0))
+            .cast("long").as("n_kept"),
+          sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+            .otherwise(0)).cast("long").as("chars_removed"))
+        .orderBy("source")
+    },
   )
 
   /** Window width shared by the q_substr_dedup / q_substr_strip gates. */
@@ -1585,5 +1694,97 @@ object TextQueries {
         |WHERE r.rk <= q.quota
         |GROUP BY r.source
         |ORDER BY r.source""".stripMargin,
+
+    // range(1, length) is empty for single-char tokens in DuckDB; the
+    // Spark side filters length>=2 explicitly (sequence() descends),
+    // so both enumerate the same 1-based adjacent char pairs.
+    "q_bpe_merge" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (
+        |  SELECT tok, count(*) AS c FROM tok
+        |  WHERE tok <> '' GROUP BY tok),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(tok)),
+        |    i -> substr(tok, CAST(i AS INT), 2))) AS pair, c
+        |  FROM v WHERE length(tok) >= 2)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS wcount
+        |FROM p GROUP BY pair
+        |ORDER BY wcount DESC, pair
+        |LIMIT 20""".stripMargin,
+
+    "q_gopher_rules" ->
+      s"""WITH d AS (
+         |  SELECT source, string_split(text, ' ') AS tk FROM documents),
+         |m AS (
+         |  SELECT source, len(tk) AS n_tok,
+         |    len(list_distinct(tk)) AS n_dist,
+         |    CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT)
+         |      AS tot_len,
+         |    len(list_filter(tk, x -> x IN $stopListSql)) AS n_stop
+         |  FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_tok < 30 OR n_tok > 90
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+         |  CAST(sum(CASE WHEN n_dist * 10 < n_tok * 4
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dist,
+         |  CAST(sum(CASE WHEN n_stop < 2
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+         |  CAST(sum(CASE WHEN tot_len < n_tok * 4 OR tot_len > n_tok * 10
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wlen,
+         |  CAST(sum(CASE WHEN n_tok BETWEEN 30 AND 90
+         |    AND n_dist * 10 >= n_tok * 4 AND n_stop >= 2
+         |    AND tot_len BETWEEN n_tok * 4 AND n_tok * 10
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |FROM m GROUP BY source
+         |ORDER BY source""".stripMargin,
+
+    // Shares the q_lm_quality scoring CTEs verbatim through `a`, then
+    // integer-thirds the per-source rank order.
+    "q_quality_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT count(*) AS n_total FROM tok),
+        |lp AS (
+        |  SELECT t.doc_id, t.source,
+        |    round(ln(CAST(v.c AS DOUBLE) / tot.n_total), 9) AS lp
+        |  FROM tok t JOIN v USING (tok) CROSS JOIN tot),
+        |d AS (
+        |  SELECT doc_id, source, count(*) AS n_tok,
+        |    CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) AS sum_lp
+        |  FROM lp GROUP BY doc_id, source),
+        |a AS (SELECT doc_id, source, n_tok,
+        |        round(sum_lp / n_tok, 6) AS avg_lp
+        |      FROM d),
+        |r AS (
+        |  SELECT source, n_tok, avg_lp,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY avg_lp DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM a)
+        |SELECT source,
+        |  CAST((3 * (rk - 1)) // n_src AS BIGINT) AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(CAST(avg_lp AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_avg_lp
+        |FROM r
+        |GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin,
+
+    "q_dedup_keep" ->
+      """WITH k AS (
+        |  SELECT source, doc_id, n_chars,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS chars_removed
+        |FROM k GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 }

@@ -96,7 +96,9 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
       "q_ngram_jaccard", "q_minhash_neardup", "q_banded_minhash",
       "q_simhash_buckets", "q_fingerprint", "q_decontaminate",
       "q_asof_join", "q_range_join", "q_salted_join", "q_semi_join",
-      "q_anti_join", "q_full_outer", "q3_top_orders", "q5_nation_revenue")
+      "q_anti_join", "q_full_outer", "q3_top_orders", "q5_nation_revenue",
+      "q_token_pmi", "q_vocab_encode", "q_quality_buckets",
+      "q_mixture_temp")
     graft.ops.Pin.disabled = true
     try {
       joinHeavy.foreach { name =>
@@ -122,6 +124,10 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
               case l: org.apache.spark.sql.execution
                 .TakeOrderedAndProjectExec => l
               case f: org.apache.spark.sql.execution.FilterExec => f
+              // a grouping-free (scalar) aggregate is exactly one row —
+              // the n_tok / n_pair / tot_w broadcast totals
+              case a: HashAggregateExec if a.groupingExpressions.isEmpty =>
+                a
             }
             withClue(s"unbounded nested-loop build side:\n$build\n") {
               bounded should not be empty
@@ -154,6 +160,21 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
     val str = plan.toString
     (str should not).include("CartesianProduct")
     (str should not).include("BroadcastNestedLoopJoin")
+  }
+
+  it should "plan the scan-shaped corpus filters join-free and UDF-free" in {
+    // q_gopher_rules / q_bpe_merge / q_dedup_keep are single-pass shapes:
+    // predicates and pair expansion as codegen'd expressions over one
+    // scan (+ one hash window for the survivor pick) — a join or a
+    // ScalaUDF appearing here means the 100 TB single-pass claim broke.
+    Seq("q_gopher_rules", "q_bpe_merge", "q_dedup_keep").foreach { name =>
+      withClue(s"$name: ") {
+        val str = planOf(name).queryExecution.executedPlan.toString
+        (str should not).include("Join")
+        (str should not).include("ScalaUDF")
+        (str should not).include("CartesianProduct")
+      }
+    }
   }
 
   it should "prune partitions on a hive-layout write (no data read " +

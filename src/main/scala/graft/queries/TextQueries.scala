@@ -923,6 +923,81 @@ object TextQueries {
         .orderBy("source", "bucket")
     },
 
+    // Inverted-index BM25 retrieval (k1=1.2, b=0.75): query-driven
+    // curation — score only docs sharing a term with a probe query. The
+    // broadcast term list prunes the postings BEFORE the tf aggregation,
+    // so the expensive work is proportional to matching postings, not
+    // the corpus. Per-term components are rounded to 9 dp and summed as
+    // DECIMAL (partition-order independent), the final score to 6 dp
+    // with doc_id tiebreak, so ranking is deterministic cross-engine.
+    "q_bm25_topk" -> { (s, dir) =>
+      val probes = s.createDataFrame(Seq(
+        (1L, "data"), (1L, "scan"), (1L, "slow"),
+        (2L, "order"), (2L, "fast"),
+        (3L, "query"), (3L, "column"), (3L, "stream"), (3L, "merge")))
+        .toDF("qid", "term")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tot = dl.agg(count(lit(1)).as("n_docs"),
+        sum("dl").as("tot_len"))
+      val terms = probes.select("term").distinct()
+      val tf = toks.join(broadcast(terms), col("tok") === col("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(probes), "term")
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .withColumn("idf", log(
+          (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("norm", lit(0.25) + lit(0.75) *
+          (col("dl").cast(DoubleType) * col("n_docs") / col("tot_len")))
+        .withColumn("comp", round(
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * col("norm")), 9))
+        .groupBy("qid", "doc_id")
+        .agg(sum(col("comp").cast(DecimalType(18, 9))).cast(DoubleType)
+          .as("sum_comp"))
+        .withColumn("score", round(col("sum_comp"), 6))
+      val w = Window.partitionBy("qid").orderBy(desc("score"),
+        col("doc_id"))
+      scored.withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= 10)
+        .select(col("qid"), col("pos").cast("long").as("pos"),
+          col("doc_id"), col("score"))
+        .orderBy("qid", "pos")
+    },
+
+    // Source-pair 3-gram overlap matrix (corpus diversity / redundancy
+    // audit): distinct shingle sets per source, pairwise Jaccard via the
+    // shingle-postings self-join — per-shingle fan-out is bounded by
+    // sources², never docs², so the matrix job is linear in postings at
+    // any corpus size.
+    "q_source_overlap" -> { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n_sh").as("n_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n_sh").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          col("n_a"), col("n_b"),
+          round(col("n_common").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+
     // Dedup survivor materialization: the half of exact dedup the stats
     // gates don't show — WHICH row survives (global min doc_id per text
     // class) and what each source loses. One hash-partitioned window,
@@ -1773,6 +1848,78 @@ object TextQueries {
         |FROM r
         |GROUP BY source, bucket
         |ORDER BY source, bucket""".stripMargin,
+
+    // Identical double association order as the Spark expression chain:
+    // idf and the length norm are inlined unrounded, the per-term
+    // component rounds at 9 dp, the decimal sum rounds at 6 dp.
+    "q_bm25_topk" ->
+      """WITH probes(qid, term) AS (
+        |  VALUES (1, 'data'), (1, 'scan'), (1, 'slow'),
+        |         (2, 'order'), (2, 'fast'),
+        |         (3, 'query'), (3, 'column'), (3, 'stream'),
+        |         (3, 'merge')),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE tok <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |tot AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_len
+        |  FROM dl),
+        |tf AS (
+        |  SELECT t.doc_id, t.tok AS term, count(*) AS tf
+        |  FROM tok2 t
+        |  JOIN (SELECT DISTINCT term FROM probes) q ON t.tok = q.term
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |comp AS (
+        |  SELECT p.qid, f.doc_id,
+        |    round(
+        |      ln((t.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |      (f.tf * 2.2) /
+        |      (f.tf + 1.2 * (0.25 + 0.75 *
+        |        (CAST(l.dl AS DOUBLE) * t.n_docs / t.tot_len))), 9)
+        |      AS comp
+        |  FROM tf f
+        |  JOIN probes p ON f.term = p.term
+        |  JOIN dfreq d ON f.term = d.term
+        |  JOIN dl l ON f.doc_id = l.doc_id
+        |  CROSS JOIN tot t),
+        |sc AS (
+        |  SELECT qid, doc_id,
+        |    round(CAST(sum(CAST(comp AS DECIMAL(18,9))) AS DOUBLE), 6)
+        |      AS score
+        |  FROM comp GROUP BY qid, doc_id),
+        |r AS (
+        |  SELECT qid, doc_id, score,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS pos
+        |  FROM sc)
+        |SELECT CAST(qid AS BIGINT) AS qid, pos, doc_id, score
+        |FROM r WHERE pos <= 10
+        |ORDER BY qid, pos""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH d AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+        |      AS sh
+        |    FROM documents)),
+        |sizes AS (SELECT source, count(*) AS n_sh FROM d GROUP BY source),
+        |c AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |  FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT c.src_a, c.src_b, c.n_common,
+        |  sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  round(CAST(c.n_common AS DOUBLE) /
+        |    (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+        |FROM c
+        |JOIN sizes sa ON c.src_a = sa.source
+        |JOIN sizes sb ON c.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q_dedup_keep" ->
       """WITH k AS (

@@ -978,14 +978,26 @@ object TextQueries {
     // sources², never docs², so the matrix job is linear in postings at
     // any corpus size.
     "q_source_overlap" -> { (s, dir) =>
-      val sh = t(s, dir, "documents")
+      // One shuffle, no self-join: group postings by shingle with a
+      // map-side collect_set — the per-shingle source set is bounded by
+      // the source count, so the grouped table is narrow and pair
+      // expansion happens post-aggregation from ≤|sources| arrays
+      // instead of a postings×postings string-keyed join. Repartition
+      // first: the documents parquet is 1–2 scan splits, so without it
+      // the CPU-bound shingle explode runs on 2 of 32 cores (measured
+      // 12.5 s vs 1.7 s at sf1). Pinned because both the sizes
+      // aggregate and the pair expansion read it.
+      val grouped = Pin.pin(t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("source"),
           explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-        .distinct()
-      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
-      sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .groupBy("sh").agg(collect_set(col("source")).as("srcs")))
+      val sizes = grouped.select(explode(col("srcs")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n_sh"))
+      grouped.select(explode(col("srcs")).as("src_a"), col("srcs"))
+        .select(col("src_a"), explode(col("srcs")).as("src_b"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
         .agg(count(lit(1)).as("n_common"))
         .join(broadcast(sizes.select(col("source").as("src_a"),
           col("n_sh").as("n_a"))), "src_a")

@@ -192,6 +192,65 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // DSIR importance-resampling weights (Xie et al. 2023): score every
+    // document by hashed-bigram likelihood ratio against a target split
+    // (here lang='de' — "select more German-like data"), the standard
+    // targeted data-selection pass of an LLM pretraining mix. The de docs
+    // themselves should surface at the top — which the gate's emitted
+    // top-20 demonstrates. See ops.Dsir for the 100 TB plan shape.
+    "q_dsir_weights" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.Dsir.importanceWeights(docs, "doc_id", "text",
+          col("lang") === "de", buckets = 256)
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_features", "dsir_weight")
+        .orderBy(col("dsir_weight").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the top
+    // 100 token ranks, plus corpus totals — the sanity statistic that a
+    // synthetic or filtered corpus still has a natural-language-shaped
+    // token distribution (slope ≈ −1 for natural text). All moments are
+    // computed from one 100-row table; the only corpus-sized work is the
+    // token count aggregation. The emitted slope/intercept/r2 use exact
+    // integer counts inside ln(), so both engines see identical inputs.
+    "q_zipf_fit" -> { (s, dir) =>
+      val R = 100
+      val cnt = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      // Top-R cutoff BEFORE the rank window: orderBy+limit is a
+      // distributed TakeOrdered (per-partition top-R, merged), so the
+      // global row_number window only ever sees R rows — not the vocab.
+      val ranked = cnt
+        .orderBy(col("cnt").desc, col("token")).limit(R)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("token"))))
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+      val tots = cnt.agg(sum("cnt").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"))
+      val m = ranked.agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      val icept = (col("sy") - slope * col("sx")) / col("n")
+      val r2num = (col("n") * col("sxy") - col("sx") * col("sy")) *
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+      val r2den = (col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy"))
+      tots.crossJoin(m.select(round(slope, 6).as("zipf_slope"),
+        round(icept, 6).as("zipf_intercept"),
+        round(r2num / r2den, 6).as("r2")))
+        .select("n_tokens", "n_distinct", "zipf_slope", "zipf_intercept",
+          "r2")
+    },
+
     // Quality scoring per source: docs, good docs, exact-summed score.
     "q_quality_score" -> { (s, dir) =>
       val toks = TextAnalysis.tokenCount(col("text")).cast("double")
@@ -1212,6 +1271,69 @@ object TextQueries {
         |  LEFT JOIN src ON src.source = st.source AND src.token = gl.token)
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, t[i] AS f
+        |  FROM tk, unnest(range(1, len(t) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS f
+        |  FROM tk, unnest(range(1, greatest(len(t), 1))) AS u(i)),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM f WHERE f <> ''),
+        |hist AS (
+        |  SELECT b,
+        |    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS ct,
+        |    sum(CASE WHEN lang = 'de' THEN 0 ELSE 1 END) AS cr
+        |  FROM fb GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM hist),
+        |llr AS (
+        |  SELECT b, ln((ct + 1.0) / (tt + 256.0)) -
+        |            ln((cr + 1.0) / (tr + 256.0)) AS llr
+        |  FROM hist, tot),
+        |dc AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2),
+        |w AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+        |    round(CAST(sum(CAST(c * llr AS DECIMAL(28,14))) AS DOUBLE), 6)
+        |      AS dsir_weight
+        |  FROM dc JOIN llr USING (b) GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.source, w.n_features, w.dsir_weight
+        |FROM w JOIN documents d USING (doc_id)
+        |ORDER BY w.dsir_weight DESC, d.doc_id
+        |LIMIT 20""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH cnt AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE token <> '' GROUP BY 1),
+        |tots AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct
+        |  FROM cnt),
+        |rk AS (
+        |  SELECT ln(CAST(row_number() OVER
+        |      (ORDER BY cnt DESC, token) AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM cnt ORDER BY cnt DESC, token LIMIT 100),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM rk)
+        |SELECT tots.n_tokens, tots.n_distinct,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    AS zipf_slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+        |    6) AS zipf_intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM tots, m""".stripMargin,
 
     "q_quality_score" ->
       s"""WITH d AS (

@@ -81,6 +81,47 @@ object SemanticDedup {
     statsWithCentroids(u, centroids, threshold)
   }
 
+  /** Simplified (centroid-based) silhouette — the standard O(n·k)
+    * cluster-quality statistic (full silhouette is O(n²); the simplified
+    * form replaces mean-to-members with distance-to-centroid and is the
+    * only variant that survives corpus scale). Per vector: a = cosine
+    * distance to its own (nearest) centroid, b = distance to the
+    * second-nearest; s = (b − a) / b (b ≥ a ≥ 0 by construction, and
+    * max(a,b) = b). Emits one row per cluster: member count and mean s.
+    *
+    * Same fixed-centroid convention as [[semanticDedupStats]] (unit
+    * vectors with id < k, rounded-cosine argmin, ties to the lowest
+    * centroid id) so a relational oracle reproduces it exactly; the
+    * production path swaps in the trained quantizer. Scale shape: one
+    * broadcast cross of n×k narrow rows collapsed by partial
+    * aggregation; per-row s is rounded to 9 decimals so the exact
+    * decimal mean is engine- and partitioning-independent.
+    */
+  def simplifiedSilhouette(emb: DataFrame, idCol: String, embCol: String,
+                           k: Int): DataFrame = {
+    val u = Similarity.unitVectors(emb, idCol, embCol, "vid", "u")
+    val centroids = u.filter(col("vid") < k)
+      .select(col("vid").as("cid"), col("u").as("cu"))
+    val d = u.crossJoin(broadcast(centroids))
+      .select(col("vid"), struct(
+        (lit(1.0) - round(Similarity.dot(col("u"), col("cu")), 6)).as("d"),
+        col("cid")).as("dk"))
+    val two = d.groupBy("vid")
+      .agg(sort_array(collect_list(col("dk"))).as("ds"))
+      .select(col("vid"), element_at(col("ds"), 1).as("m1"),
+        element_at(col("ds"), 2).as("m2"))
+    two
+      .select(col("m1.cid").as("cluster"),
+        when(col("m2.d") > 0,
+          round((col("m2.d") - col("m1.d")) / col("m2.d"), 9))
+          .otherwise(lit(0.0)).as("sil"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("sil").cast("decimal(18,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_sil"))
+      .orderBy("cluster")
+  }
+
   private def statsWithCentroids(u: DataFrame, centroids: DataFrame,
                                  threshold: Double): DataFrame = {
     val uu = u.join(assign(u, centroids), "vid")

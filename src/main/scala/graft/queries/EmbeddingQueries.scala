@@ -175,6 +175,32 @@ object EmbeddingQueries {
         "vec_id", "embedding", SemClusters, NearDupCosine)
     },
 
+    // Embedding-space source drift: cosine of each label's centroid
+    // against the global centroid — the embedding twin of
+    // q_js_divergence's token-distribution drift, and the statistic that
+    // catches a domain whose vectors have wandered from the corpus mean.
+    // Everything is dimension-keyed aggregation (labels×dims rows, never
+    // corpus-sized intermediate); the 64-row global centroid broadcasts.
+    "q_emb_label_drift" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), col("embedding").cast("array<double>").as("e"))
+      val d = e.select(col("label"),
+        posexplode(col("e")).as(Seq("pos", "v")))
+      val ld = d.groupBy("label", "pos").agg(avg("v").as("m"))
+      val gd = d.groupBy("pos").agg(avg("v").as("g"))
+      val mom = ld.join(broadcast(gd), "pos")
+        .groupBy("label")
+        .agg(sum(col("m") * col("g")).as("smg"),
+          sum(col("m") * col("m")).as("smm"),
+          sum(col("g") * col("g")).as("sgg"))
+      e.groupBy("label").agg(count(lit(1)).as("n"))
+        .join(mom, "label")
+        .select(col("label"), col("n"),
+          round(col("smg") / (sqrt(col("smm")) * sqrt(col("sgg"))), 6)
+            .as("drift_cosine"))
+        .orderBy("label")
+    },
+
     // Cluster-quality audit: simplified (centroid-based) silhouette per
     // cluster over the same fixed centroid set as q_semantic_dedup — the
     // statistic that tells a curation pipeline whether its semantic
@@ -341,6 +367,24 @@ object EmbeddingQueries {
          |FROM uu LEFT JOIN dup d ON uu.vec_id = d.vec_id
          |GROUP BY uu.cluster
          |ORDER BY uu.cluster""".stripMargin,
+
+    "q_emb_label_drift" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |d AS (
+        |  SELECT label, i - 1 AS pos, e[i] AS v
+        |  FROM e, unnest(range(1, len(e) + 1)) AS u(i)),
+        |ld AS (SELECT label, pos, avg(v) AS m FROM d GROUP BY 1, 2),
+        |gd AS (SELECT pos, avg(v) AS g FROM d GROUP BY 1),
+        |mom AS (
+        |  SELECT label, sum(m * g) AS smg, sum(m * m) AS smm,
+        |    sum(g * g) AS sgg
+        |  FROM ld JOIN gd USING (pos) GROUP BY 1),
+        |c AS (SELECT label, count(*) AS n FROM e GROUP BY 1)
+        |SELECT c.label, c.n,
+        |  round(smg / (sqrt(smm) * sqrt(sgg)), 6) AS drift_cosine
+        |FROM c JOIN mom USING (label)
+        |ORDER BY c.label""".stripMargin,
 
     "q_emb_silhouette" ->
       s"""WITH e AS (

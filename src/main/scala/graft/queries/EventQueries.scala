@@ -188,6 +188,43 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Markov transition matrix over per-user event sequences: lag window
+    // keyed on user (one shuffle), pair counts bounded by |event_types|²,
+    // global probability via a scalar-aggregate broadcast. The standard
+    // behavioral-analytics / session-model statistic.
+    "q_event_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev"), col("event_type").as("curr"))
+      val cnt = pairs.groupBy("prev", "curr")
+        .agg(count(lit(1)).as("n_trans"))
+      val tot = pairs.agg(count(lit(1)).as("tot"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("prev"), col("curr"), col("n_trans"),
+          round(col("n_trans").cast("double") / col("tot"), 6).as("prob"))
+        .orderBy("prev", "curr")
+    },
+
+    // Daily retention cohorts: users grouped by first-seen day, distinct
+    // actives per (cohort, day-offset ≤ 7). The first-seen dimension is
+    // broadcast here (users ≪ events); when the user dimension outgrows
+    // the broadcast threshold the same plan falls back to a shuffled
+    // equi-join on user_id — nothing else changes.
+    "q_retention_cohorts" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy("user_id").agg(min("d").as("cohort"))
+      ev.join(broadcast(first), "user_id")
+        .withColumn("day_offset", datediff(col("d"), col("cohort")))
+        .filter(col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    },
+
     // Robust twin of q_zscore_outliers: median/MAD outlier detection —
     // the estimator that still works when the anomaly itself inflates
     // the stddev (z-scores go blind exactly when the tail is heaviest).
@@ -652,6 +689,33 @@ object EventQueries {
          |FROM x
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev,
+        |    event_type AS curr
+        |  FROM events),
+        |f AS (SELECT prev, curr FROM p WHERE prev IS NOT NULL),
+        |c AS (SELECT prev, curr, count(*) AS n_trans FROM f GROUP BY 1, 2),
+        |t AS (SELECT count(*) AS tot FROM f)
+        |SELECT prev, curr, n_trans,
+        |  round(CAST(n_trans AS DOUBLE) / tot, 6) AS prob
+        |FROM c, t
+        |ORDER BY prev, curr""".stripMargin,
+
+    "q_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1)
+        |SELECT f.cohort,
+        |  CAST(date_diff('day', f.cohort, ev.d) AS INT) AS day_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |WHERE date_diff('day', f.cohort, ev.d) <= 7
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_mad_outliers" ->
       """WITH med AS (

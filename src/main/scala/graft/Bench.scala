@@ -24,6 +24,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // NOTE: no short spark.cleaner.periodicGC.interval here — a forced
       // full GC on a large heap pauses 10s+ and would land mid-query;
@@ -50,7 +51,7 @@ object Bench {
         spark.read.parquet(s"$sfDir/$tn.parquet").foreach(_ => ())
       }
     }
-    // events' ts column is NANOS-precision — needs the legacy-conf read
+    // events' ts encoding varies by producer — Q.events dispatches on it
     warm("scan events")(queries.Q.events(spark, sfDir).foreach(_ => ()))
     // NEUTRAL machinery warmers — synthetic inputs, NOT gate queries, so no
     // timed query gets a head start its siblings don't (each still compiles
@@ -102,21 +103,33 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
+    // A query that THROWS must never be timed as a (fast) success — round 5
+    // benched 21 analysis exceptions as "speedups". Failures record -1.0
+    // (unmistakably not a duration), are excluded from the total, and are
+    // listed by name in an "errors" array on both emitted lines.
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          errors += name
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       resetState(spark)
-      name -> dt
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver captures only the TAIL of stdout: emit the big per-query
     // map on its own line first and the short headline line LAST, so a
     // truncated capture always retains a parseable total.
-    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,10 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * oracle), event-time daily windows, JSON prop extraction, and a
   * time-bounded funnel self-join.
   *
-  * Timestamps: the parquet column is nanosecond-precision; Spark and DuckDB
-  * both truncate to microseconds (Spark at read, the oracle via an explicit
-  * CAST to TIMESTAMP), and all arithmetic is done in integral microseconds
-  * (`unix_micros` / `epoch_us`) so the two engines agree bit-for-bit.
+  * Timestamps: `Q.events` / `Q.eventsStream` normalize whatever physical
+  * encoding the driver wrote (nanos-INT64 or `timestamp[us]`) to a
+  * session-zoned microsecond TIMESTAMP, the same value the oracle's
+  * `CAST(ts AS TIMESTAMP)` yields; all arithmetic is then done in integral
+  * microseconds (`unix_micros` / `epoch_us`) so the two engines agree
+  * bit-for-bit.
   *
   * Scale: sessionization shuffles once on user_id (hash-partitioned window;
   * no global sort); the funnel join shuffles both sides on user_id and
@@ -137,16 +139,7 @@ object EventQueries {
     // Complete mode emits every window, so the result is deterministic and
     // equals the batch group-by the oracle runs.
     "q_stream_hourly" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // The table is a single file. FileStreamSource force-sets
-      // basePath := path for NON-glob paths, which then fails the
-      // "basePath must be a directory" check — so the path must be a glob
-      // (matching just this file), with basePath pinned to the parent dir.
-      val stream = s.readStream.schema(schema)
-        .option("basePath", dir)
-        .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, dir)
       val counts = stream
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -277,11 +270,7 @@ object EventQueries {
     // an append-mode sink; the batch aggregate of the sink equals the
     // batch count-distinct the oracle runs regardless of arrival order.
     "q_stream_dedup" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("basePath", dir)
-        .parquet(s"$dir/events*.parquet")
+      val stream = eventsStream(s, dir)
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
       val name = "q_stream_dedup_" +
@@ -309,12 +298,7 @@ object EventQueries {
     // complement of q_session_window's batch check, one shared
     // Sessionize definition for both modes.
     "q_stream_session" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("basePath", dir)
-        .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, dir)
       val sessions = graft.streaming.Sessionize.sessionStream(
         stream, "30 minutes", "0 seconds")
       val name = "q_stream_session_" +
@@ -335,12 +319,7 @@ object EventQueries {
     // Streaming SLIDING event-time windows (2h width, 1h slide — each
     // event lands in exactly two windows), complete mode.
     "q_stream_sliding" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("basePath", dir)
-        .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, dir)
       val counts = stream
         .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -392,11 +371,7 @@ object EventQueries {
     // (a k-element heap per group — state size k, not stream length),
     // complete mode. Same collect_top_k that serves batch and SQL.
     "q_stream_topk" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("basePath", dir)
-        .parquet(s"$dir/events*.parquet")
+      val stream = eventsStream(s, dir)
       val agg = stream.groupBy("event_type")
         .agg(graft.functions.TopK.collectTopK(
           struct(col("value"), col("event_id")), 3).as("tk"))
@@ -419,11 +394,7 @@ object EventQueries {
     // AvailableNow; the files are then read back and aggregated, so the
     // oracle checks the full write–read round trip.
     "q_stream_etl" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("basePath", dir)
-        .parquet(s"$dir/events*.parquet")
+      val stream = eventsStream(s, dir)
         .filter(col("event_type").isin("view", "purchase"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
@@ -482,12 +453,7 @@ object EventQueries {
     // same UDAF serves batch and streaming unchanged; with AvailableNow
     // the final state equals the batch group-by the oracle computes.
     "q_stream_mi" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("basePath", dir)
-        .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, dir)
       val agg = stream.groupBy("event_type")
         .agg(round(graft.functions.MIAggregate.mi(
           floor(col("value")), hour(col("ts"))), 6).as("mi"))
@@ -511,12 +477,7 @@ object EventQueries {
     // identical join in plain SQL: with AvailableNow every pair matches
     // inside the run, so streaming and batch semantics coincide exactly.
     "q_stream_join" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def stream = s.readStream.schema(schema)
-        .option("basePath", dir)
-        .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def stream = eventsStream(s, dir)
       // Watermark bounds join STATE (production shape: ~2 hours — the 1h
       // join range + slack). For THIS harness the oracle equivalence
       // requires that no state drops between micro-batches: AvailableNow

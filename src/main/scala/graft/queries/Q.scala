@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Shared helpers for the query registry.
@@ -30,16 +30,61 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Load `events`, whose `ts` column is NANOS-precision parquet — which
-    * Spark refuses to read as a timestamp. Read it as nanos-since-epoch
-    * (legacy conf) and truncate to microseconds, exactly what DuckDB's
-    * `CAST(ts AS TIMESTAMP)` does on the oracle side, so both engines see
-    * the identical microsecond value.
+  /** Normalize the `events.ts` column to a session-zoned TIMESTAMP at
+    * microsecond precision, dispatching on the LOGICAL type the scan
+    * produced rather than assuming one physical encoding. Data producers
+    * rewrite files; an engine that hard-codes "ts is nanos-INT64" breaks
+    * the day the upstream writer switches to `timestamp[us]` (exactly what
+    * happened between rounds 4 and 5). Handled encodings:
+    *
+    *   - integral: nanos-since-epoch (parquet nanos read under the
+    *     `nanosAsLong` legacy conf) → truncate to micros. Same value
+    *     DuckDB's `CAST(ts AS TIMESTAMP)` produces from nanos.
+    *   - TIMESTAMP_NTZ (parquet `timestamp[us]`, isAdjustedToUTC=false) →
+    *     reinterpret the wall clock in the session zone (UTC everywhere in
+    *     this repo), matching DuckDB's naive-timestamp `epoch_us`.
+    *   - TIMESTAMP: already what we want.
+    *
+    * Anything else fails loudly here, at the one choke point, instead of as
+    * N analysis errors scattered across the query registry.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType | IntegerType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other; " +
+          "extend Q.normalizeEventTs for this encoding")
+    }
+
+  /** Load `events` with `ts` normalized per [[normalizeEventTs]]. The
+    * legacy nanos conf is set unconditionally — it only affects scans whose
+    * parquet type IS nanos, and must be set before analysis for those.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Streaming scan of `events` with the same `ts` normalization. The
+    * FileStreamSource needs an explicit schema, taken from a batch read of
+    * the same file (footer-only; no data scan). The table is a single
+    * file, and FileStreamSource force-sets basePath := path for NON-glob
+    * paths, then fails its "basePath must be a directory" check — so the
+    * path must be a glob matching just this file, with basePath pinned to
+    * the parent dir. Returns a fresh stream per call (callers doing
+    * stream-stream self-joins need two distinct sources).
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events*.parquet"))
   }
 
   /** Order-independent exact sum of a double column, returned as double. */

@@ -22,8 +22,19 @@ object TextQueries {
     * in-block (id_a < id_b) pairs with exact Jaccard (`p`) — the SQL twin
     * of `Dedup.ngramJaccardPairs`, reused by the pair and cluster oracles.
     */
-  /** Exact UNBLOCKED 3-gram Jaccard pairs over the whole corpus at
-    * `minJ` — the truth set the LSH-family gate queries prove their
+  /** Documents in the truth audit sample: the `TruthSample` docs with the
+    * smallest md5(doc_id) — the same rows in any engine. Covers the whole
+    * corpus at the correctness-gate scales (≤ 2000 docs), and caps the
+    * exact-Jaccard truth join at a CONSTANT cost beyond that: the LSH
+    * machinery under test still runs over the full corpus, but the truth
+    * set it is audited against is a bounded quadratic, so the one job
+    * that used to grow superlinearly with corpus size no longer does
+    * (same pattern as q_emb_cosine_neardup's md5 audit sample).
+    */
+  private val TruthSample = 2000
+
+  /** Exact UNBLOCKED 3-gram Jaccard pairs at `minJ` over the [[TruthSample]]
+    * audit docs — the truth set the LSH-family gate queries prove their
     * recall against (duplicates in this corpus are mostly CROSS-source,
     * so the source-blocked pair set would miss them). Inverted-index
     * shape (postings join), never all-pairs.
@@ -32,13 +43,15 @@ object TextQueries {
                          minJ: Double): DataFrame =
     // Pinned (eager localCheckpoint): every contract gate references its
     // truth set 2–3× (recall join, emit, and e.g. the simhash closeness
-    // join), and this full-corpus exact-Jaccard join is the most expensive
-    // job in the gate — without the pin it re-executes per reference.
-    // (Cross-GATE sharing is deliberately absent: Bench/Verify unpersist
-    // all blocks between queries, so a memoized checkpoint would be a
-    // dangling RDD by the next gate.)
+    // join) — without the pin the exact-Jaccard join re-executes per
+    // reference. (Cross-GATE sharing is deliberately absent: Bench/Verify
+    // unpersist all blocks between queries, so a memoized checkpoint would
+    // be a dangling RDD by the next gate.)
     Pin.pin(Dedup.ngramJaccardPairs(
-      t(s, dir, "documents").withColumn("blk", lit("all")),
+      t(s, dir, "documents")
+        .orderBy(md5(col("doc_id").cast("string")))
+        .limit(TruthSample)
+        .withColumn("blk", lit("all")),
       "doc_id", "text", "blk", 3, minJ))
 
   /** Truth pairs + one constant contract column: the fraction of truth
@@ -67,14 +80,17 @@ object TextQueries {
     * sf0.01 already).
     */
   private def truthOracle(minJ: Double, okCol: String): String =
-    s"""WITH d AS (
+    s"""WITH smp AS (
+       |  SELECT doc_id, text FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT $TruthSample),
+       |d AS (
        |  SELECT * FROM (
        |    SELECT doc_id,
        |      list_distinct(list_transform(
        |        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
        |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
        |        AS sh
-       |    FROM documents)
+       |    FROM smp)
        |  WHERE len(sh) > 0),
        |e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM d),
        |p AS (
@@ -319,7 +335,7 @@ object TextQueries {
 
     // MinHash-LSH near-dup gate: the seeded LSH candidate join + exact
     // verify runs over the full corpus; the query proves it against the
-    // exact unblocked truth at Jaccard ≥ 0.8 and emits the truth pairs
+    // exact unblocked truth (md5 audit sample) at Jaccard ≥ 0.8 and emits the truth pairs
     // (SQL-expressible) + `minhash_recall_ok` (bound ≥90%; measured 100%
     // at every sf). A hash mismatch here means the LSH machinery lost
     // recall — the rows-only check this replaces could not see that.

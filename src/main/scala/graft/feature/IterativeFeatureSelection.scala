@@ -139,10 +139,50 @@ object IterativeFeatureSelection {
     * (`reference:IterativeFeatureSelection.scala:97` collects every
     * distinct tuple).
     */
+  /** Session-lifetime statistics cache for [[pairMIMulti]]: MI depends
+    * only on the input RELATION and the pair list, so results are keyed by
+    * the canonicalized logical plan (Catalyst's own same-result identity —
+    * the key two equivalent `.select` chains share, and two different
+    * parquet dirs never do). The cached values are |pairs| doubles per
+    * entry — a feature-statistics cache in the CBO tradition, NOT cached
+    * data: a fit over a matrix another query already profiled (the
+    * Estimator gate re-fitting what `selectTopK` just selected) costs zero
+    * distributed jobs instead of repeating the corpus-scale counting scan.
+    */
+  private val miStatsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Seq[(Int, Int)], Int), Map[(Int, Int), Double]]
+
+  /** Cache key for `data`, or None when its contents are not identified by
+    * its plan. A canonicalized plan alone is NOT a safe key: two different
+    * in-memory datasets (LocalRelation / LogicalRDD) canonicalize to the
+    * same tree — only file-backed scans carry a durable data identity, so
+    * the cache is restricted to plans whose every leaf is a file relation,
+    * keyed by (root paths, canonical plan).
+    */
+  private def statsCacheKey(data: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val leafIds = data.queryExecution.analyzed.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => Some(fs.location.rootPaths.mkString(","))
+        case _                    => None
+      }
+      case _ => None
+    }
+    if (leafIds.nonEmpty && leafIds.forall(_.isDefined))
+      Some(leafIds.flatten.mkString(";") + "|" +
+        data.queryExecution.analyzed.canonicalized.toString)
+    else None
+  }
+
   private[graft] def pairMIMulti(data: DataFrame, pairs: Seq[(Int, Int)],
                                  maxCategories: Int)
   : Map[(Int, Int), Double] = {
     require(pairs.nonEmpty, "pairs must be non-empty")
+    val cacheKey = statsCacheKey(data).map((_, pairs, maxCategories))
+    cacheKey.flatMap(miStatsCache.get) match {
+      case Some(hit) => return hit
+      case None      =>
+    }
     // The explode below multiplies each input row ×|pairs| and is the
     // CPU-bound stage of the whole selection — its parallelism must not be
     // whatever split count the scan happened to produce (a small input is
@@ -199,8 +239,10 @@ object IterativeFeatureSelection {
     // above the drift and far below any real MI gap, so both paths (and
     // repeated runs) see bit-identical memo values. (MI ≤ ln(levels), so
     // the scaled value is well inside exact double range.)
-    mi.map(r => (r.getInt(0), r.getInt(1)) ->
+    val out = mi.map(r => (r.getInt(0), r.getInt(1)) ->
       math.rint(r.getDouble(2) * 1e12) / 1e12).toMap
+    cacheKey.foreach(miStatsCache.put(_, out))
+    out
   }
 
   /** One distributed job: Pearson chi-square statistic for an arbitrary

@@ -18,9 +18,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   * (explode of unigrams + bigrams — no self-join), the per-split bucket
   * histogram is a B-row aggregate (B ≈ 10⁴ even in production — the paper
   * uses 10⁴ buckets for web-scale corpora), and the log-likelihood-ratio
-  * table is broadcast back. The only corpus-sized shuffle is the
-  * (doc, bucket) partial-aggregated groupBy. Nothing quadratic, nothing
-  * driver-sized except the B-row LLR table.
+  * table is broadcast back. The only corpus-sized shuffle is the final
+  * per-doc weight aggregation (full map-side combine — docs-many groups).
+  * Nothing quadratic, nothing driver-sized except the B-row LLR table.
   *
   * Determinism: the bucket hash is an md5 prefix (engine-independent);
   * the per-doc sum of c·llr terms goes through exact decimal addition so
@@ -40,8 +40,21 @@ object Dsir {
     * whitespace-tokenized text column.
     */
   def features(text: Column): Column =
-    concat(TextAnalysis.shinglesWithDuplicates(text, 1),
-      TextAnalysis.shinglesWithDuplicates(text, 2))
+    featuresFromTokens(TextAnalysis.tokens(text))
+
+  /** Same features from an already-split token array. Splitting is the
+    * profiled cost center of the DSIR pass (the md5 bucket hash is noise
+    * next to it), so callers project the token array ONCE and build both
+    * n-gram orders from it; bigrams use two `element_at` calls instead of
+    * `slice`+`concat_ws` (no per-bigram array allocation).
+    */
+  def featuresFromTokens(toks: Column): Column =
+    concat(toks,
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "),
+            element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")))
 
   /** Per-document DSIR importance weights.
     *
@@ -56,22 +69,28 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, buckets: Int): DataFrame = {
-    // ONE corpus pass: explode + md5 happen exactly once, collapsed to
-    // the per-(doc, bucket) partial aggregate, which is pinned because
-    // everything downstream (split histogram, totals, per-doc weights)
-    // re-references it — without the pin the corpus explode would run 3×
-    // (the uncached-truth anti-pattern from VERDICT r4).
-    val dc = Pin.pin(docs
+    // ONE corpus pass: tokenize + explode + md5 happen exactly once; the
+    // SKINNY (doc, is_t, bucket) occurrence rows are pinned and both
+    // downstream aggregates read from the pin. Deliberately NOT
+    // pre-aggregated to (doc, bucket, count) first: with ~hundreds of
+    // features per doc that "aggregate" barely compresses (≈1 group per
+    // input row at any B ≥ per-doc features), so it was a corpus-sized
+    // hash-agg bought for nothing (profiled at sf1: 10.4 s for the agg vs
+    // 3.3 s for the whole tokenize+explode+hash pass it fed). Per-doc
+    // weights sum the broadcast llr per OCCURRENCE in exact decimal —
+    // associative, partition-order independent, and the oracle mirrors
+    // the identical per-occurrence spelling.
+    val fb = Pin.pin(docs
       .select(col(idCol), isTarget.as("is_t"),
-        explode(features(col(textCol))).as("f"))
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("is_t"),
+        explode(featuresFromTokens(col("toks"))).as("f"))
       .filter(col("f") =!= "")
-      .select(col(idCol), col("is_t"), bucketOf(col("f"), buckets).as("b"))
-      .groupBy(col(idCol), col("is_t"), col("b"))
-      .agg(count(lit(1)).as("c")))
-    // Split histograms from the partial aggregate: B rows out.
-    val hist = dc.groupBy("b")
-      .agg(sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
-        sum(when(col("is_t"), 0L).otherwise(col("c"))).as("cr"))
+      .select(col(idCol), col("is_t"), bucketOf(col("f"), buckets).as("b")))
+    // Split histograms: B rows out, full map-side combine.
+    val hist = fb.groupBy("b")
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
     val tot = hist.agg(sum("ct"), sum("cr")).head()
     val (tt, tr) = (tot.getLong(0), tot.getLong(1))
     // Smoothed log-likelihood ratio per bucket; absent buckets would have
@@ -82,10 +101,10 @@ object Dsir {
       (log((col("ct") + 1).cast("double") / (tt.toDouble + buckets)) -
         log((col("cr") + 1).cast("double") / (tr.toDouble + buckets)))
         .as("llr"))
-    dc.join(broadcast(llr), "b")
+    fb.join(broadcast(llr), "b")
       .groupBy(idCol)
-      .agg(sum("c").cast("long").as("n_features"),
-        round(sum((col("c") * col("llr")).cast("decimal(28,14)"))
+      .agg(count(lit(1)).cast("long").as("n_features"),
+        round(sum(col("llr").cast("decimal(28,14)"))
           .cast("double"), 6).as("dsir_weight"))
   }
 }

@@ -1358,12 +1358,11 @@ object TextQueries {
         |  SELECT b, ln((ct + 1.0) / (tt + 256.0)) -
         |            ln((cr + 1.0) / (tr + 256.0)) AS llr
         |  FROM hist, tot),
-        |dc AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2),
         |w AS (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
-        |    round(CAST(sum(CAST(c * llr AS DECIMAL(28,14))) AS DOUBLE), 6)
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+        |    round(CAST(sum(CAST(llr AS DECIMAL(28,14))) AS DOUBLE), 6)
         |      AS dsir_weight
-        |  FROM dc JOIN llr USING (b) GROUP BY 1)
+        |  FROM fb JOIN llr USING (b) GROUP BY 1)
         |SELECT d.doc_id, d.lang, d.source, w.n_features, w.dsir_weight
         |FROM w JOIN documents d USING (doc_id)
         |ORDER BY w.dsir_weight DESC, d.doc_id

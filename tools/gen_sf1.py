@@ -62,17 +62,15 @@ def main():
       ) TO '{out}/embeddings.parquet' (FORMAT parquet)""")
 
     # events: distinct user/event id space per replica, same time axis
-    # (10x the concurrent users -> 10x join/window state). ts is written
-    # as BIGINT epoch-nanos: duckdb reads the source's TIMESTAMP(NANOS)
-    # at microsecond precision and would silently write a micros
-    # timestamp, which Spark's nanos-as-long read path then rejects —
-    # a plain nanos BIGINT reads identically to the driver tables
-    # (Q.events does `ts div 1000` either way).
+    # (10x the concurrent users -> 10x join/window state). ts passes
+    # through as-is: the driver writes timestamp[us] since round 5, and
+    # Q.events dispatches on the read schema, so the probe data should
+    # exercise the same encoding the gates see.
     con.execute(f"""
       COPY (
         SELECT event_id + rep * 1000000000 AS event_id,
                user_id + rep * 1000000 AS user_id,
-               epoch_ns(ts) AS ts,
+               ts,
                e.* EXCLUDE (event_id, user_id, ts)
         FROM '{SRC}/events.parquet' e CROSS JOIN r
       ) TO '{out}/events.parquet' (FORMAT parquet)""")

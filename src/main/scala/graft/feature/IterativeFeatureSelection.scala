@@ -140,17 +140,21 @@ object IterativeFeatureSelection {
     * distinct tuple).
     */
   /** Session-lifetime statistics cache for [[pairMIMulti]]: MI depends
-    * only on the input RELATION and the pair list, so results are keyed by
-    * the canonicalized logical plan (Catalyst's own same-result identity —
-    * the key two equivalent `.select` chains share, and two different
-    * parquet dirs never do). The cached values are |pairs| doubles per
-    * entry — a feature-statistics cache in the CBO tradition, NOT cached
-    * data: a fit over a matrix another query already profiled (the
-    * Estimator gate re-fitting what `selectTopK` just selected) costs zero
-    * distributed jobs instead of repeating the corpus-scale counting scan.
+    * only on the input RELATION and the column pair, so each pair's scalar
+    * is cached individually under the canonicalized logical plan
+    * (Catalyst's own same-result identity — the key two equivalent
+    * `.select` chains share, and two different parquet dirs never do).
+    * Per-PAIR granularity means any later request is served for its
+    * cached subset and pays one counting job for only the missing pairs —
+    * sound because pairMIMulti rounds to 12 decimals exactly so that
+    * batch composition cannot change a pair's value. A feature-statistics
+    * cache in the CBO tradition, NOT cached data: a fit over a matrix
+    * another query already profiled (the Estimator gate re-fitting what
+    * `selectTopK` just selected, a relevance query re-reading what the
+    * full pair table computed) repeats no corpus-scale counting.
     */
   private val miStatsCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Seq[(Int, Int)], Int), Map[(Int, Int), Double]]
+    .empty[(String, Int), scala.collection.concurrent.TrieMap[(Int, Int), Double]]
 
   /** Cache key for `data`, or None when its contents are not identified by
     * its plan. A canonicalized plan alone is NOT a safe key: two different
@@ -174,15 +178,19 @@ object IterativeFeatureSelection {
     else None
   }
 
-  private[graft] def pairMIMulti(data: DataFrame, pairs: Seq[(Int, Int)],
+  private[graft] def pairMIMulti(data: DataFrame, allPairs: Seq[(Int, Int)],
                                  maxCategories: Int)
   : Map[(Int, Int), Double] = {
-    require(pairs.nonEmpty, "pairs must be non-empty")
-    val cacheKey = statsCacheKey(data).map((_, pairs, maxCategories))
-    cacheKey.flatMap(miStatsCache.get) match {
-      case Some(hit) => return hit
-      case None      =>
+    require(allPairs.nonEmpty, "pairs must be non-empty")
+    val planCache = statsCacheKey(data)
+      .map(k => miStatsCache.getOrElseUpdate((k, maxCategories),
+        scala.collection.concurrent.TrieMap.empty))
+    val cached: Map[(Int, Int), Double] = planCache match {
+      case Some(pc) => allPairs.flatMap(p => pc.get(p).map(p -> _)).toMap
+      case None     => Map.empty
     }
+    val pairs = allPairs.filterNot(cached.contains)
+    if (pairs.isEmpty) return cached
     // The explode below multiplies each input row ×|pairs| and is the
     // CPU-bound stage of the whole selection — its parallelism must not be
     // whatever split count the scan happened to produce (a small input is
@@ -239,10 +247,10 @@ object IterativeFeatureSelection {
     // above the drift and far below any real MI gap, so both paths (and
     // repeated runs) see bit-identical memo values. (MI ≤ ln(levels), so
     // the scaled value is well inside exact double range.)
-    val out = mi.map(r => (r.getInt(0), r.getInt(1)) ->
+    val computed = mi.map(r => (r.getInt(0), r.getInt(1)) ->
       math.rint(r.getDouble(2) * 1e12) / 1e12).toMap
-    cacheKey.foreach(miStatsCache.put(_, out))
-    out
+    planCache.foreach(pc => computed.foreach { case (p, v) => pc.put(p, v) })
+    cached ++ computed
   }
 
   /** One distributed job: Pearson chi-square statistic for an arbitrary

@@ -5,6 +5,7 @@ import graft.streaming.Sessionize
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Event-stream analytics over the `events` table: sessionization (both
@@ -338,6 +339,40 @@ object EventQueries {
     },
 
     // Funnel: users with a purchase within 1h after a view.
+    // Event-time GAP FILL: densify each user's hourly series over their
+    // own [first, last] hour span (sequence + explode — no calendar
+    // dimension table) and carry the last observed hourly sum forward
+    // into the missing hours (window `last(…, ignoreNulls)` — one shuffle
+    // on user_id, no self-join). The alignment step every time-series
+    // feature pipeline needs before joining signals onto a training
+    // grid. Output is per-user audit totals: grid size, observed hours,
+    // and the exact-decimal sum of the forward-filled series (each
+    // carried value has ≤4 decimals by construction, so the decimal sum
+    // is associative and engine-identical). Scale: grid rows are bounded
+    // by |users| × span-hours — linear in the densified series, with the
+    // span itself data-bounded, never a cross join against a global
+    // calendar.
+    "q_gap_fill" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(dsum(col("value")).as("v"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("fv", last(col("v"), ignoreNulls = true).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_observed"),
+          sum(col("fv").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("filled_sum"))
+        .orderBy("user_id")
+    },
+
     "q_funnel_1h" -> { (s, dir) =>
       val ev = events(s, dir)
       val views = ev.filter(col("event_type") === "view")
@@ -730,6 +765,30 @@ object EventQueries {
          |  FROM events)
          |GROUP BY 1
          |ORDER BY win_us""".stripMargin,
+
+    "q_gap_fill" ->
+      s"""WITH hourly AS (
+         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |    ${dsumSql("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT user_id, unnest(generate_series(min(h), max(h),
+         |    INTERVAL 1 HOUR)) AS h
+         |  FROM hourly GROUP BY user_id),
+         |f AS (
+         |  SELECT g.user_id, g.h, hv.v,
+         |    last_value(hv.v IGNORE NULLS) OVER (
+         |      PARTITION BY g.user_id ORDER BY g.h
+         |      ROWS UNBOUNDED PRECEDING) AS fv
+         |  FROM grid g LEFT JOIN hourly hv
+         |    ON g.user_id = hv.user_id AND g.h = hv.h)
+         |SELECT user_id, count(*) AS n_hours,
+         |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_observed,
+         |  CAST(sum(CAST(fv AS DECIMAL(18,4))) AS DOUBLE) AS filled_sum
+         |FROM f
+         |GROUP BY 1
+         |ORDER BY user_id""".stripMargin,
 
     "q_funnel_1h" ->
       """SELECT count(DISTINCT v.user_id) AS n_users,

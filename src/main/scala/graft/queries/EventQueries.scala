@@ -339,6 +339,29 @@ object EventQueries {
     },
 
     // Funnel: users with a purchase within 1h after a view.
+    // Rolling event-time window stats: per event type, the 3-hour
+    // trailing count and exact-decimal value sum over the hourly series
+    // (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW — the bounded-frame
+    // window shape, distinct from the running-total and rank frames
+    // elsewhere in the registry). Two-level: corpus → hourly aggregate
+    // (shuffle bounded by hours × types) → frame window on the tiny
+    // aggregate — the rolling pass never touches corpus-sized data, so
+    // at 100 TB the frame cost is fixed by the calendar, not the events.
+    "q_rolling_hourly" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-2, Window.currentRow)
+      hourly
+        .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+          col("n"),
+          sum(col("n")).over(w).as("roll_n"),
+          sum(col("v").cast(DecimalType(18, 4))).over(w)
+            .cast(DoubleType).as("roll_sum"))
+        .orderBy("event_type", "hour_us")
+    },
+
     // Event-time GAP FILL: densify each user's hourly series over their
     // own [first, last] hour span (sequence + explode — no calendar
     // dimension table) and carry the last observed hourly sum forward
@@ -765,6 +788,20 @@ object EventQueries {
          |  FROM events)
          |GROUP BY 1
          |ORDER BY win_us""".stripMargin,
+
+    "q_rolling_hourly" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type,
+         |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |    count(*) AS n, ${dsumSql("value")} AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, epoch_us(h) AS hour_us, n,
+         |  CAST(sum(n) OVER w AS BIGINT) AS roll_n,
+         |  CAST(sum(CAST(v AS DECIMAL(18,4))) OVER w AS DOUBLE) AS roll_sum
+         |FROM hourly
+         |WINDOW w AS (PARTITION BY event_type ORDER BY h
+         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, hour_us""".stripMargin,
 
     "q_gap_fill" ->
       s"""WITH hourly AS (

@@ -100,7 +100,8 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
       "q_token_pmi", "q_vocab_encode", "q_quality_buckets",
       "q_mixture_temp", "q_dsir_weights", "q_emb_silhouette",
       "q_small_qty_revenue", "q_curation_funnel", "q_mad_outliers",
-      "q_event_transitions", "q_retention_cohorts", "q_emb_label_drift")
+      "q_event_transitions", "q_retention_cohorts", "q_emb_label_drift",
+      "q_gap_fill", "q_rolling_hourly")
     graft.ops.Pin.disabled = true
     try {
       joinHeavy.foreach { name =>

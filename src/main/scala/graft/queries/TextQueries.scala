@@ -1062,11 +1062,22 @@ object TextQueries {
       // the CPU-bound shingle explode runs on 2 of 32 cores (measured
       // 12.5 s vs 1.7 s at sf1). Pinned because both the sizes
       // aggregate and the pair expansion read it.
+      // Shuffle-key narrowing: group by a 60-bit md5 prefix of the
+      // shingle instead of the ~24-byte string — the postings shuffle is
+      // this query's entire cost and the key is most of each row. The
+      // hash is computed identically in both engines, so a collision
+      // (expected ≈ |shingles|²/2⁶¹ ≈ 10⁻⁴ at sf1) merges the SAME two
+      // shingles on both sides — results stay hash-identical at any
+      // scale, and the overlap counts are exact up to that vanishing
+      // merge probability.
       val grouped = Pin.pin(t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("source"),
           explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-        .groupBy("sh").agg(collect_set(col("source")).as("srcs")))
+        .select(col("source"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10)
+            .cast("long").as("shh"))
+        .groupBy("shh").agg(collect_set(col("source")).as("srcs")))
       val sizes = grouped.select(explode(col("srcs")).as("source"))
         .groupBy("source").agg(count(lit(1)).as("n_sh"))
       grouped.select(explode(col("srcs")).as("src_a"), col("srcs"))
@@ -2143,7 +2154,9 @@ object TextQueries {
 
     "q_source_overlap" ->
       """WITH d AS (
-        |  SELECT DISTINCT source, sh FROM (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS sh
+        |  FROM (
         |    SELECT source, unnest(list_distinct(list_transform(
         |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
         |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))

@@ -53,6 +53,19 @@ object IterativeFeatureSelection {
     */
   val DefaultBatchSize = 1000
 
+  /** Max instance count (= per-feature vector width) accepted by the
+    * alternate encoding. The row layout stores EVERY instance's value in
+    * one record per feature (the reference's own alternate input
+    * contract, SURVEY.md §1.1), so per-record memory grows linearly with
+    * the dataset: 10M instances ≈ 80 MB per feature vector — near the
+    * practical ceiling for a single record plus its broadcast label twin.
+    * Beyond that the encoding is the wrong tool (use [[selectColumns]],
+    * whose memory is O(levels), not O(instances)); the guard turns the
+    * otherwise-certain executor OOM into one clear driver-side error,
+    * mirroring the maxCategories pattern.
+    */
+  val DefaultMaxInstances = 10000000
+
   /** Conventional encoding: instances are rows, features are columns.
     *
     * @param df          input with a numeric label column and a VectorType
@@ -156,26 +169,61 @@ object IterativeFeatureSelection {
   private val miStatsCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int), scala.collection.concurrent.TrieMap[(Int, Int), Double]]
 
+  /** Chi-square twin of [[miStatsCache]]: same per-pair granularity, same
+    * file-backed-plan key, same 12-decimal stabilization — a repeated
+    * chi2 relevance query over an already-profiled matrix costs zero
+    * counting jobs. Values are the full (chi2, lx, ly, n) tuple so cached
+    * hits can still derive dof / Cramér's V without a job.
+    */
+  private val chi2StatsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int),
+      scala.collection.concurrent.TrieMap[(Int, Int), (Double, Long, Long, Long)]]
+
   /** Cache key for `data`, or None when its contents are not identified by
     * its plan. A canonicalized plan alone is NOT a safe key: two different
     * in-memory datasets (LocalRelation / LogicalRDD) canonicalize to the
     * same tree — only file-backed scans carry a durable data identity, so
-    * the cache is restricted to plans whose every leaf is a file relation,
-    * keyed by (root paths, canonical plan).
+    * the cache is restricted to plans whose every leaf is a file relation.
+    *
+    * Key composition, each part closing a distinct staleness/collision
+    * hole:
+    *  - per-leaf root paths + file count + max file modificationTime + total
+    *    byte size: an overwritten parquet dir at the SAME path within one
+    *    session changes the file metadata, so stale entries are never
+    *    served (files are listed from the scan's own FileIndex — no extra
+    *    filesystem RPC);
+    *  - `semanticHash` of the canonicalized plan PLUS the full output
+    *    schema (`catalogString`): `canonicalized.toString` is truncated at
+    *    `spark.sql.debug.maxToStringFields` fields, so two wide plans
+    *    differing only in elided columns would collide — the hash +
+    *    untruncated schema pair has no such cliff.
     */
   private def statsCacheKey(data: DataFrame): Option[String] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val leafIds = data.queryExecution.analyzed.collectLeaves().map {
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => Some(fs.location.rootPaths.mkString(","))
-        case _                    => None
+        case fs: HadoopFsRelation =>
+          val fileId = fs.location match {
+            case pa: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+              val files = pa.allFiles()
+              val maxMod = if (files.isEmpty) 0L
+                           else files.map(_.getModificationTime).max
+              s"n=${files.length},mt=$maxMod,sz=${files.map(_.getLen).sum}"
+            // Other FileIndex impls don't expose the cached listing; byte
+            // size alone still catches a same-path overwrite in practice.
+            case other => s"sz=${other.sizeInBytes}"
+          }
+          Some(fs.location.rootPaths.mkString(",") + s"#$fileId")
+        case _ => None
       }
       case _ => None
     }
-    if (leafIds.nonEmpty && leafIds.forall(_.isDefined))
+    if (leafIds.nonEmpty && leafIds.forall(_.isDefined)) {
+      val analyzed = data.queryExecution.analyzed
       Some(leafIds.flatten.mkString(";") + "|" +
-        data.queryExecution.analyzed.canonicalized.toString)
-    else None
+        analyzed.canonicalized.semanticHash() + "|" +
+        analyzed.schema.catalogString)
+    } else None
   }
 
   private[graft] def pairMIMulti(data: DataFrame, allPairs: Seq[(Int, Int)],
@@ -267,10 +315,20 @@ object IterativeFeatureSelection {
     *         degrees of freedom `(lx−1)(ly−1)` and Cramér's V
     *         `sqrt(chi2 / (n · min(lx−1, ly−1)))` without another job.
     */
-  private[graft] def pairChi2Multi(data: DataFrame, pairs: Seq[(Int, Int)],
+  private[graft] def pairChi2Multi(data: DataFrame, allPairs: Seq[(Int, Int)],
                                    maxCategories: Int)
   : Map[(Int, Int), (Double, Long, Long, Long)] = {
-    require(pairs.nonEmpty, "pairs must be non-empty")
+    require(allPairs.nonEmpty, "pairs must be non-empty")
+    val planCache = statsCacheKey(data)
+      .map(k => chi2StatsCache.getOrElseUpdate((k, maxCategories),
+        scala.collection.concurrent.TrieMap.empty))
+    val cached: Map[(Int, Int), (Double, Long, Long, Long)] =
+      planCache match {
+        case Some(pc) => allPairs.flatMap(p => pc.get(p).map(p -> _)).toMap
+        case None     => Map.empty
+      }
+    val pairs = allPairs.filterNot(cached.contains)
+    if (pairs.isEmpty) return cached
     val par = data.sparkSession.sparkContext.defaultParallelism
     val src =
       if (data.rdd.getNumPartitions < par) data.repartition(par) else data
@@ -310,23 +368,46 @@ object IterativeFeatureSelection {
           s"more than maxCategories = $maxCategories")
     }
     // Same 12-decimal stabilization rationale as pairMIMulti.
-    chi.map(r => (r.getInt(0), r.getInt(1)) ->
+    val computed = chi.map(r => (r.getInt(0), r.getInt(1)) ->
       ((math.rint(r.getDouble(2) * 1e12) / 1e12,
         r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    planCache.foreach(pc => computed.foreach { case (p, v) => pc.put(p, v) })
+    cached ++ computed
   }
 
   /** Alternate encoding: features are rows, instances are columns. Each
     * record is (featureId, valueVector); per-instance class labels arrive as
     * a driver-side vector (`labelsRow`), broadcast to executors.
     *
+    * '''Scale contract''': this layout's record width IS the instance
+    * count (SURVEY.md §1.1) — cost scales with the dataset per feature
+    * vector, unlike [[selectColumns]] whose per-record cost is O(1). It is
+    * the right encoding for many-features × bounded-instances matrices
+    * (feature-row selection over profiling samples), and the wrong one
+    * for instance counts past [[DefaultMaxInstances]]; callers with a
+    * genuinely wider matrix must opt in explicitly via `maxInstances`
+    * after sizing executor memory for ≥ 8·instances bytes per record.
+    *
+    * @param maxInstances guard on `labelsRow.size` (the vector width);
+    *                     exceeded → IllegalArgumentException instead of a
+    *                     far-away executor OOM
     * @return selected (featureId, scoreAtSelectionTime) in selection order
     */
   def selectRows(df: DataFrame, idCol: String, featuresCol: String, num: Int,
-                 labelsRow: Vector, score: RowScore = RowMRMR)
-  : Seq[(Long, Double)] = score match {
-    case RowMRMR => selectRowsIncremental(df, idCol, featuresCol, num,
-      labelsRow)
-    case s => selectRowsGeneric(df, idCol, featuresCol, num, labelsRow, s)
+                 labelsRow: Vector, score: RowScore = RowMRMR,
+                 maxInstances: Int = DefaultMaxInstances)
+  : Seq[(Long, Double)] = {
+    require(labelsRow.size <= maxInstances,
+      s"alternate-encoding matrix is ${labelsRow.size} instances wide; " +
+        s"each feature record carries all of them (~${8L * labelsRow.size} " +
+        s"bytes/vector), more than maxInstances = $maxInstances. " +
+        "Use the conventional encoding (selectColumns) at this scale, or " +
+        "raise maxInstances explicitly after sizing executor memory.")
+    score match {
+      case RowMRMR => selectRowsIncremental(df, idCol, featuresCol, num,
+        labelsRow)
+      case s => selectRowsGeneric(df, idCol, featuresCol, num, labelsRow, s)
+    }
   }
 
   /** Fast path for mRMR: relevance is computed once, and each round folds

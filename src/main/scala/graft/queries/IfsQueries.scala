@@ -242,6 +242,35 @@ object IfsQueries {
       }.toDF("rnk", "feature", "score").orderBy("rnk")
     },
 
+    // The reference's own de-facto correctness invariant, promoted from
+    // CLI banner to oracle-checked gate
+    // (`reference:CommandLine.scala:167-169`): the conventional and
+    // alternate encodings must select the SAME features in the SAME
+    // order with the SAME scores. Runs both selections over the shared
+    // fixture and emits each round's winner from both sides plus an
+    // engine-computed equality flag; the oracle pins the flag to TRUE,
+    // so any cross-encoding divergence is a hash mismatch, not a log
+    // line.
+    "ifs_cross_encoding" -> { (s, dir) =>
+      import s.implicits._
+      val data = matrix(s, dir)
+        .select(col("label").cast("int").as("label"),
+          array_to_vector(col("f")).as("features"))
+      val colSel = IterativeFeatureSelection.selectColumns(
+        data, "label", "features", k)
+      val rowSel = IterativeFeatureSelection.selectRows(
+        rowMatrix(s, dir), "id", "features", k,
+        org.apache.spark.ml.linalg.Vectors.dense(labelsRow(s, dir)))
+      colSel.zip(rowSel).zipWithIndex.map {
+        case (((ci, cs), (ri, rs)), r) =>
+          (r + 1, featureNames(ci), featureNames(ri.toInt),
+            math.rint(cs * 1e6) / 1e6, math.rint(rs * 1e6) / 1e6,
+            ci == ri.toInt)
+      }.toDF("rnk", "col_feature", "row_feature",
+          "col_score", "row_score", "agree")
+        .orderBy("rnk")
+    },
+
     // P3/P4: the ML Estimator/Model surface — fit a RowSelector, flag the
     // selected feature-rows (boolean outputCol), same oracle winners.
     "ifs_row_model_flags" -> { (s, dir) =>
@@ -435,6 +464,18 @@ object IfsQueries {
 
     "ifs_select_topk" -> greedySelectionSql,
     "ifs_select_rows" -> greedySelectionSql,
+
+    // Both encodings must land on the oracle's winner each round, so the
+    // oracle emits w_r on BOTH sides and agree = TRUE unconditionally —
+    // the engine computes agree from its actual selections.
+    "ifs_cross_encoding" -> {
+      val rows = (1 to k).map(r =>
+        s"SELECT $r AS rnk, f AS col_feature, f AS row_feature, " +
+          s"round(score, 6) AS col_score, round(score, 6) AS row_score, " +
+          s"TRUE AS agree FROM w$r")
+        .mkString("\nUNION ALL\n")
+      s"$greedyCtes\n$rows\nORDER BY rnk"
+    },
 
     "ifs_feature_model_slice" -> {
       val sums = featureDefs.map { case (nm, _, d) =>

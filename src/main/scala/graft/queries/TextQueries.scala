@@ -852,22 +852,28 @@ object TextQueries {
     },
 
     // Frequency-ranked vocabulary build + integer encoding — the
-    // tokenize-and-encode step before training. Ids are assigned by
-    // (count DESC, token ASC) through a single-partition window: bounded
-    // by |vocab| (the standard vocab-build shape — the RANK table is
-    // small even when the corpus isn't), then broadcast back for the
-    // encode join. The gate emits per-source totals of the encoded ids
-    // plus a position-weighted checksum, pinning both the id assignment
-    // and every token's encoded position.
+    // tokenize-and-encode step before training. Ids are the rank in
+    // (count DESC, token ASC) order, assigned by the distributed
+    // zipWithIndex (ops/RowIndex: range-repartition on the sort key +
+    // per-partition offsets) rather than an unpartitioned row_number
+    // window — a 10^7–10^8-token web-corpus vocabulary ranks with full
+    // parallelism instead of sorting on one executor (PlanQualitySpec
+    // pins the window's absence). The descending count rides as a
+    // negated column because the range partitioner orders ascending.
+    // The gate emits per-source totals of the encoded ids plus a
+    // position-weighted checksum, pinning both the id assignment and
+    // every token's encoded position.
     "q_vocab_encode" -> { (s, dir) =>
       val toks = t(s, dir, "documents")
         .select(col("source"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
         .filter(col("tok") =!= "")
-      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-        .withColumn("tok_id",
-          row_number().over(Window.orderBy(desc("c"), col("tok"))) - 1)
-      toks.join(broadcast(vocab.select("tok", "tok_id")), "tok")
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .withColumn("neg_c", -col("c"))
+      val vocab = graft.ops.RowIndex
+        .withContiguousIndex(counts, Seq("neg_c", "tok"))
+        .select(col("tok"), col("row_idx").as("tok_id"))
+      toks.join(broadcast(vocab), "tok")
         .groupBy("source")
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("tok_id")).as("sum_ids"),

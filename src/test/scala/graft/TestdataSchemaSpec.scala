@@ -11,13 +11,26 @@ import org.scalatest.funsuite.AnyFunSuite
   * started throwing at analysis time — 21 queries silently dropped from
   * the correctness artifact. This spec turns that class of environmental
   * drift into ONE named test failure with a readable message: it opens
-  * every table at sf0.001 and asserts the logical column types the query
-  * registry assumes (exact names; type FAMILIES where the loaders
-  * deliberately dispatch, e.g. `events.ts`).
+  * every table and asserts the logical column types the query registry
+  * assumes (exact names; type FAMILIES where the loaders deliberately
+  * dispatch, e.g. `events.ts`).
+  *
+  * Every `/root/testdata/sf*` directory present is swept (VERDICT r6 #6):
+  * the driver regenerates the scale factors independently, so a PARTIAL
+  * regeneration — one sf rewritten with a new shape, the others stale —
+  * must also surface as one named per-directory failure, not as a
+  * sf0.01-only gate surprise.
   */
 class TestdataSchemaSpec extends AnyFunSuite with SparkTestBase {
 
-  private val dir = "/root/testdata/sf0.001"
+  private val dirs: Seq[String] = {
+    val found = Option(new java.io.File("/root/testdata").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+      .map(_.getPath).sorted.toSeq
+    assert(found.nonEmpty, "no /root/testdata/sf* directories found")
+    found
+  }
 
   private def integral(t: DataType) = t == LongType || t == IntegerType
   private def timestampish(t: DataType) = t match {
@@ -30,7 +43,7 @@ class TestdataSchemaSpec extends AnyFunSuite with SparkTestBase {
     * satisfying its type predicate; on failure print the full actual
     * schema so the drift is diagnosable from the test log alone.
     */
-  private def check(table: String,
+  private def check(dir: String, table: String,
                     expect: (String, DataType => Boolean, String)*): Unit = {
     val df = spark.read.parquet(s"$dir/$table.parquet")
     val actual = df.schema.map(f => f.name -> f.dataType).toMap
@@ -48,8 +61,13 @@ class TestdataSchemaSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("events schema matches query assumptions (ts may be nanos-INT64, NTZ, or TIMESTAMP)") {
-    check("events",
+  dirs.foreach { dir => registerSchemaTests(dir) }
+
+  private def registerSchemaTests(dir: String): Unit = {
+    val sf = dir.split('/').last
+
+  test(s"[$sf] events schema matches query assumptions (ts may be nanos-INT64, NTZ, or TIMESTAMP)") {
+    check(dir, "events",
       ("event_id", integral, "integral"),
       ("ts", timestampish, "timestamp-family (nanos-INT64 / timestamp[us] / timestamp)"),
       ("user_id", integral, "integral"),
@@ -63,14 +81,14 @@ class TestdataSchemaSpec extends AnyFunSuite with SparkTestBase {
       s"Q.events must normalize ts to TIMESTAMP, got ${ts.sql}")
   }
 
-  test("documents/embeddings schemas match query assumptions") {
-    check("documents",
+  test(s"[$sf] documents/embeddings schemas match query assumptions") {
+    check(dir, "documents",
       ("doc_id", integral, "integral"),
       ("text", _ == StringType, "string"),
       ("lang", _ == StringType, "string"),
       ("source", _ == StringType, "string"),
       ("n_chars", integral, "integral"))
-    check("embeddings",
+    check(dir, "embeddings",
       ("vec_id", integral, "integral"),
       ("embedding", {
         case ArrayType(FloatType | DoubleType, _) => true
@@ -79,40 +97,40 @@ class TestdataSchemaSpec extends AnyFunSuite with SparkTestBase {
       ("label", integral, "integral"))
   }
 
-  test("TPC-H-ish table schemas match query assumptions") {
-    check("region",
+  test(s"[$sf] TPC-H-ish table schemas match query assumptions") {
+    check(dir, "region",
       ("r_regionkey", integral, "integral"),
       ("r_name", _ == StringType, "string"))
-    check("nation",
+    check(dir, "nation",
       ("n_nationkey", integral, "integral"),
       ("n_name", _ == StringType, "string"),
       ("n_regionkey", integral, "integral"))
-    check("customer",
+    check(dir, "customer",
       ("c_custkey", integral, "integral"),
       ("c_name", _ == StringType, "string"),
       ("c_nationkey", integral, "integral"),
       ("c_acctbal", _ == DoubleType, "double"),
       ("c_mktsegment", _ == StringType, "string"))
-    check("supplier",
+    check(dir, "supplier",
       ("s_suppkey", integral, "integral"),
       ("s_name", _ == StringType, "string"),
       ("s_nationkey", integral, "integral"),
       ("s_acctbal", _ == DoubleType, "double"))
-    check("part",
+    check(dir, "part",
       ("p_partkey", integral, "integral"),
       ("p_name", _ == StringType, "string"),
       ("p_brand", _ == StringType, "string"),
       ("p_type", _ == StringType, "string"),
       ("p_size", integral, "integral"),
       ("p_retailprice", _ == DoubleType, "double"))
-    check("orders",
+    check(dir, "orders",
       ("o_orderkey", integral, "integral"),
       ("o_custkey", integral, "integral"),
       ("o_orderstatus", _ == StringType, "string"),
       ("o_totalprice", _ == DoubleType, "double"),
       ("o_orderdate", timestampish, "timestamp-family"),
       ("o_orderpriority", _ == StringType, "string"))
-    check("lineitem",
+    check(dir, "lineitem",
       ("l_orderkey", integral, "integral"),
       ("l_partkey", integral, "integral"),
       ("l_suppkey", integral, "integral"),
@@ -124,5 +142,6 @@ class TestdataSchemaSpec extends AnyFunSuite with SparkTestBase {
       ("l_returnflag", _ == StringType, "string"),
       ("l_linestatus", _ == StringType, "string"),
       ("l_shipdate", timestampish, "timestamp-family"))
+  }
   }
 }

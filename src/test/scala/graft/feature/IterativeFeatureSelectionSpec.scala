@@ -192,6 +192,25 @@ class IterativeFeatureSelectionSpec extends AnyFunSuite with Matchers
         df, "label", "features", num = 1, maxCategories = 10)
   }
 
+  test("maxInstances guard fences the alternate encoding's width " +
+    "contract with one clear error") {
+    // VERDICT r6 #5: the row layout's record width IS the instance count;
+    // past the bound a caller gets this driver-side error, not an
+    // executor OOM three stages later.
+    val (labels, m) = randomMatrix(seed = 7, rows = 40, cols = 4)
+    val ex = the[IllegalArgumentException] thrownBy
+      IterativeFeatureSelection.selectRows(
+        alternateDF(labels, m), "id", "features", num = 2,
+        labelsRow = Vectors.dense(labels), maxInstances = 30)
+    ex.getMessage should include("40 instances wide")
+    ex.getMessage should include("selectColumns")
+    // At or under the bound the selection proceeds unchanged.
+    IterativeFeatureSelection.selectRows(
+      alternateDF(labels, m), "id", "features", num = 2,
+      labelsRow = Vectors.dense(labels), maxInstances = 40)
+      .map(_._1.toInt) shouldBe greedyOracle(labels, m, 2).map(_._1)
+  }
+
   test("sparse feature vectors work in both encodings") {
     val (labels, m) = randomMatrix(seed = 13, rows = 80, cols = 5)
     // zero out ~half the cells to make sparsity meaningful

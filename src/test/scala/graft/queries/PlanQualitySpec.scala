@@ -136,9 +136,39 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
               bounded should not be empty
             }
           }
+          // An unpartitioned WindowExec sorts its whole input on ONE
+          // task (VERDICT r6 #1) — acceptable only above an explicit
+          // bound (a Limit / TakeOrdered, the q_zipf_fit top-R shape).
+          collect(plan) {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          }.foreach { w =>
+            val boundedW = w.child.collect {
+              case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+              case l: org.apache.spark.sql.execution.LocalLimitExec => l
+              case l: org.apache.spark.sql.execution
+                .TakeOrderedAndProjectExec => l
+            }
+            withClue(s"unpartitioned window over unbounded input:\n$w\n") {
+              boundedW should not be empty
+            }
+          }
         }
       }
     } finally { graft.ops.Pin.disabled = false }
+  }
+
+  it should "rank the vocabulary without any window at all" in {
+    // VERDICT r6 #1: q_vocab_encode used to rank the full vocabulary
+    // through Window.orderBy with NO partition key — one executor sorts
+    // every distinct token (10^7–10^8 on a web corpus). The rank now
+    // runs through ops/RowIndex's distributed zipWithIndex, so the plan
+    // must contain no WindowExec whatsoever; reintroducing any window
+    // (partitioned or not) into this gate trips here.
+    val plan = planOf("q_vocab_encode").queryExecution.executedPlan
+    collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    } shouldBe empty
   }
 
   it should "run lang-ID and fingerprint as native expressions, not " +

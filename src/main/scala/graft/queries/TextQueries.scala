@@ -54,13 +54,21 @@ object TextQueries {
         .withColumn("blk", lit("all")),
       "doc_id", "text", "blk", 3, minJ))
 
-  /** Truth pairs + one constant contract column: the fraction of truth
-    * pairs present in `found` (by (id_a, id_b)) is ≥ `pctBound`/100.
-    * Integer arithmetic decides the boolean; the oracle side emits the
-    * same truth rows from SQL with a literal TRUE.
+  /** Truth pairs + contract columns: the fraction of truth pairs present
+    * in `found` (by (id_a, id_b)) is ≥ `pctBound`/100. Integer arithmetic
+    * decides the boolean; the oracle side emits the same truth rows from
+    * SQL with a literal TRUE.
+    *
+    * The audit's SAMPLED nature rides in the result (ADVICE r6): the
+    * recall bound is proven over the [[TruthSample]] md5-smallest docs,
+    * which is the whole corpus at gate scales but a fixed-size sample
+    * beyond — `audit_docs` / `corpus_docs` (integer-exact cross-engine)
+    * make that coverage visible in every emitted row instead of only in
+    * source comments.
     */
   private def truthWithContract(truth: DataFrame, found: DataFrame,
-                                pctBound: Int, okCol: String): DataFrame = {
+                                docs: DataFrame, pctBound: Int,
+                                okCol: String): DataFrame = {
     val f = found.select(col("id_a").as("fa"), col("id_b").as("fb"))
       .distinct()
     val flag = truth
@@ -68,8 +76,12 @@ object TextQueries {
         "left")
       .agg((sum(when(col("fa").isNotNull, 1).otherwise(0)) * 100 >=
         count(lit(1)) * pctBound).as(okCol))
-    truth.crossJoin(broadcast(flag))
-      .select(col("id_a"), col("id_b"), col("jaccard"), col(okCol))
+    val cov = docs.agg(
+      least(lit(TruthSample.toLong), count(lit(1))).as("audit_docs"),
+      count(lit(1)).as("corpus_docs"))
+    truth.crossJoin(broadcast(flag)).crossJoin(broadcast(cov))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col(okCol),
+        col("audit_docs"), col("corpus_docs"))
       .orderBy("id_a", "id_b")
   }
 
@@ -102,7 +114,11 @@ object TextQueries {
        |  SELECT id_a, id_b,
        |    round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS jaccard
        |  FROM p)
-       |SELECT id_a, id_b, jaccard, TRUE AS $okCol FROM j
+       |SELECT id_a, id_b, jaccard, TRUE AS $okCol,
+       |  least($TruthSample, (SELECT count(*) FROM documents))
+       |    AS audit_docs,
+       |  (SELECT count(*) FROM documents) AS corpus_docs
+       |FROM j
        |WHERE jaccard >= $minJ
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -343,7 +359,7 @@ object TextQueries {
       truthWithContract(
         truthPairs(s, dir, 0.8),
         Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text", 0.2),
-        pctBound = 90, okCol = "minhash_recall_ok")
+        t(s, dir, "documents"), pctBound = 90, okCol = "minhash_recall_ok")
     },
 
     // Near-dup pairs resolved into duplicate clusters (connected
@@ -365,7 +381,7 @@ object TextQueries {
         truthPairs(s, dir, 0.8),
         Dedup.bandedMinHashPairs(t(s, dir, "documents"), "doc_id", "text",
           minJaccard = 0.8),
-        pctBound = 90, okCol = "band_recall_ok")
+        t(s, dir, "documents"), pctBound = 90, okCol = "band_recall_ok")
     },
 
     // Decontamination sweep: treat src0 as the EVAL set and the rest as
@@ -668,7 +684,8 @@ object TextQueries {
         .join(sigs.select(col("id").as("id_b"), col("simhash").as("sg_b")),
           "id_b")
         .filter(bit_count(col("sg_a").bitwiseXOR(col("sg_b"))) <= 8)
-      truthWithContract(truth, close, pctBound = 90, okCol = "hamming8_ok")
+      truthWithContract(truth, close, t(s, dir, "documents"),
+        pctBound = 90, okCol = "hamming8_ok")
     },
 
     // Language-ID heuristic distribution vs labeled lang. The heuristic
@@ -803,7 +820,7 @@ object TextQueries {
         .join(docs.select(col("doc_id").as("id_b"),
           fp(col("text")).as("fp_b")), "id_b")
         .filter(col("fp_a") === col("fp_b"))
-      truthWithContract(truth, matched, pctBound = 90,
+      truthWithContract(truth, matched, docs, pctBound = 90,
         okCol = "fp_match_ok")
     },
 

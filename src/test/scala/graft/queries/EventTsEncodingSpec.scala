@@ -7,13 +7,16 @@ import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
 
 /** `Q.normalizeEventTs` dispatch, exercised against REAL parquet files in
-  * every encoding a producer has shipped so far: nanos-since-epoch INT64
-  * (rounds 1–4; what `nanosAsLong` yields from parquet nanos),
-  * TIMESTAMP_NTZ (`timestamp[us]`, isAdjustedToUTC=false — the current
-  * testdata), and session-zoned TIMESTAMP. All three must produce the
-  * identical normalized microsecond value, batch AND streaming — this is
-  * the spec that keeps the round-5 breakage from returning in either
-  * direction when the driver regenerates testdata again.
+  * every encoding a producer has shipped so far: a genuine parquet
+  * `TIMESTAMP(NANOS)` column (rounds 1–4's physical shape, written via
+  * parquet-mr because Spark itself cannot produce the annotation — read
+  * back as INT64 under the `nanosAsLong` legacy conf, the exact scan
+  * path the loader relies on), TIMESTAMP_NTZ (`timestamp[us]`,
+  * isAdjustedToUTC=false — the current testdata), and session-zoned
+  * TIMESTAMP. All three must produce the identical normalized
+  * microsecond value, batch AND streaming — this is the spec that keeps
+  * the round-5 breakage from returning in either direction when the
+  * driver regenerates testdata again.
   */
 class EventTsEncodingSpec extends AnyFunSuite with SparkTestBase {
 
@@ -26,14 +29,13 @@ class EventTsEncodingSpec extends AnyFunSuite with SparkTestBase {
     val base = Seq(
       (1L, micros, 10L, "view", 1.5, """{"k":1}"""),
       (2L, micros + 60L * 1000000L, 10L, "purchase", 2.5, """{"k":2}"""))
+    if (enc == "nanos_int64") { writeNanosParquet(out, base); return out }
     val schemaFor = (tsType: DataType) => StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val rows = base.map { case (id, us, uid, et, v, p) =>
       enc match {
-        case "nanos_int64" =>
-          Row(id, us * 1000L, uid, et, v, p)
         case "timestamp_ntz" =>
           Row(id, java.time.LocalDateTime.ofEpochSecond(
             us / 1000000L, (us % 1000000L).toInt * 1000,
@@ -45,7 +47,6 @@ class EventTsEncodingSpec extends AnyFunSuite with SparkTestBase {
       }
     }
     val tsType = enc match {
-      case "nanos_int64"   => LongType
       case "timestamp_ntz" => TimestampNTZType
       case "timestamp"     => TimestampType
     }
@@ -55,6 +56,49 @@ class EventTsEncodingSpec extends AnyFunSuite with SparkTestBase {
       .repartition(1)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     out
+  }
+
+  /** The rounds-1-4 physical encoding, for real: a parquet file whose `ts`
+    * column is annotated `TIMESTAMP(NANOS, adjustedToUTC=true)`. Spark's
+    * writer cannot emit this annotation, so the fixture goes through
+    * parquet-mr's Group API directly — only then does `Q.events`'s
+    * `nanosAsLong` conf actually take the nanos-at-scan branch instead of
+    * reading a column that was plain INT64 all along.
+    */
+  private def writeNanosParquet(
+      out: String,
+      base: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val msg = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,true));
+        |  required int64 user_id;
+        |  required binary event_type (STRING);
+        |  required double value;
+        |  required binary props (STRING);
+        |}""".stripMargin)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(msg, conf)
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$out/events.parquet"), conf))
+      .withConf(conf).build()
+    try {
+      val gf = new SimpleGroupFactory(msg)
+      base.foreach { case (id, us, uid, et, v, p) =>
+        val g = gf.newGroup()
+        g.add("event_id", id)
+        g.add("ts", us * 1000L)
+        g.add("user_id", uid)
+        g.add("event_type", et)
+        g.add("value", v)
+        g.add("props", p)
+        writer.write(g)
+      }
+    } finally writer.close()
   }
 
   test("batch: all three ts encodings normalize to the same micros") {

@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.IfsQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.EmbeddingQueries.queries
+      graft.queries.EmbeddingQueries.queries ++
+      graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.IfsQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.EmbeddingQueries.oracles
+      graft.queries.EmbeddingQueries.oracles ++
+      graft.queries.GraphQueries.oracles
 }

@@ -106,6 +106,23 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
 
+  /** Fixed-window token chunking with overlap — the RAG / training-sample
+    * prep step that splits each document into `window`-token pieces every
+    * `stride` tokens (the final piece is shorter; overlap = window −
+    * stride). Chunk starts are the 1-based positions 1, 1+stride, … ≤
+    * n_tokens. Pure built-ins (sequence → transform → slice), fully
+    * codegen'd and per-row: chunking 100 TB is map-only, no shuffle.
+    * Returns array<struct<chunk_start, toks>>.
+    */
+  def chunks(text: Column, window: Int, stride: Int): Column = {
+    require(window >= 1 && stride >= 1,
+      s"window/stride must be >= 1, got $window/$stride")
+    val toks = tokens(text)
+    transform(sequence(lit(1), size(toks), lit(stride)),
+      s => struct(s.cast("long").as("chunk_start"),
+        slice(toks, s, lit(window)).as("toks")))
+  }
+
   /** Distinct token n-gram shingles of one string — plain-Scala twin of
     * [[shingles]] for typed (Dataset) pipelines. Interpreted higher-order
     * functions are a trap in hot per-row stages: they run outside codegen,

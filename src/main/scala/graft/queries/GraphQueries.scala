@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.ops.Graph
+import graft.queries.Q._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Graph-shaped queries over the `events` table: a referral-style user
+  * graph (who acts right after whom inside one event-type/hour cell) fed
+  * through fixed-iteration integer PageRank.
+  *
+  * Edge derivation is scale-clean by construction: the `lead()` window is
+  * partitioned by (event_type, hour), so no single task ever sorts more
+  * than one hour of one event type — the unpartitioned-window shape
+  * PlanQualitySpec rejects never appears, and edges crossing an hour
+  * boundary are (deterministically, on both engines) not emitted.
+  */
+object GraphQueries {
+
+  private val RankIters = 3
+  private val TopN = 20
+
+  /** Distinct (src, dst) user pairs: consecutive actors within each
+    * (event_type, hour) cell, self-loops dropped.
+    */
+  private def referralEdges(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(
+      col("event_type"), col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      date_trunc("hour", col("ts")).as("hr"))
+    val w = Window.partitionBy("event_type", "hr")
+      .orderBy(col("us"), col("event_id"))
+    ev.select(col("user_id").as("src"),
+        lead("user_id", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Fixed-iteration PageRank in exact integer arithmetic (see
+    // graft.ops.Graph for why integers: FP rank sums are
+    // evaluation-order-dependent and can never hash-match an oracle).
+    // Top-20 users by rank — the bounded result of an unbounded-graph
+    // operator.
+    "q_graph_rank" -> { (s, dir) =>
+      Graph.pageRankInt(referralEdges(s, dir), RankIters)
+        .select(col("node").as("user_id"), col("rank"))
+        .orderBy(desc("rank"), col("user_id"))
+        .limit(TopN)
+    },
+
+    // Degree profile of the same graph — the skew diagnostic that decides
+    // whether a downstream join on the node id needs salting. One
+    // groupBy per direction, both partial-aggregated.
+    "q_graph_degree" -> { (s, dir) =>
+      val e = referralEdges(s, dir)
+      val out = e.groupBy(col("src").as("user_id"))
+        .agg(count(lit(1)).as("out_deg"))
+      val in = e.groupBy(col("dst").as("user_id"))
+        .agg(count(lit(1)).as("in_deg"))
+      out.join(in, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .orderBy(desc("out_deg"), desc("in_deg"), col("user_id"))
+        .limit(TopN)
+    })
+
+  /** The oracle unrolls the three iterations as chained CTEs with the
+    * identical integer arithmetic (`//` is floor division in DuckDB,
+    * `div` in Spark — equal on non-negative operands).
+    */
+  val oracles: Map[String, String] = {
+    val edgesSql =
+      """ev AS (
+        |  SELECT event_type, user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
+        |  FROM events),
+        |e0 AS (
+        |  SELECT user_id AS src,
+        |    lead(user_id) OVER (PARTITION BY event_type, hr
+        |                        ORDER BY us, event_id) AS dst
+        |  FROM ev),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM e0
+        |  WHERE dst IS NOT NULL AND dst <> src)""".stripMargin
+    def iterSql(prev: String): String =
+      s"""SELECT nodes.node,
+         |  (15 * (SELECT 1000000000000 // n FROM nn)) // 100
+         |  + (85 * COALESCE(s.c, 0)) // 100 AS rank
+         |FROM nodes LEFT JOIN (
+         |  SELECT e.dst AS node, SUM(r.rank // o.deg) AS c
+         |  FROM edges e
+         |  JOIN $prev r ON e.src = r.node
+         |  JOIN outd o ON e.src = o.src
+         |  GROUP BY e.dst) s ON nodes.node = s.node""".stripMargin
+    Map(
+      "q_graph_rank" ->
+        s"""WITH $edgesSql,
+           |nodes AS (SELECT src AS node FROM edges
+           |          UNION SELECT dst FROM edges),
+           |outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS rank
+           |       FROM nodes),
+           |it1 AS (${iterSql("r0")}),
+           |it2 AS (${iterSql("it1")}),
+           |it3 AS (${iterSql("it2")})
+           |SELECT node AS user_id, rank FROM it3
+           |ORDER BY rank DESC, node LIMIT $TopN""".stripMargin,
+
+      "q_graph_degree" ->
+        s"""WITH $edgesSql,
+           |o AS (SELECT src AS user_id, count(*) AS out_deg
+           |      FROM edges GROUP BY src),
+           |i AS (SELECT dst AS user_id, count(*) AS in_deg
+           |      FROM edges GROUP BY dst)
+           |SELECT COALESCE(o.user_id, i.user_id) AS user_id,
+           |  COALESCE(out_deg, 0) AS out_deg,
+           |  COALESCE(in_deg, 0) AS in_deg
+           |FROM o FULL OUTER JOIN i ON o.user_id = i.user_id
+           |ORDER BY out_deg DESC, in_deg DESC, user_id
+           |LIMIT $TopN""".stripMargin)
+  }
+}

@@ -425,6 +425,42 @@ object Relational {
         .orderBy("day")
     },
 
+    // Snapshot diff (SCD-style dataset versioning): classify every key
+    // across two dataset versions as added / removed / changed /
+    // unchanged via ONE full-outer equi-join on the key, then aggregate
+    // per class. The canonical "what changed between corpus v1 and v2"
+    // audit; at 100 TB the join co-partitions both snapshots on the key
+    // (bucketed versions make it shuffle-free) and the per-class rollup
+    // is map-side partial. The two "versions" here are deterministic
+    // slices of `orders`: v1 = pre-1999 orders; v2 = pre-2000 orders
+    // minus keys ≡ 0 (mod 11) [removals], with status rewritten to 'X'
+    // for keys ≡ 0 (mod 7) [changes].
+    "q_snapshot_diff" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val prev = o
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st_p"),
+          col("o_totalprice").as("tp_p"))
+      val curr = o
+        .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp")
+          && col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("st_c"),
+          col("o_totalprice").as("tp_c"))
+      prev.join(curr, Seq("k"), "full_outer")
+        .select(
+          when(col("st_c").isNull, lit("removed"))
+            .when(col("st_p").isNull, lit("added"))
+            .when(col("st_p") =!= col("st_c"), lit("changed"))
+            .otherwise(lit("unchanged")).as("change"),
+          coalesce(col("tp_c"), col("tp_p")).as("tp"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"), dsum(col("tp")).as("sum_price"))
+        .orderBy("change")
+    },
+
     // Set operation: BUILDING customers who have an urgent order.
     "q_intersect" -> { (s, dir) =>
       val building = t(s, dir, "customer")
@@ -760,6 +796,28 @@ object Relational {
         |      FROM events GROUP BY d) e
         |  ON o.d = e.d
         |ORDER BY day""".stripMargin,
+
+    "q_snapshot_diff" ->
+      s"""WITH prev AS (
+         |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+         |curr AS (
+         |  SELECT o_orderkey AS k,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+         |         ELSE o_orderstatus END AS st,
+         |    o_totalprice AS tp
+         |  FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '2000-01-01'
+         |    AND o_orderkey % 11 <> 0)
+         |SELECT CASE WHEN c.k IS NULL THEN 'removed'
+         |            WHEN p.k IS NULL THEN 'added'
+         |            WHEN p.st <> c.st THEN 'changed'
+         |            ELSE 'unchanged' END AS change,
+         |  count(*) AS n,
+         |  ${Q.dsumSql("COALESCE(c.tp, p.tp)")} AS sum_price
+         |FROM prev p FULL OUTER JOIN curr c ON p.k = c.k
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_custkey AS custkey FROM customer

@@ -33,6 +33,10 @@ object TextQueries {
     */
   private val TruthSample = 2000
 
+  /** q_doc_chunk window/stride: 64-token chunks, 16-token overlap. */
+  private val ChunkWindow = 64
+  private val ChunkStride = 48
+
   /** Exact UNBLOCKED 3-gram Jaccard pairs at `minJ` over the [[TruthSample]]
     * audit docs — the truth set the LSH-family gate queries prove their
     * recall against (duplicates in this corpus are mostly CROSS-source,
@@ -194,6 +198,44 @@ object TextQueries {
         }.toDF("token", "cnt", "cms_ge_exact", "cms_le_bound")
           .orderBy(col("cnt").desc, col("token"))
       } finally { exact.unpersist(); () }
+    },
+
+    // GROUPED Count-Min sketches — one fixed-size frequency sketch PER
+    // SOURCE via the custom mergeable UDAF (graft.functions.CountMin),
+    // which is what `df.stat.countMinSketch` (the global sketch behind
+    // q_heavy_hitters) cannot do: per-group sketches compose with
+    // groupBy/streaming and merge map-side like any partial aggregate.
+    // The gate checks each source's top-3 exact tokens against the
+    // source's sketch: never an undercount, and overcount ≤ 2·N/Width —
+    // integer arithmetic on both sides of the bound so no FP boundary
+    // can flip the boolean. Driver receives one 32 KB grid per source
+    // (bounded by source cardinality) + 3 rows per source; at 100 TB
+    // the sketch build is one pass, shuffle = grids × partitions.
+    "q_cms_by_source" -> { (s, dir) =>
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("cnt").desc, col("token"))
+      val top = toks.groupBy("source", "token")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("source", "token", "cnt")
+        .as[(String, String, Long)].collect()
+      val sketches = toks.groupBy("source")
+        .agg(graft.functions.CountMin.sketch(col("token")).as("sk"))
+        .as[(String, Array[Long])].collect().toMap
+      top.toSeq.map { case (src, tok, cnt) =>
+        val sk = sketches(src)
+        val est = graft.functions.CountMin.estimate(sk, tok)
+        val ok = est >= cnt &&
+          (est - cnt) * graft.functions.CountMin.Width <=
+            2L * graft.functions.CountMin.total(sk)
+        (src, tok, cnt, ok)
+      }.toDF("source", "token", "cnt", "cms_ok")
+        .orderBy(col("source"), col("cnt").desc, col("token"))
     },
 
     // Distribution-drift detection: per-source Jensen-Shannon divergence
@@ -622,6 +664,25 @@ object TextQueries {
             .as("bpe_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy("source")
+    },
+
+    // Fixed-window chunking with overlap (64-token chunks every 48
+    // tokens) — the RAG / training-sample prep step. Map-only at any
+    // scale (sequence → slice inside codegen, no shuffle); the gate
+    // bounds its OUTPUT to doc_id < 200 and proves chunk content by
+    // md5, so boundary arithmetic (starts, tail chunk length, overlap)
+    // is hash-checked token-for-token against the oracle.
+    "q_doc_chunk" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunks(col("text"), ChunkWindow,
+            ChunkStride)).as("ch"))
+        .select(col("doc_id"),
+          col("ch.chunk_start").as("chunk_start"),
+          size(col("ch.toks")).cast("long").as("n_toks"),
+          md5(array_join(col("ch.toks"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_start")
     },
 
     // TF-IDF top terms: smooth idf = ln((N+1)/(df+1)) + 1 over the FULL
@@ -1320,6 +1381,23 @@ object TextQueries {
          |GROUP BY source
          |ORDER BY source""".stripMargin,
 
+    "q_doc_chunk" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE doc_id < 200),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks), $ChunkStride))
+         |      AS chunk_start
+         |  FROM d)
+         |SELECT doc_id, chunk_start,
+         |  CAST(len(list_slice(toks, chunk_start,
+         |    chunk_start + ${ChunkWindow - 1})) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(list_slice(toks, chunk_start,
+         |    chunk_start + ${ChunkWindow - 1}), ' ')) AS chunk_md5
+         |FROM s
+         |ORDER BY doc_id, chunk_start""".stripMargin,
+
     "q_doc_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
@@ -1342,6 +1420,22 @@ object TextQueries {
         |GROUP BY token
         |ORDER BY cnt DESC, token
         |LIMIT 15""".stripMargin,
+
+    "q_cms_by_source" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, token, count(*) AS cnt
+        |  FROM tok GROUP BY source, token),
+        |r AS (
+        |  SELECT source, token, cnt,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY cnt DESC, token) AS rn
+        |  FROM c)
+        |SELECT source, token, cnt, TRUE AS cms_ok
+        |FROM r WHERE rn <= 3
+        |ORDER BY source, cnt DESC, token""".stripMargin,
 
     "q_js_divergence" ->
       """WITH tok AS (

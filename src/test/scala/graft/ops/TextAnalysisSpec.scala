@@ -119,4 +119,52 @@ class TextAnalysisSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       "version 1.2 is not an ip, nor is 1.2.3",
       "no pii here")
   }
+
+  behavior of "chunks"
+
+  private def chunkRows(text: String, w: Int,
+                        stride: Int): Seq[(Long, Seq[String])] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(text).toDF("text")
+      .select(explode(TextAnalysis.chunks(col("text"), w, stride))
+        .as("c"))
+      .select(col("c.chunk_start"), col("c.toks"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq))
+  }
+
+  it should "cover every token with the configured overlap" in {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    chunkRows(text, w = 4, stride = 3) shouldBe Seq(
+      (1L, Seq("t1", "t2", "t3", "t4")),
+      (4L, Seq("t4", "t5", "t6", "t7")),
+      (7L, Seq("t7", "t8", "t9", "t10")),
+      (10L, Seq("t10")))
+  }
+
+  it should "emit one whole-document chunk when shorter than the window" in {
+    chunkRows("a b c", w = 64, stride = 48) shouldBe Seq(
+      (1L, Seq("a", "b", "c")))
+  }
+
+  it should "emit exactly one chunk for an empty string" in {
+    // split("", " ") is [""] — one empty token, one chunk; the gate's
+    // md5-of-joined-tokens then matches DuckDB's identical convention
+    chunkRows("", w = 4, stride = 2) shouldBe Seq((1L, Seq("")))
+  }
+
+  it should "produce non-overlapping chunks when stride == window" in {
+    val text = (1 to 6).map(i => s"t$i").mkString(" ")
+    chunkRows(text, w = 3, stride = 3) shouldBe Seq(
+      (1L, Seq("t1", "t2", "t3")), (4L, Seq("t4", "t5", "t6")))
+  }
+
+  it should "reject a non-positive window or stride" in {
+    import org.apache.spark.sql.functions._
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.chunks(col("text"), 0, 3)
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.chunks(col("text"), 4, 0)
+  }
 }

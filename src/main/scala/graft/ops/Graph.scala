@@ -50,7 +50,7 @@ object Graph {
     val init = scale / n
     val teleport = ((dampDen - dampNum) * init) / dampDen
 
-    var ranks = nodes.withColumn("rank", lit(init))
+    var ranks: DataFrame = nodes.withColumn("rank", lit(init))
     for (_ <- 1 to iters) {
       // Each node's rank splits evenly over its out-edges (floor division
       // — the dropped remainder is the same in every engine), then the
@@ -69,5 +69,53 @@ object Graph {
               s"div $dampDen")).as("rank")))
     }
     ranks
+  }
+
+  /** Exact triangle count via DEGREE-ORDERED edge orientation — the
+    * standard bound that makes distributed triangle counting survive
+    * skew: orienting every undirected edge from its (degree, id)-smaller
+    * endpoint to the larger caps each node's out-degree at O(√m) on any
+    * graph (arboricity bound), so the wedge self-join generates
+    * O(m^1.5) candidates worst-case instead of Σ deg² — a celebrity
+    * node with 10⁸ neighbors contributes no wedges at all as a
+    * destination. Orientation by a TOTAL order also makes the count
+    * exact-once: in each triangle exactly one vertex precedes both
+    * others, so exactly one wedge per triangle is generated, then
+    * confirmed with one semi-join against the canonical edge set. Every
+    * join is equi-keyed; nothing is collected.
+    *
+    * Returns one row: (n_nodes, n_edges, n_wedges, n_triangles) —
+    * `n_wedges` exposes the candidate volume the orientation is
+    * bounding, the number to watch at scale.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = Pin.pin(edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = Pin.pin(und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("d")))
+          .otherwise(struct(col("b").as("s"), col("a").as("d"))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst")))
+    // wedges keyed by the triangle's unique source vertex; the dst pair
+    // is emitted in id order so it matches the canonical edge key
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+    val nW = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nT = wedges.join(und, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nN = deg.agg(count(lit(1)).as("n_nodes"))
+    val nE = und.agg(count(lit(1)).as("n_edges"))
+    nN.crossJoin(nE).crossJoin(nW).crossJoin(nT)
   }
 }

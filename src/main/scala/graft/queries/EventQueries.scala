@@ -504,6 +504,50 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // The grouped Count-Min sketch UDAF on a STREAM: per event type, a
+    // frequency sketch over user ids accumulates through the streaming
+    // state machinery (map-side partial merges across micro-batches —
+    // exactly the mergeability CountMin.merge guarantees), and with
+    // AvailableNow the final state equals the batch sketch. The gate
+    // checks each type's exact modal user (plain SQL — the oracle side)
+    // against the streamed sketch: never an undercount, overcount
+    // ≤ 2·N/Width, integer-exact on both sides of the bound. At 100 TB
+    // per-group streaming state is one 32 KB grid per event type —
+    // constant, watermark-free.
+    "q_stream_cms" -> { (s, dir) =>
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+      val agg = stream.groupBy("event_type")
+        .agg(graft.functions.CountMin.sketch(col("user_id")).as("sk"))
+      val name = "q_stream_cms_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        val q = agg.writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val sketches = s.table(name)
+        .as[(String, Array[Long])].collect().toMap
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("user_id"))
+      val top = events(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_type", "user_id", "cnt")
+        .as[(String, Long, Long)].collect()
+      top.toSeq.map { case (et, uid, cnt) =>
+        val sk = sketches(et)
+        val est = graft.functions.CountMin.estimate(sk, uid.toString)
+        val ok = est >= cnt &&
+          (est - cnt) * graft.functions.CountMin.Width <=
+            2L * graft.functions.CountMin.total(sk)
+        (et, uid, cnt, ok)
+      }.toDF("event_type", "user_id", "cnt", "cms_ok")
+        .orderBy("event_type")
+    },
+
     // The reference's own statistic on a STREAM: grouped mutual
     // information (the custom typed Aggregator from graft.functions)
     // running as a streaming aggregation in complete mode — per event
@@ -611,6 +655,19 @@ object EventQueries {
          |  (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
          |GROUP BY user_id
          |ORDER BY user_id""".stripMargin,
+
+    "q_stream_cms" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (
+        |  SELECT event_type, user_id, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cnt DESC, user_id) AS rn
+        |  FROM c)
+        |SELECT event_type, user_id, cnt, TRUE AS cms_ok
+        |FROM r WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
 
     "q_hll_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,

@@ -65,6 +65,14 @@ object GraphQueries {
           coalesce(col("in_deg"), lit(0L)).as("in_deg"))
         .orderBy(desc("out_deg"), desc("in_deg"), col("user_id"))
         .limit(TopN)
+    },
+
+    // Exact triangle count under degree-ordered orientation (see
+    // graft.ops.Graph.triangleCount for the skew bound) — the clustering
+    // signal of the user graph, plus the wedge count the orientation is
+    // there to bound. Single-row output, all-integer.
+    "q_graph_triangles" -> { (s, dir) =>
+      Graph.triangleCount(referralEdges(s, dir))
     })
 
   /** The oracle unrolls the three iterations as chained CTEs with the
@@ -122,6 +130,36 @@ object GraphQueries {
            |  COALESCE(in_deg, 0) AS in_deg
            |FROM o FULL OUTER JOIN i ON o.user_id = i.user_id
            |ORDER BY out_deg DESC, in_deg DESC, user_id
-           |LIMIT $TopN""".stripMargin)
+           |LIMIT $TopN""".stripMargin,
+
+      "q_graph_triangles" ->
+        s"""WITH $edgesSql,
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM edges),
+           |deg AS (
+           |  SELECT node, count(*) AS deg FROM (
+           |    SELECT a AS node FROM und
+           |    UNION ALL SELECT b FROM und) GROUP BY node),
+           |o AS (
+           |  SELECT
+           |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+           |         THEN a ELSE b END AS src,
+           |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+           |         THEN b ELSE a END AS dst
+           |  FROM und
+           |  JOIN deg da ON und.a = da.node
+           |  JOIN deg db ON und.b = db.node),
+           |w AS (
+           |  SELECT e1.dst AS a, e2.dst AS b
+           |  FROM o e1 JOIN o e2
+           |    ON e1.src = e2.src AND e1.dst < e2.dst)
+           |SELECT
+           |  (SELECT count(*) FROM deg) AS n_nodes,
+           |  (SELECT count(*) FROM und) AS n_edges,
+           |  (SELECT count(*) FROM w) AS n_wedges,
+           |  (SELECT count(*) FROM w
+           |     JOIN und ON w.a = und.a AND w.b = und.b) AS n_triangles
+           |""".stripMargin)
   }
 }

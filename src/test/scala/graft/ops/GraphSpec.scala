@@ -80,4 +80,40 @@ class GraphSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Graph.pageRankInt(Seq((1L, 2L)).toDF("src", "dst"), 0)
   }
+
+  behavior of "Graph.triangleCount"
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = Graph.triangleCount(edges.toDF("src", "dst")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  it should "count K4's four triangles exactly once each" in {
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    val (n, e, w, t) = tri(k4)
+    (n, e, t) shouldBe ((4L, 6L, 4L))
+    w should be >= t
+  }
+
+  it should "find no triangles in paths and stars" in {
+    tri(Seq((1L, 2L), (2L, 3L), (3L, 4L)))._4 shouldBe 0L
+    tri((2L to 10L).map(i => (1L, i)))._4 shouldBe 0L
+  }
+
+  it should "count edge-sharing triangles separately" in {
+    // {1,2,3} and {2,3,4} share edge (2,3)
+    val (_, e, _, t) =
+      tri(Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    e shouldBe 5L
+    t shouldBe 2L
+  }
+
+  it should "ignore self-loops, duplicates, and edge direction" in {
+    val (n, e, _, t) = tri(Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)))
+    (n, e, t) shouldBe ((3L, 3L, 1L))
+  }
 }

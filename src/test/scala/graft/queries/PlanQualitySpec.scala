@@ -102,7 +102,8 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
       "q_small_qty_revenue", "q_curation_funnel", "q_mad_outliers",
       "q_event_transitions", "q_retention_cohorts", "q_emb_label_drift",
       "q_gap_fill", "q_rolling_hourly",
-      "q_graph_rank", "q_graph_degree", "q_snapshot_diff")
+      "q_graph_rank", "q_graph_degree", "q_graph_triangles",
+      "q_snapshot_diff")
     graft.ops.Pin.disabled = true
     try {
       joinHeavy.foreach { name =>

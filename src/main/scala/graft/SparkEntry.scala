@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.EmbeddingQueries.queries ++
-      graft.queries.GraphQueries.queries
+      graft.queries.GraphQueries.queries ++
+      graft.queries.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.EmbeddingQueries.oracles ++
-      graft.queries.GraphQueries.oracles
+      graft.queries.GraphQueries.oracles ++
+      graft.queries.SourceQueries.oracles
 }

@@ -70,6 +70,24 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
     joinLine should (include("bu") or include("vu"))
   }
 
+  it should "prune partitions in q_partitioned_scan's read" in {
+    // With Pin disabled the gate's read plan stays visible; the lang='de'
+    // predicate must be a PARTITION filter on the partitioned copy (one
+    // directory listed), not a post-scan row filter over every partition.
+    graft.ops.Pin.disabled = true
+    try {
+      val plan = planOf("q_partitioned_scan").queryExecution.executedPlan
+      val scan = collect(plan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      scan.partitionFilters.map(_.toString)
+        .exists(_.contains("lang")) shouldBe true
+      // the data filters must NOT re-check lang row-by-row
+      scan.dataFilters.map(_.toString)
+        .exists(_.contains("lang")) shouldBe false
+    } finally { graft.ops.Pin.disabled = false }
+  }
+
   it should "keep the tfidf corpus-count join broadcast" in {
     val plan = planOf("q_tfidf_topterms").queryExecution.executedPlan
     collect(plan) {

@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.EmbeddingQueries.queries ++
       graft.queries.GraphQueries.queries ++
-      graft.queries.SourceQueries.queries
+      graft.queries.SourceQueries.queries ++
+      graft.queries.TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.EmbeddingQueries.oracles ++
       graft.queries.GraphQueries.oracles ++
-      graft.queries.SourceQueries.oracles
+      graft.queries.SourceQueries.oracles ++
+      graft.queries.TemporalQueries.oracles
 }

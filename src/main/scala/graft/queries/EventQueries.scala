@@ -615,6 +615,31 @@ object EventQueries {
         .agg(count(lit(1)).as("n_pairs"), dsum(col("buy_value")).as("buy_sum"))
         .orderBy("user_id")
     },
+
+    // STREAM-STATIC enrichment join — the other canonical streaming join:
+    // an unbounded fact stream decorated with a bounded dimension
+    // (customer segment), the dimension BROADCAST so the stream side
+    // never shuffles and no join state accrues (stream-static joins are
+    // stateless by construction — each micro-batch joins against the
+    // current table snapshot). Aggregation is complete-mode per
+    // (segment, event_type); the oracle is the identical batch join.
+    "q_stream_enrich" -> { (s, dir) =>
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = eventsStream(s, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val name = "q_stream_enrich_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        val q = agg.writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name).orderBy("mktsegment", "event_type")
+    },
   )
 
   private val breaksSql =
@@ -960,5 +985,13 @@ object EventQueries {
          | AND b.t_b - v.t_v <= 3600000000
          |GROUP BY v.user_id
          |ORDER BY v.user_id""".stripMargin,
+
+    "q_stream_enrich" ->
+      s"""SELECT c.c_mktsegment AS mktsegment, e.event_type,
+         |  count(*) AS n, ${dsumSql("e.value")} AS sum_value
+         |FROM events e
+         |JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Graph
+import graft.ops.{Graph, Pin}
 import graft.queries.Q._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -20,6 +20,10 @@ object GraphQueries {
 
   private val RankIters = 3
   private val TopN = 20
+  private val CoreK = 2
+  private val CoreRounds = 4
+  private val BfsSeeds = 3
+  private val BfsHops = 3
 
   /** Distinct (src, dst) user pairs: consecutive actors within each
     * (event_type, hour) cell, self-loops dropped.
@@ -73,6 +77,69 @@ object GraphQueries {
     // there to bound. Single-row output, all-integer.
     "q_graph_triangles" -> { (s, dir) =>
       Graph.triangleCount(referralEdges(s, dir))
+    },
+
+    // k-core peeling, k=2, `CoreRounds` synchronous rounds (unrolled
+    // identically in the oracle — a fixed-depth peel, not a fixpoint
+    // claim). Each round is degree-count → filter → two equi-joins on
+    // the node id; every result is pinned, so lineage stays
+    // constant-depth however many rounds run, and the shrinking edge
+    // set is the only thing shuffled. The per-round (nodes, edges)
+    // curve is the standard graph-denoising diagnostic: how much of
+    // the graph survives coreness-k pruning.
+    "q_kcore" -> { (s, dir) =>
+      val und0 = Pin.pin(referralEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+      def stats(round: Int, edges: DataFrame): DataFrame = {
+        val nn = edges.select(col("a").as("node"))
+          .union(edges.select(col("b").as("node")))
+          .agg(count_distinct(col("node")).as("n_nodes"))
+        val ne = edges.agg(count(lit(1)).as("n_edges"))
+        nn.crossJoin(ne)
+          .select(lit(round).as("round"), col("n_nodes"), col("n_edges"))
+      }
+      var cur = und0
+      var out = stats(0, cur)
+      for (r <- 1 to CoreRounds) {
+        val keep = cur.select(col("a").as("node"))
+          .union(cur.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= CoreK).select("node")
+        cur = Pin.pin(cur
+          .join(keep.withColumnRenamed("node", "a"), "a")
+          .join(keep.withColumnRenamed("node", "b"), "b")
+          .select("a", "b"))
+        out = out.unionByName(stats(r, cur))
+      }
+      out.orderBy("round")
+    },
+
+    // Multi-source BFS, `BfsHops` hops from the top-3 out-degree hubs:
+    // the frontier loop every reachability / influence query runs.
+    // Each hop is ONE equi-join of the edge list against the reached
+    // set on `src` + a distinct — the reached set is pinned per hop, so
+    // at any scale a hop shuffles (edges ⋈ reached), never recomputes
+    // prior hops. Emits the cumulative reach curve.
+    "q_bfs_reach" -> { (s, dir) =>
+      val e = Pin.pin(referralEdges(s, dir))
+      val seeds = Pin.pin(e.groupBy("src").agg(count(lit(1)).as("d"))
+        .orderBy(desc("d"), col("src"))
+        .limit(BfsSeeds).select(col("src").as("node")))
+      var reached = seeds
+      var out = reached.agg(count(lit(1)).as("n_reached"))
+        .select(lit(0).as("dist"), col("n_reached"))
+      for (h <- 1 to BfsHops) {
+        reached = Pin.pin(reached
+          .union(e.join(reached.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node")))
+          .distinct())
+        out = out.unionByName(
+          reached.agg(count(lit(1)).as("n_reached"))
+            .select(lit(h).as("dist"), col("n_reached")))
+      }
+      out.orderBy("dist")
     })
 
   /** The oracle unrolls the three iterations as chained CTEs with the
@@ -131,6 +198,60 @@ object GraphQueries {
            |FROM o FULL OUTER JOIN i ON o.user_id = i.user_id
            |ORDER BY out_deg DESC, in_deg DESC, user_id
            |LIMIT $TopN""".stripMargin,
+
+      "q_kcore" -> {
+        // Unrolled peel: dN/kN/eN per round, stats via scalar subqueries.
+        val rounds = (1 to CoreRounds).map { r =>
+          val prev = if (r == 1) "und" else s"e${r - 1}"
+          s"""d$r AS (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT a AS node FROM $prev
+             |    UNION ALL SELECT b FROM $prev) GROUP BY node),
+             |k$r AS (SELECT node FROM d$r WHERE deg >= $CoreK),
+             |e$r AS (
+             |  SELECT $prev.a, $prev.b FROM $prev
+             |  JOIN k$r x ON $prev.a = x.node
+             |  JOIN k$r y ON $prev.b = y.node)""".stripMargin
+        }.mkString(",\n")
+        def statRow(r: Int): String = {
+          val e = if (r == 0) "und" else s"e$r"
+          s"""SELECT $r AS round,
+             |  (SELECT count(DISTINCT node) FROM (
+             |     SELECT a AS node FROM $e UNION ALL SELECT b FROM $e))
+             |    AS n_nodes,
+             |  (SELECT count(*) FROM $e) AS n_edges""".stripMargin
+        }
+        s"""WITH $edgesSql,
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM edges),
+           |$rounds
+           |${(0 to CoreRounds).map(statRow).mkString("\nUNION ALL\n")}
+           |ORDER BY round""".stripMargin
+      },
+
+      "q_bfs_reach" -> {
+        val hops = (1 to BfsHops).map { h =>
+          val prev = if (h == 1) "s0" else s"s${h - 1}"
+          s"""s$h AS (
+             |  SELECT DISTINCT node FROM (
+             |    SELECT node FROM $prev
+             |    UNION ALL
+             |    SELECT e.dst AS node FROM edges e
+             |    JOIN $prev p ON e.src = p.node))""".stripMargin
+        }.mkString(",\n")
+        val rows = (0 to BfsHops).map { h =>
+          s"SELECT $h AS dist, (SELECT count(*) FROM s$h) AS n_reached"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $edgesSql,
+           |s0 AS (
+           |  SELECT src AS node FROM (
+           |    SELECT src, count(*) AS d FROM edges GROUP BY src
+           |    ORDER BY d DESC, src LIMIT $BfsSeeds)),
+           |$hops
+           |$rows
+           |ORDER BY dist""".stripMargin
+      },
 
       "q_graph_triangles" ->
         s"""WITH $edgesSql,

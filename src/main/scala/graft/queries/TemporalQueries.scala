@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.queries.Q._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Temporal table maintenance and time-weighted analytics over `events`:
+  * SCD2 history construction, latest-wins upsert merge, recency-weighted
+  * scoring, and session-vs-busy-hour interval overlap.
+  *
+  * These are the maintenance loops a 100 TB event store actually runs —
+  * build a slowly-changing history once, merge daily deltas into it,
+  * score entities by recency — and every one of them is a single shuffle
+  * keyed on the entity id (user) plus windows PARTITIONED by that id, so
+  * no task ever sorts more than one user's history. All durations and
+  * weights are exact integers (epoch micros, powers of two); value sums
+  * go through decimal per the Q contract, so results hash-match the
+  * DuckDB oracle bit-for-bit.
+  */
+object TemporalQueries {
+
+  private val HourUs: Long = 3600L * 1000000L
+  private val GapUs: Long = 1800L * 1000000L // 30 min session gap
+  private val RecencyDepth = 20              // events per user in the score
+  private val TopN = 20
+
+  /** events projected to exact integer time. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"),
+      unix_micros(col("ts")).as("us"))
+
+  private val evSql =
+    """ev AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD2 history build: collapse each user's event stream into
+    // change-point versions (state = event_type), each valid from its
+    // first occurrence until the next state change; the last version per
+    // user stays open (valid_to NULL). Two windows, both partitioned by
+    // user_id — no task ever holds more than one user's timeline, so the
+    // build is one shuffle at any corpus size. Durations are exact
+    // integer micros.
+    "q_scd2_history" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val versions = ev(s, dir)
+        .withColumn("prev_state", lag("event_type", 1).over(w))
+        .filter(col("prev_state").isNull ||
+          col("prev_state") =!= col("event_type"))
+        .withColumn("valid_to_us", lead("us", 1).over(w))
+      versions.groupBy("event_type")
+        .agg(count(lit(1)).as("n_versions"),
+          count(col("valid_to_us")).as("n_closed"),
+          sum(col("valid_to_us") - col("us")).cast("long").as("sum_dur_us"),
+          max(col("valid_to_us") - col("us")).as("max_dur_us"))
+        .orderBy("event_type")
+    },
+
+    // Latest-wins upsert merge: the event log splits at a data-derived
+    // cutoff (70% through the observed time span, exact integer
+    // arithmetic) into a base snapshot and a delta batch; per key
+    // (user_id, event_type) the merged winner is the latest row by
+    // (us, event_id), delta beating base. Emits the merge audit a real
+    // MERGE INTO job logs: per event_type and outcome class
+    // (insert/update/carry), key counts and an exact-decimal sum of the
+    // winning values. One row_number window keyed on (key, side) + one
+    // groupBy — two shuffles total, both on the merge key.
+    "q_upsert_merge" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val cut = e.agg((min(col("us")) +
+        ((max(col("us")) - min(col("us"))) * 7) / 10).cast("long")
+        .as("cutoff_us"))
+      val w = Window.partitionBy("user_id", "event_type", "side")
+        .orderBy(desc("us"), desc("event_id"))
+      val winners = e.crossJoin(broadcast(cut))
+        .withColumn("side",
+          when(col("us") < col("cutoff_us"), "base").otherwise("upd"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("val_dec", col("value").cast("decimal(18,4)"))
+      winners.groupBy("user_id", "event_type")
+        .agg(
+          max(when(col("side") === "base", col("us"))).as("base_us"),
+          max(when(col("side") === "base", col("val_dec"))).as("base_val"),
+          max(when(col("side") === "upd", col("us"))).as("upd_us"),
+          max(when(col("side") === "upd", col("val_dec"))).as("upd_val"))
+        .withColumn("outcome",
+          when(col("base_us").isNull, "insert")
+            .when(col("upd_us").isNull, "carry")
+            .otherwise("update"))
+        .withColumn("win_val", coalesce(col("upd_val"), col("base_val")))
+        .groupBy("event_type", "outcome")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("win_val")).cast("double").as("sum_win_value"))
+        .orderBy("event_type", "outcome")
+    },
+
+    // Recency-weighted user score: each user's last `RecencyDepth` events
+    // (by event time, newest first), weighted by exact powers of two —
+    // weight 2^(RecencyDepth-rn), so the newest event counts 2^19 and the
+    // 20th counts 1. Numerator is an exact decimal sum of value×weight
+    // (associative → partition-order independent); the reported score
+    // divides once at the end and rounds to 6 decimals. The standard
+    // "activity score" of a feature store, computed in one user-keyed
+    // window + one groupBy.
+    "q_recency_score" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(desc("us"), desc("event_id"))
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= RecencyDepth)
+        .withColumn("wt",
+          pow(lit(2.0), lit(RecencyDepth) - col("rn")).cast("long"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_recent"),
+          sum(col("wt")).as("den"),
+          sum(col("value").cast("decimal(18,4)") * col("wt")).as("num"))
+        .select(col("user_id"), col("n_recent"),
+          round(col("num").cast("double") / col("den"), 6).as("recency_score"))
+        .orderBy(desc("recency_score"), col("user_id"))
+        .limit(TopN)
+    },
+
+    // Interval-overlap join: per-user session intervals (30-min lag-gap
+    // sessionization) intersected with globally "busy" hours (hourly
+    // event count at or above the mean, decided by exact integer
+    // cross-multiplication — no division). Sessions explode only into
+    // the hour buckets they actually span (`sequence` on the hour
+    // index), then equi-join on the bucket — the bucketed-range-join
+    // plan, never an unbounded interval × interval comparison; the busy
+    // set is calendar-bounded and broadcast. Emits the top users by
+    // exact overlap micros.
+    "q_interval_overlap" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = ev(s, dir)
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("brk", when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > GapUs, 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(run))
+        .groupBy("user_id", "sid")
+        .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+      val hourly = ev(s, dir)
+        .groupBy(expr(s"us div ${HourUs}L").as("hb"))
+        .agg(count(lit(1)).as("n"))
+      val tot = hourly.agg(sum(col("n")).as("tot"),
+        count(lit(1)).as("nh"))
+      val busy = hourly.crossJoin(broadcast(tot))
+        .filter(col("n") * col("nh") >= col("tot"))
+        .select("hb")
+      sessions
+        .withColumn("hb", explode(sequence(
+          expr(s"s div ${HourUs}L"), expr(s"e div ${HourUs}L"))))
+        .join(broadcast(busy), "hb")
+        .withColumn("ov", greatest(lit(0L),
+          least(col("e"), (col("hb") + 1) * HourUs) -
+            greatest(col("s"), col("hb") * HourUs)))
+        .groupBy("user_id")
+        .agg(count_distinct(col("sid")).as("n_busy_sessions"),
+          sum(col("ov")).cast("long").as("busy_overlap_us"))
+        .orderBy(desc("busy_overlap_us"), col("user_id"))
+        .limit(TopN)
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_scd2_history" ->
+      s"""WITH $evSql,
+         |m AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |                          ORDER BY us, event_id) AS prev_state
+         |  FROM ev),
+         |v AS (
+         |  SELECT user_id, event_id, event_type, us FROM m
+         |  WHERE prev_state IS NULL OR prev_state <> event_type),
+         |h AS (
+         |  SELECT event_type, us,
+         |    lead(us) OVER (PARTITION BY user_id
+         |                   ORDER BY us, event_id) AS valid_to_us
+         |  FROM v)
+         |SELECT event_type, count(*) AS n_versions,
+         |  count(valid_to_us) AS n_closed,
+         |  CAST(sum(valid_to_us - us) AS BIGINT) AS sum_dur_us,
+         |  max(valid_to_us - us) AS max_dur_us
+         |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_upsert_merge" ->
+      s"""WITH $evSql,
+         |cut AS (
+         |  SELECT CAST(min(us) + ((max(us) - min(us)) * 7) // 10 AS BIGINT)
+         |    AS cutoff_us FROM ev),
+         |tagged AS (
+         |  SELECT ev.*, CASE WHEN us < (SELECT cutoff_us FROM cut)
+         |    THEN 'base' ELSE 'upd' END AS side FROM ev),
+         |winners AS (
+         |  SELECT user_id, event_type, side, us,
+         |    CAST(value AS DECIMAL(18,4)) AS val_dec,
+         |    row_number() OVER (PARTITION BY user_id, event_type, side
+         |                       ORDER BY us DESC, event_id DESC) AS rn
+         |  FROM tagged QUALIFY rn = 1),
+         |merged AS (
+         |  SELECT user_id, event_type,
+         |    max(CASE WHEN side = 'base' THEN us END) AS base_us,
+         |    max(CASE WHEN side = 'base' THEN val_dec END) AS base_val,
+         |    max(CASE WHEN side = 'upd' THEN us END) AS upd_us,
+         |    max(CASE WHEN side = 'upd' THEN val_dec END) AS upd_val
+         |  FROM winners GROUP BY user_id, event_type)
+         |SELECT event_type,
+         |  CASE WHEN base_us IS NULL THEN 'insert'
+         |       WHEN upd_us IS NULL THEN 'carry'
+         |       ELSE 'update' END AS outcome,
+         |  count(*) AS n_keys,
+         |  CAST(sum(COALESCE(upd_val, base_val)) AS DOUBLE) AS sum_win_value
+         |FROM merged GROUP BY event_type, outcome
+         |ORDER BY event_type, outcome""".stripMargin,
+
+    "q_recency_score" ->
+      s"""WITH $evSql,
+         |r AS (
+         |  SELECT user_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY us DESC, event_id DESC) AS rn
+         |  FROM ev QUALIFY rn <= $RecencyDepth),
+         |w AS (
+         |  SELECT user_id, value,
+         |    CAST(power(2, $RecencyDepth - rn) AS BIGINT) AS wt FROM r)
+         |SELECT user_id, count(*) AS n_recent,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,4)) * wt) AS DOUBLE)
+         |        / sum(wt), 6) AS recency_score
+         |FROM w GROUP BY user_id
+         |ORDER BY recency_score DESC, user_id LIMIT $TopN""".stripMargin,
+
+    "q_interval_overlap" ->
+      s"""WITH $evSql,
+         |b AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN lag(us) OVER (PARTITION BY user_id
+         |                            ORDER BY us, event_id) IS NULL
+         |      OR us - lag(us) OVER (PARTITION BY user_id
+         |                            ORDER BY us, event_id) > $GapUs
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM ev),
+         |sb AS (
+         |  SELECT user_id, us,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM b),
+         |sessions AS (
+         |  SELECT user_id, sid, min(us) AS s, max(us) AS e
+         |  FROM sb GROUP BY user_id, sid),
+         |hourly AS (
+         |  SELECT us // $HourUs AS hb, count(*) AS n FROM ev GROUP BY 1),
+         |tot AS (SELECT sum(n) AS tot, count(*) AS nh FROM hourly),
+         |busy AS (
+         |  SELECT hb FROM hourly
+         |  WHERE n * (SELECT nh FROM tot) >= (SELECT tot FROM tot)),
+         |ex AS (
+         |  SELECT user_id, sid, s, e,
+         |    unnest(generate_series(s // $HourUs, e // $HourUs)) AS hb
+         |  FROM sessions),
+         |ov AS (
+         |  SELECT user_id, sid,
+         |    greatest(0, least(e, (ex.hb + 1) * $HourUs)
+         |                - greatest(s, ex.hb * $HourUs)) AS ov
+         |  FROM ex JOIN busy ON ex.hb = busy.hb)
+         |SELECT user_id, count(DISTINCT sid) AS n_busy_sessions,
+         |  CAST(sum(ov) AS BIGINT) AS busy_overlap_us
+         |FROM ov GROUP BY user_id
+         |ORDER BY busy_overlap_us DESC, user_id LIMIT $TopN""".stripMargin)
+}

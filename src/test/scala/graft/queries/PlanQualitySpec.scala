@@ -121,7 +121,9 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
       "q_event_transitions", "q_retention_cohorts", "q_emb_label_drift",
       "q_gap_fill", "q_rolling_hourly",
       "q_graph_rank", "q_graph_degree", "q_graph_triangles",
-      "q_snapshot_diff")
+      "q_snapshot_diff",
+      "q_upsert_merge", "q_recency_score", "q_interval_overlap",
+      "q_scd2_history", "q_kcore", "q_bfs_reach")
     graft.ops.Pin.disabled = true
     try {
       joinHeavy.foreach { name =>

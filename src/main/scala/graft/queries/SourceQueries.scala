@@ -66,6 +66,35 @@ object SourceQueries {
             sum(col("n_chars")).cast("long").as("sum_chars"))
           .orderBy("source"))
       }
+    },
+
+    // Table profiling — the first query anyone runs against an unknown
+    // 100 TB table: per column, null count, exact distinct count, and
+    // lexicographic min/max of the string form. ONE scan: all per-column
+    // aggregates live in a single agg (Spark plans the multi-distinct
+    // via Expand — columns× row replication, still one pass over the
+    // files), then the 1-row result unpivots to a row per column via
+    // stack(). Min/max compare the CAST on both engines so integer
+    // columns profile identically ("10" < "9" lexicographically).
+    "q_profile_table" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val cols = docs.schema.fieldNames.toSeq
+      val aggs = cols.flatMap { c =>
+        val sc = col(c).cast("string")
+        Seq(sum(when(col(c).isNull, 1).otherwise(0)).cast("long")
+          .as(s"nn_$c"),
+          count_distinct(col(c)).as(s"nd_$c"),
+          min(sc).as(s"mn_$c"), max(sc).as(s"mx_$c"))
+      }
+      val one = docs.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackExpr = cols.map { c =>
+        s"'$c', nn_$c, nd_$c, mn_$c, mx_$c"
+      }.mkString(s"stack(${cols.size}, ", ", ",
+        ") as (col_name, n_null, n_distinct, min_str, max_str)")
+      one.select(col("n_rows"), expr(stackExpr))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+        .orderBy("col_name")
     })
 
   val oracles: Map[String, String] = Map(
@@ -83,5 +112,15 @@ object SourceQueries {
         |FROM documents
         |WHERE lang = 'de'
         |GROUP BY source
-        |ORDER BY source""".stripMargin)
+        |ORDER BY source""".stripMargin,
+
+    "q_profile_table" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min(CAST($c AS VARCHAR)) AS min_str,
+           |  max(CAST($c AS VARCHAR)) AS max_str
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
 }

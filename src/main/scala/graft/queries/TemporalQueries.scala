@@ -164,6 +164,55 @@ object TemporalQueries {
           sum(col("ov")).cast("long").as("busy_overlap_us"))
         .orderBy(desc("busy_overlap_us"), col("user_id"))
         .limit(TopN)
+    },
+
+    // Per-type activity trend: OLS slope of daily event counts over the
+    // day index. Every moment (Sx, Sy, Sxy, Sxx) is an exact BIGINT sum
+    // of integers — associative, so partitioning cannot perturb it — and
+    // the one floating division happens once per group on identical
+    // integer operands in both engines. Two shuffles, both keyed and
+    // group-bounded; this is how "is this source drying up?" is asked of
+    // a 100 TB event store.
+    "q_trend_fit" -> { (s, dir) =>
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("us div 86400000000").as("d"))
+        .agg(count(lit(1)).as("n"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("d")).as("sx"), sum(col("n")).as("sy"),
+          sum(col("d") * col("n")).as("sxy"),
+          sum(col("d") * col("d")).as("sxx"))
+        .select(col("event_type"), col("n_days"),
+          col("sy").cast("long").as("n_events"),
+          // moments widened to decimal(38,0) before the cross products —
+          // n_days·Sxy overflows a long once daily counts reach ~1e9
+          round((col("n_days") * col("sxy").cast("decimal(38,0)") -
+            col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+            (col("n_days") * col("sxx").cast("decimal(38,0)") -
+              col("sx").cast("decimal(38,0)") * col("sx"))
+              .cast("double"), 6).as("slope_per_day"))
+        .orderBy("event_type")
+    },
+
+    // Seasonal (hour-of-day) anomaly profile: hours running at ≥1.5× the
+    // type's mean hourly load, decided by integer cross-multiplication
+    // (2·n·nh ≥ 3·tot) so the boundary can never flip between engines.
+    // The peak ratio divides once per group. |event_types|×24 groups —
+    // constant-size aggregate state at any corpus size.
+    "q_seasonal_anomaly" -> { (s, dir) =>
+      val hod = events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"))
+      val typ = hod.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("tot"))
+      hod.join(broadcast(typ), "event_type")
+        .groupBy("event_type")
+        .agg(max(col("n_hours")).as("n_hours"),
+          sum(when(col("n") * col("n_hours") * 2 >= col("tot") * 3, 1)
+            .otherwise(0)).cast("long").as("n_hot_hours"),
+          round(max(col("n") * col("n_hours")).cast("double") /
+            max(col("tot")), 6).as("peak_ratio"))
+        .orderBy("event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -270,5 +319,33 @@ object TemporalQueries {
          |SELECT user_id, count(DISTINCT sid) AS n_busy_sessions,
          |  CAST(sum(ov) AS BIGINT) AS busy_overlap_us
          |FROM ov GROUP BY user_id
-         |ORDER BY busy_overlap_us DESC, user_id LIMIT $TopN""".stripMargin)
+         |ORDER BY busy_overlap_us DESC, user_id LIMIT $TopN""".stripMargin,
+
+    "q_trend_fit" ->
+      s"""WITH $evSql,
+         |daily AS (
+         |  SELECT event_type, us // 86400000000 AS d, count(*) AS n
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT event_type, count(*) AS n_days,
+         |  CAST(sum(n) AS BIGINT) AS n_events,
+         |  round(CAST(count(*) * sum(d * n) - sum(d) * sum(n) AS DOUBLE)
+         |        / CAST(count(*) * sum(d * d) - sum(d) * sum(d) AS DOUBLE),
+         |        6) AS slope_per_day
+         |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_seasonal_anomaly" ->
+      """WITH hod AS (
+        |  SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hod,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |typ AS (
+        |  SELECT event_type, count(*) AS n_hours, sum(n) AS tot
+        |  FROM hod GROUP BY event_type)
+        |SELECT hod.event_type, max(n_hours) AS n_hours,
+        |  CAST(sum(CASE WHEN n * n_hours * 2 >= tot * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hot_hours,
+        |  round(CAST(max(n * n_hours) AS DOUBLE) / max(tot), 6)
+        |    AS peak_ratio
+        |FROM hod JOIN typ ON hod.event_type = typ.event_type
+        |GROUP BY hod.event_type ORDER BY hod.event_type""".stripMargin)
 }

@@ -439,6 +439,50 @@ object TextQueries {
         .orderBy("train_id", "eval_id")
     },
 
+    // Bigram LM likelihood (one order up from q_lm_quality's unigram
+    // model): each doc's mean bigram log-probability under the corpus
+    // bigram model with add-one smoothing, P(w2|w1) = (c12+1)/(c1+V).
+    // The conditional model separates fluent text from shuffled-token
+    // soup, which a unigram model scores identically. Joins are
+    // equi-keyed on the bigram / unigram (model tables are
+    // corpus-vocabulary-bounded); per-bigram logprobs round to 9 dp then
+    // decimal-sum, per the Q contract. Docs under 2 tokens have no
+    // bigrams and drop out on both engines alike.
+    "q_bigram_lm" -> { (s, dir) =>
+      val withTk = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+      val bi = withTk.select(col("doc_id"), col("source"),
+          explode(expr(
+            "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
+              "(x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2))"))
+            .as("p"))
+        .select(col("doc_id"), col("source"), col("p.w1"), col("p.w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+      val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val cUni = withTk.select(explode(col("tk")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val vSize = cUni.agg(count(lit(1)).as("v"))
+      bi.join(cBi, Seq("w1", "w2"))
+        .join(broadcast(cUni.select(col("tok").as("w1"), col("c1"))), "w1")
+        .crossJoin(broadcast(vSize))
+        .select(col("doc_id"), col("source"),
+          round(log((col("c12") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double")), 9).as("lp"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_bi"),
+          sum(col("lp").cast(DecimalType(18, 9))).cast(DoubleType)
+            .as("sum_lp"))
+        .withColumn("avg_lp", round(col("sum_lp") / col("n_bi"), 6))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("avg_lp") < -4.5, 1).otherwise(0)).cast("long")
+            .as("n_low_lik"),
+          sum(col("avg_lp").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("sum_avg_lp"))
+        .orderBy("source")
+    },
+
     // Unigram LM likelihood filter (CCNet-style quality scoring): each
     // doc's mean token log-probability under the corpus unigram model;
     // docs far below the corpus norm are the gibberish/outlier tail.
@@ -1857,6 +1901,43 @@ object TextQueries {
         |    (len(t.sh) + len(e.sh) - len(list_intersect(t.sh, e.sh))), 6)
         |    >= 0.5
         |ORDER BY train_id, eval_id""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |bi0 AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(len(tk), 1)),
+        |      i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS p
+        |  FROM toks),
+        |bi AS (
+        |  SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM bi0
+        |  WHERE p.w1 <> '' AND p.w2 <> ''),
+        |cbi AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |cuni AS (
+        |  SELECT tok, count(*) AS c1
+        |  FROM (SELECT unnest(tk) AS tok FROM toks)
+        |  WHERE tok <> '' GROUP BY 1),
+        |vs AS (SELECT count(*) AS v FROM cuni),
+        |lp AS (
+        |  SELECT doc_id, source,
+        |    round(ln(CAST(c12 + 1 AS DOUBLE) /
+        |      CAST(c1 + (SELECT v FROM vs) AS DOUBLE)), 9) AS lp
+        |  FROM bi JOIN cbi USING (w1, w2)
+        |  JOIN cuni ON bi.w1 = cuni.tok),
+        |d AS (
+        |  SELECT doc_id, source, count(*) AS n_bi,
+        |    CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) AS sum_lp
+        |  FROM lp GROUP BY doc_id, source),
+        |a AS (SELECT doc_id, source, round(sum_lp / n_bi, 6) AS avg_lp
+        |      FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN avg_lp < -4.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_lik,
+        |  CAST(SUM(CAST(avg_lp AS DECIMAL(18,6))) AS DOUBLE) AS sum_avg_lp
+        |FROM a GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_lm_quality" ->
       """WITH tok AS (

@@ -123,7 +123,8 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
       "q_graph_rank", "q_graph_degree", "q_graph_triangles",
       "q_snapshot_diff",
       "q_upsert_merge", "q_recency_score", "q_interval_overlap",
-      "q_scd2_history", "q_kcore", "q_bfs_reach", "q_seasonal_anomaly")
+      "q_scd2_history", "q_kcore", "q_bfs_reach", "q_seasonal_anomaly",
+      "q_bigram_lm")
     graft.ops.Pin.disabled = true
     try {
       joinHeavy.foreach { name =>

@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.graftfns.bridge.dotProductFunction)
     ext.injectFunction(
       org.apache.spark.sql.graftfns.bridge.collectTopKFunction)
+    ext.injectFunction(
+      org.apache.spark.sql.graftfns.textBridge.langIdFunction)
+    ext.injectFunction(
+      org.apache.spark.sql.graftfns.textBridge.fingerprintFunction)
   }
 }

@@ -111,7 +111,8 @@ object bridge {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    Seq(dotProductFunction, collectTopKFunction).foreach {
+    Seq(dotProductFunction, collectTopKFunction,
+      textBridge.langIdFunction, textBridge.fingerprintFunction).foreach {
       case (id, info, builder) =>
         cs.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -78,9 +78,43 @@ case class Fingerprint(child: Expression, n: Int)
 
 /** Internal Column bridge — use graft.functions.TextFns instead. */
 object textBridge {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+
   def langId(c: Column): Column =
     ExpressionUtils.column(LangId(ExpressionUtils.expression(c)))
 
   def fingerprint(c: Column, n: Int): Column =
     ExpressionUtils.column(Fingerprint(ExpressionUtils.expression(c), n))
+
+  /** `lang_id(text)` as a SQL function (see [[graft.GraftExtensions]]). */
+  val langIdFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("lang_id"),
+    new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"lang_id expects 1 argument, got ${children.length}")
+      LangId(children.head)
+    })
+
+  /** `fingerprint(text, n)` as a SQL function; `n` must be a foldable
+    * integer — the window width is a plan-time constant of the
+    * expression, exactly as in the Column API.
+    */
+  val fingerprintFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("fingerprint"),
+    new ExpressionInfo(classOf[Fingerprint].getName, "fingerprint"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"fingerprint expects 2 arguments, got ${children.length}")
+      val n = children(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          "fingerprint's second argument must be an integer literal, " +
+            s"got $other")
+      }
+      Fingerprint(children.head, n)
+    })
 }

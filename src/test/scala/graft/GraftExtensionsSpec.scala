@@ -40,6 +40,21 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers
     bottom(0).getSeq[Int](0) shouldBe Seq(5, 7)
   }
 
+  it should "expose lang_id and fingerprint in SQL, matching the " +
+    "Column-API expressions" in {
+    ArrayMath.registerSqlFunctions(spark)
+    spark.sql("SELECT lang_id('der die das und ist nicht') AS l")
+      .head().getString(0) shouldBe
+      graft.ops.TextAnalysis.langIdOf("der die das und ist nicht")
+    spark.sql("SELECT fingerprint('a b c d e f g h', 3) AS f")
+      .head().getLong(0) shouldBe
+      graft.ops.TextAnalysis.fingerprintOf("a b c d e f g h", 3)
+    // n must be a literal: a column reference is a plan-time error
+    an[Exception] should be thrownBy
+      spark.sql("SELECT fingerprint('x', CAST(rand() * 3 AS INT))")
+        .collect()
+  }
+
   it should "inject dot_product via spark.sql.extensions" in {
     // Build a sibling session over the SAME SparkContext with the
     // extensions applied (the spark.sql.extensions code path); restore the

@@ -640,6 +640,38 @@ object EventQueries {
       }
       s.table(name).orderBy("mktsegment", "event_type")
     },
+
+    // Custom-state streaming (flatMapGroupsWithState + EventTimeTimeout,
+    // graft.streaming.Stateful): gap sessionization as an explicit
+    // per-user state machine — the API for state `session_window` cannot
+    // express. Emission semantics ARE the checked contract: a session
+    // closed by a later event of the same user always emits; the last
+    // open session per user emits only when the final watermark STRICTLY
+    // passes its end+gap (event-time timeout). The oracle reproduces
+    // both rules relationally in MILLIS (the state machine folds
+    // `ts.getTime`, so microsecond components truncate before the gap
+    // compare — a deliberate, mirrored precision contract).
+    "q_stream_state_sessions" -> { (s, dir) =>
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+        .select(col("user_id"), col("ts"))
+        .as[graft.streaming.UserEvent]
+      val sessions = graft.streaming.Stateful
+        .statefulSessions(stream, GapUs / 1000L, "0 seconds")
+      val name = "q_stream_state_sessions_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        val q = sessions.writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"))
+        .orderBy("user_id")
+    },
   )
 
   private val breaksSql =
@@ -985,6 +1017,41 @@ object EventQueries {
          | AND b.t_b - v.t_v <= 3600000000
          |GROUP BY v.user_id
          |ORDER BY v.user_id""".stripMargin,
+
+    "q_stream_state_sessions" -> {
+      val gapMs = GapUs / 1000L
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+         |  FROM events),
+         |b AS (
+         |  SELECT user_id, event_id, ms,
+         |    CASE WHEN lag(ms) OVER (PARTITION BY user_id
+         |                            ORDER BY ms, event_id) IS NULL
+         |      OR ms - lag(ms) OVER (PARTITION BY user_id
+         |                            ORDER BY ms, event_id) > $gapMs
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM ev),
+         |sb AS (
+         |  SELECT user_id, ms,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM b),
+         |sess AS (
+         |  SELECT user_id, sid, max(ms) AS e, count(*) AS n
+         |  FROM sb GROUP BY user_id, sid),
+         |emit AS (
+         |  SELECT * FROM (
+         |    SELECT user_id, sid, e, n,
+         |      max(sid) OVER (PARTITION BY user_id) AS max_sid
+         |    FROM sess)
+         |  WHERE sid < max_sid
+         |     OR e + $gapMs < (SELECT max(ms) FROM ev))
+         |SELECT user_id, count(*) AS n_sessions,
+         |  CAST(sum(n) AS BIGINT) AS n_events
+         |FROM emit GROUP BY user_id
+         |ORDER BY user_id""".stripMargin
+    },
 
     "q_stream_enrich" ->
       s"""SELECT c.c_mktsegment AS mktsegment, e.event_type,

@@ -463,8 +463,10 @@ object TextQueries {
         .filter(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as("c1"))
       val vSize = cUni.agg(count(lit(1)).as("v"))
+      // the unigram model is NOT hinted broadcast: at web scale the
+      // vocabulary is 10^7-10^8 rows — AQE picks broadcast when it fits
       bi.join(cBi, Seq("w1", "w2"))
-        .join(broadcast(cUni.select(col("tok").as("w1"), col("c1"))), "w1")
+        .join(cUni.select(col("tok").as("w1"), col("c1")), "w1")
         .crossJoin(broadcast(vSize))
         .select(col("doc_id"), col("source"),
           round(log((col("c12") + 1).cast("double") /

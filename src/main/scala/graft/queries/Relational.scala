@@ -353,6 +353,35 @@ object Relational {
         .orderBy("c_mktsegment")
     },
 
+    // Referential-integrity audit — the data-quality sweep every
+    // warehouse load runs: orphan counts for all four fact→dim FKs in
+    // one result. Each check is a left-anti join (probe side never
+    // widens); dimension key sets broadcast, the two fact-fact checks
+    // shuffle on the key only. One row per FK: the audit report shape.
+    "q_fk_audit" -> { (s, dir) =>
+      def audit(name: String, fact: DataFrame, key: String,
+                dim: DataFrame, dimKey: String): DataFrame = {
+        val orphans = fact
+          .join(dim.select(col(dimKey)), col(key) === col(dimKey),
+            "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        fact.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(orphans)
+          .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+      }
+      val li = t(s, dir, "lineitem")
+      audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .unionByName(audit("lineitem.l_partkey->part", li, "l_partkey",
+          t(s, dir, "part"), "p_partkey"))
+        .unionByName(audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(audit("orders.o_custkey->customer",
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"))
+        .orderBy("fk")
+    },
+
     // Semi join (EXISTS): customers with ≥1 high-value order, per
     // segment — the probe side never duplicates or widens, unlike an
     // inner join + distinct.
@@ -748,6 +777,33 @@ object Relational {
          |FROM orders
          |GROUP BY 1
          |ORDER BY year""".stripMargin,
+
+    "q_fk_audit" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |  (SELECT count(*) FROM lineitem) AS n_rows,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE l.l_orderkey = o.o_orderkey))
+        |    AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                     WHERE l.l_partkey = p.p_partkey))
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                     WHERE l.l_suppkey = s.s_suppkey))
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE o.o_custkey = c.c_custkey))
+        |ORDER BY fk""".stripMargin,
 
     "q_except" ->
       """SELECT o_custkey AS custkey FROM orders

@@ -166,6 +166,35 @@ object TemporalQueries {
         .limit(TopN)
     },
 
+    // Incremental view maintenance: the hourly rollup is computed as
+    // base partial (events before the 70% cutoff) MERGED with a delta
+    // partial (events after) — the update path of a materialized
+    // aggregate: never re-scan the base, just merge partial states.
+    // Merge-equals-recompute holds EXACTLY because counts and decimal
+    // sums are associative; the oracle IS the full recompute, so the
+    // gate proves the incremental path bit-identical to the batch path.
+    "q_incr_agg" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val cut = e.agg((min(col("us")) +
+        ((max(col("us")) - min(col("us"))) * 7) / 10).cast("long")
+        .as("cutoff_us"))
+      val tagged = e.crossJoin(broadcast(cut))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy(expr(s"us div ${HourUs}L").as("hb"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).as("sv"))
+      val base = partial(tagged.filter(col("us") < col("cutoff_us")))
+      val delta = partial(tagged.filter(col("us") >= col("cutoff_us")))
+      base.unionByName(delta)
+        .groupBy("hb", "event_type")
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("n")).cast("long").as("n_events"),
+          sum(col("sv")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // Per-type activity trend: OLS slope of daily event counts over the
     // day index. Every moment (Sx, Sy, Sxy, Sxx) is an exact BIGINT sum
     // of integers — associative, so partitioning cannot perturb it — and
@@ -320,6 +349,14 @@ object TemporalQueries {
          |  CAST(sum(ov) AS BIGINT) AS busy_overlap_us
          |FROM ov GROUP BY user_id
          |ORDER BY busy_overlap_us DESC, user_id LIMIT $TopN""".stripMargin,
+
+    "q_incr_agg" ->
+      s"""WITH $evSql
+         |SELECT event_type,
+         |  count(DISTINCT us // $HourUs) AS n_hours,
+         |  count(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_trend_fit" ->
       s"""WITH $evSql,

@@ -439,6 +439,36 @@ object TextQueries {
         .orderBy("train_id", "eval_id")
     },
 
+    // Phrase search over the corpus: the top-5 trigram phrases (by
+    // occurrence count, lexicographic tiebreak) looked up as exact
+    // 3-token phrases — per phrase, how many documents contain it and
+    // how often. A length-k phrase IS a k-gram, so the postings
+    // machinery is one `transform` explode + grouped counts, and the
+    // phrase set joins back BROADCAST (5 rows). The inverted-index
+    // lookup path of a corpus search engine with no position join at
+    // all.
+    "q_phrase_search" -> { (s, dir) =>
+      val trigs = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(tk, 1, greatest(size(tk) - 2, 0)), " +
+            "(x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2, " +
+            "element_at(tk, i + 3) AS w3))")).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2"), col("p.w3"))
+        .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
+      val perDoc = trigs.groupBy("w1", "w2", "w3", "doc_id")
+        .agg(count(lit(1)).as("n_in_doc"))
+      val phrases = perDoc.groupBy("w1", "w2", "w3")
+        .agg(sum(col("n_in_doc")).cast("long").as("n_occurrences"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(desc("n_occurrences"), col("w1"), col("w2"), col("w3"))
+        .limit(5)
+      phrases.select(
+          concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"),
+          col("n_docs"), col("n_occurrences"))
+        .orderBy("phrase")
+    },
+
     // Bigram LM likelihood (one order up from q_lm_quality's unigram
     // model): each doc's mean bigram log-probability under the corpus
     // bigram model with add-one smoothing, P(w2|w1) = (c12+1)/(c1+V).
@@ -1903,6 +1933,27 @@ object TextQueries {
         |    (len(t.sh) + len(e.sh) - len(list_intersect(t.sh, e.sh))), 6)
         |    >= 0.5
         |ORDER BY train_id, eval_id""".stripMargin,
+
+    "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |tg0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+        |      i -> struct_pack(w1 := tk[i], w2 := tk[i + 1],
+        |                       w3 := tk[i + 2]))) AS p
+        |  FROM toks),
+        |tg AS (
+        |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3 FROM tg0
+        |  WHERE p.w1 <> '' AND p.w2 <> '' AND p.w3 <> ''),
+        |phrases AS (
+        |  SELECT w1, w2, w3, count(*) AS n_occurrences,
+        |    count(DISTINCT doc_id) AS n_docs
+        |  FROM tg GROUP BY 1, 2, 3
+        |  ORDER BY n_occurrences DESC, w1, w2, w3 LIMIT 5)
+        |SELECT w1 || ' ' || w2 || ' ' || w3 AS phrase,
+        |  n_docs, CAST(n_occurrences AS BIGINT) AS n_occurrences
+        |FROM phrases ORDER BY phrase""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH toks AS (

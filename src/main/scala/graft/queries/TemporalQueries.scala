@@ -166,6 +166,38 @@ object TemporalQueries {
         .limit(TopN)
     },
 
+    // Exact winsorization: per-type p05/p95 bounds by NEAREST-RANK
+    // (integer rank arithmetic on a totally-ordered sort — never
+    // interpolated, so the bound is an actual data value both engines
+    // pick identically), then values clamped and re-summed in exact
+    // decimal. The robust-scaling pass run before feeding any metric to
+    // a model. One type-partitioned window + a broadcast bounds join.
+    "q_winsorize" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      val ranked = e.withColumn("rn", row_number().over(w))
+      val n = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val bounds = ranked.join(broadcast(n), "event_type")
+        .filter(col("rn") === expr("(5 * (n - 1)) div 100 + 1") ||
+          col("rn") === expr("(95 * (n - 1)) div 100 + 1"))
+        .groupBy("event_type")
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      e.join(broadcast(bounds), "event_type")
+        .withColumn("clipped",
+          least(greatest(col("value"), col("lo")), col("hi")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("lo")), 6).as("p05"),
+          round(max(col("hi")), 6).as("p95"),
+          sum(when(col("value") < col("lo"), 1).otherwise(0)).cast("long")
+            .as("n_clipped_low"),
+          sum(when(col("value") > col("hi"), 1).otherwise(0)).cast("long")
+            .as("n_clipped_high"),
+          dsum(col("clipped")).as("sum_winsorized"))
+        .orderBy("event_type")
+    },
+
     // Incremental view maintenance: the hourly rollup is computed as
     // base partial (events before the 70% cutoff) MERGED with a delta
     // partial (events after) — the update path of a materialized
@@ -349,6 +381,30 @@ object TemporalQueries {
          |  CAST(sum(ov) AS BIGINT) AS busy_overlap_us
          |FROM ov GROUP BY user_id
          |ORDER BY busy_overlap_us DESC, user_id LIMIT $TopN""".stripMargin,
+
+    "q_winsorize" ->
+      s"""WITH $evSql,
+         |ranked AS (
+         |  SELECT event_type, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM ev),
+         |bounds AS (
+         |  SELECT event_type, min(value) AS lo, max(value) AS hi
+         |  FROM ranked
+         |  WHERE rn = (5 * (n - 1)) // 100 + 1
+         |     OR rn = (95 * (n - 1)) // 100 + 1
+         |  GROUP BY event_type)
+         |SELECT ev.event_type, count(*) AS n,
+         |  round(min(lo), 6) AS p05, round(max(hi), 6) AS p95,
+         |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clipped_low,
+         |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clipped_high,
+         |  ${dsumSql("least(greatest(value, lo), hi)")} AS sum_winsorized
+         |FROM ev JOIN bounds ON ev.event_type = bounds.event_type
+         |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
 
     "q_incr_agg" ->
       s"""WITH $evSql

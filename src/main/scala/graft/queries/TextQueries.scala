@@ -439,6 +439,44 @@ object TextQueries {
         .orderBy("train_id", "eval_id")
     },
 
+    // Water-filling token-budget allocation: given per-source token
+    // counts and a total budget (half the corpus), find the level τ
+    // such that sum(min(tokens_s, τ)) fills the budget — small sources
+    // keep everything, large sources are capped at τ. The standard
+    // sampling-budget allocator of a mixture-weighted training corpus,
+    // done in EXACT integer arithmetic (floor-divided τ; the ≤m-row
+    // remainder is emitted, not silently spread). The window is
+    // unpartitioned BUT its input is the per-source aggregate —
+    // |sources| rows, a data-model constant — not the corpus.
+    "q_token_budget" -> { (s, dir) =>
+      val per = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("tokens"))
+      val tot = per.agg(sum(col("tokens")).as("tot"),
+        count(lit(1)).as("m"))
+      val w = Window.orderBy(col("tokens"), col("source"))
+      val pre = per.crossJoin(broadcast(tot))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prefix", sum(col("tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("budget", expr("tot div 2"))
+        .withColumn("qual",
+          col("prefix") + (col("m") - col("rn")) * col("tokens") <=
+            col("budget"))
+      val level = pre.agg(
+        max(when(col("qual"), col("rn"))).as("k"),
+        max(when(col("qual"), col("prefix"))).as("prefix_k"),
+        max(col("budget")).as("budget"), max(col("m")).as("m"))
+        .select(col("budget"),
+          expr("(budget - coalesce(prefix_k, 0L)) div " +
+            "(m - coalesce(k, 0))").as("tau"))
+      per.crossJoin(broadcast(level))
+        .select(col("source"), col("tokens"),
+          least(col("tokens"), col("tau")).as("alloc"),
+          col("tau"), col("budget"))
+        .orderBy("source")
+    },
+
     // Phrase search over the corpus: the top-5 trigram phrases (by
     // occurrence count, lexicographic tiebreak) looked up as exact
     // 3-token phrases — per phrase, how many documents contain it and
@@ -1933,6 +1971,36 @@ object TextQueries {
         |    (len(t.sh) + len(e.sh) - len(list_intersect(t.sh, e.sh))), 6)
         |    >= 0.5
         |ORDER BY train_id, eval_id""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot,
+        |               count(*) AS m FROM per),
+        |pre AS (
+        |  SELECT source, tokens,
+        |    row_number() OVER (ORDER BY tokens, source) AS rn,
+        |    CAST(sum(tokens) OVER (ORDER BY tokens, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+        |    (SELECT tot FROM tot) // 2 AS budget,
+        |    (SELECT m FROM tot) AS m
+        |  FROM per),
+        |lvl AS (
+        |  SELECT max(budget) AS budget,
+        |    (max(budget) - coalesce(max(CASE WHEN
+        |        prefix + (m - rn) * tokens <= budget
+        |        THEN prefix END), 0)) //
+        |    (max(m) - coalesce(max(CASE WHEN
+        |        prefix + (m - rn) * tokens <= budget
+        |        THEN rn END), 0)) AS tau
+        |  FROM pre)
+        |SELECT source, tokens,
+        |  least(tokens, (SELECT tau FROM lvl)) AS alloc,
+        |  (SELECT tau FROM lvl) AS tau,
+        |  (SELECT budget FROM lvl) AS budget
+        |FROM per ORDER BY source""".stripMargin,
 
     "q_phrase_search" ->
       """WITH toks AS (

@@ -106,6 +106,50 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Join-key skew report — the diagnostic run before keying any 100 TB
+    // shuffle on user_id: per-key counts, the heaviest keys, and each
+    // one's skew ratio (n·n_keys/tot; 1.0 = perfectly uniform). The
+    // number that decides whether a downstream join needs salting (see
+    // q_salted_join). One groupBy + one scalar broadcast; the ratio
+    // rounds from identical integer operands in both engines.
+    "q_skew_report" -> { (s, dir) =>
+      val perKey = events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val tot = perKey.agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).cast("long").as("tot"))
+      perKey.crossJoin(broadcast(tot))
+        .select(col("user_id"), col("n"), col("n_keys"), col("tot"),
+          round((col("n") * col("n_keys")).cast("double") / col("tot"), 6)
+            .as("skew_ratio"))
+        .orderBy(desc("n"), col("user_id"))
+        .limit(5)
+    },
+
+    // Audience overlap: exact pairwise user-set intersection + Jaccard
+    // across event types. The distinct (type, user) set shuffles once on
+    // user_id; the pair join is equi-keyed on the user, so pair volume
+    // is Σ_user (types_of_user choose 2) — bounded by |types|² per user,
+    // never corpus². Type sizes broadcast (|types| rows).
+    "q_audience_overlap" -> { (s, dir) =>
+      val ua = events(s, dir).select("event_type", "user_id").distinct()
+      val sizes = ua.groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+      val both = ua.select(col("event_type").as("ta"), col("user_id"))
+        .join(ua.select(col("event_type").as("tb"), col("user_id")),
+          "user_id")
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
+      both
+        .join(broadcast(sizes.select(col("event_type").as("ta"),
+          col("n_users").as("na"))), "ta")
+        .join(broadcast(sizes.select(col("event_type").as("tb"),
+          col("n_users").as("nb"))), "tb")
+        .select(col("ta"), col("tb"), col("na"), col("nb"), col("n_both"),
+          round(col("n_both").cast("double") /
+            (col("na") + col("nb") - col("n_both")), 6).as("jaccard"))
+        .orderBy("ta", "tb")
+    },
+
     // Event-time daily windows: activity per day.
     "q_daily_active" -> { (s, dir) =>
       events(s, dir)
@@ -766,6 +810,34 @@ object EventQueries {
          |FROM events
          |GROUP BY 1
          |ORDER BY day""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH pk AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |tot AS (SELECT count(*) AS n_keys,
+        |               CAST(sum(n) AS BIGINT) AS tot FROM pk)
+        |SELECT user_id, n, n_keys, tot,
+        |  round(CAST(n * n_keys AS DOUBLE) / tot, 6) AS skew_ratio
+        |FROM pk CROSS JOIN tot
+        |ORDER BY n DESC, user_id LIMIT 5""".stripMargin,
+
+    "q_audience_overlap" ->
+      """WITH ua AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (
+        |  SELECT event_type, count(*) AS n_users FROM ua GROUP BY 1),
+        |b AS (
+        |  SELECT a.event_type AS ta, c.event_type AS tb,
+        |    count(*) AS n_both
+        |  FROM ua a JOIN ua c ON a.user_id = c.user_id
+        |  WHERE a.event_type < c.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, x.n_users AS na, y.n_users AS nb, n_both,
+        |  round(CAST(n_both AS DOUBLE) /
+        |        (x.n_users + y.n_users - n_both), 6) AS jaccard
+        |FROM b JOIN sz x ON b.ta = x.event_type
+        |JOIN sz y ON b.tb = y.event_type
+        |ORDER BY ta, tb""".stripMargin,
 
     // Mirrors AsOfJoin's union-merge plan in SQL so the tie semantics
     // (right rows sort before left at equal ts; largest view id wins among

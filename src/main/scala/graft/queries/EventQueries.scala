@@ -106,6 +106,45 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Session path mining: the top-10 three-step behavioral paths taken
+    // WITHIN a session (session boundaries cut the sequence — a path
+    // never spans the 30-min gap). Two lags over a (user, session)-keyed
+    // window, then a count; path cardinality is |types|³-bounded so the
+    // final aggregate is constant-size at any corpus scale.
+    "q_path_mining" -> { (s, dir) =>
+      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+      withBreaks(s, dir)
+        .withColumn("sid", sum(col("brk")).over(run))
+        .withColumn("p1", lag("event_type", 2).over(w))
+        .withColumn("p2", lag("event_type", 1).over(w))
+        .filter(col("p1").isNotNull)
+        .select(concat_ws(" > ", col("p1"), col("p2"), col("event_type"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(10)
+    },
+
+    // Debounce: collapse repeats of the same (user, event_type) arriving
+    // within 5 s to the first occurrence — the telemetry-ingest dedup
+    // run before any counting pipeline. One keyed window; kept rows'
+    // values re-sum in exact decimal.
+    "q_debounce" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("keep", col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 5000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+          dsum(when(col("keep"), col("value"))).as("sum_kept_value"))
+        .orderBy("event_type")
+    },
+
     // Join-key skew report — the diagnostic run before keying any 100 TB
     // shuffle on user_id: per-key counts, the heaviest keys, and each
     // one's skew ratio (n·n_keys/tot; 1.0 = perfectly uniform). The
@@ -810,6 +849,47 @@ object EventQueries {
          |FROM events
          |GROUP BY 1
          |ORDER BY day""".stripMargin,
+
+    "q_path_mining" ->
+      s"""WITH sb AS (
+         |  SELECT user_id, event_id, us,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM ($breaksSql)),
+         |et AS (
+         |  SELECT sb.user_id, sb.event_id, sb.us, sb.sid, e.event_type
+         |  FROM sb JOIN events e ON sb.event_id = e.event_id),
+         |lagged AS (
+         |  SELECT
+         |    lag(event_type, 2) OVER w AS p1,
+         |    lag(event_type, 1) OVER w AS p2,
+         |    event_type
+         |  FROM et
+         |  WINDOW w AS (PARTITION BY user_id, sid ORDER BY us, event_id))
+         |SELECT p1 || ' > ' || p2 || ' > ' || event_type AS path,
+         |  count(*) AS n
+         |FROM lagged WHERE p1 IS NOT NULL
+         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "q_debounce" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |k AS (
+        |  SELECT event_type, value,
+        |    (lag(us) OVER (PARTITION BY user_id, event_type
+        |                   ORDER BY us, event_id) IS NULL
+        |     OR us - lag(us) OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY us, event_id) > 5000000)
+        |      AS keep
+        |  FROM ev)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep
+        |    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    AS sum_kept_value
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_skew_report" ->
       """WITH pk AS (

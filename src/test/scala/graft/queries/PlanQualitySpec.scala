@@ -125,7 +125,8 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
       "q_upsert_merge", "q_recency_score", "q_interval_overlap",
       "q_scd2_history", "q_kcore", "q_bfs_reach", "q_seasonal_anomaly",
       "q_bigram_lm", "q_incr_agg", "q_fk_audit", "q_phrase_search",
-      "q_winsorize", "q_skew_report", "q_audience_overlap")
+      "q_winsorize", "q_skew_report", "q_audience_overlap",
+      "q_path_mining", "q_debounce")
     graft.ops.Pin.disabled = true
     try {
       joinHeavy.foreach { name =>

@@ -196,6 +196,46 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
     } shouldBe empty
   }
 
+  it should "inject a runtime bloom filter on the fact side of a " +
+    "filtered fact-dim join when enabled" in {
+    // Semi-join reduction at 100 TB: when one join side carries a
+    // selective filter, Spark 3.3+/4.x can build a bloom filter of its
+    // join keys and push it into the OTHER side's scan, cutting shuffled
+    // fact rows before the join. Off by default in this session's gates
+    // (deterministic plans for the oracle contract), this spec proves
+    // the engine's tables + join shapes light it up when a deployment
+    // enables it — the application-side size threshold is lowered
+    // because the test tables are far below the production 10 GB gate.
+    val s = spark
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold" -> "1b",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        "100MB",
+      // the rule only fires for probable SHUFFLE joins (a broadcast join
+      // needs no reduction) — force the shuffle path on the test-scale
+      // tables, exactly the shape the big-cluster fact⋈fact join has
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") >
+          400000.0)
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val optimized = j.queryExecution.optimizedPlan.toString
+      optimized.toLowerCase should include("bloom")
+      j.collect() // and the filtered plan still executes
+      ()
+    } finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   it should "run lang-ID and fingerprint as native expressions, not " +
     "ScalaUDFs" in {
     // VERDICT r4 #7: the per-row ScalaUDF converter/closure tax on the

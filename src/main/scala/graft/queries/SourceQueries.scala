@@ -68,6 +68,35 @@ object SourceQueries {
       }
     },
 
+    // CSV round trip — the reference's own ingestion format (SURVEY §2
+    // S1), previously exercised only through the CLI: write documents'
+    // scalar columns as CSV (text included — quoting/escaping is the
+    // hard part of the format), read back with the EXPLICIT schema
+    // (never inference — a second full pass at 100 TB), and prove the
+    // hop lossless per source with the q_jsonl_roundtrip fidelity
+    // aggregate (counts, exact char sums, distinct text md5s).
+    "q_csv_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      withTempDir("graft_csv") { base =>
+        docs.write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .csv(s"$base/out")
+        // multiLine: embedded newlines in quoted text parse correctly if
+        // a future testdata generation introduces them (costs per-file
+        // instead of per-split parallelism — correctness first here; the
+        // parquet gates carry the scan-performance story)
+        Pin.pin(s.read.schema(docs.schema)
+          .option("header", "true").option("escape", "\"")
+          .option("multiLine", "true")
+          .csv(s"$base/out")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            count_distinct(md5(col("text"))).as("n_distinct_texts"))
+          .orderBy("source"))
+      }
+    },
+
     // Table profiling — the first query anyone runs against an unknown
     // 100 TB table: per column, null count, exact distinct count, and
     // lexicographic min/max of the string form. ONE scan: all per-column
@@ -111,6 +140,14 @@ object SourceQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE lang = 'de'
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_distinct_texts
+        |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
 

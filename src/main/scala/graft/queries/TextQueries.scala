@@ -439,6 +439,52 @@ object TextQueries {
         .orderBy("train_id", "eval_id")
     },
 
+    // Per-document n-gram novelty: the fraction of a doc's 8-token
+    // shingles that appear NOWHERE else in the corpus — low novelty =
+    // boilerplate/template text, the complement of q_source_overlap's
+    // cross-source view. The shuffle key is the 60-bit md5 prefix of
+    // the shingle (the q_source_overlap idiom — fixed-width key, and a
+    // ~10⁻⁴ collision merges the same shingles on both engines, so
+    // hash-equality is preserved by construction). Docs under 8 tokens
+    // have no shingles and drop out on both engines alike.
+    "q_ngram_novelty" -> { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(slice(tk, 1, greatest(size(tk) - 7, 0)), " +
+            "(x, i) -> substring(md5(concat_ws(' ', slice(tk, i + 1, 8)))" +
+            ", 1, 15))")).as("g"))
+      val cnt = sh.groupBy("g").agg(count(lit(1)).as("c"))
+      sh.join(cnt, "g")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("c") === 1, 1).otherwise(0)).cast("long")
+            .as("n_uniq"))
+        .withColumn("novelty",
+          round(col("n_uniq").cast("double") / col("n_sh"), 6))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("novelty") < 0.5, 1).otherwise(0)).cast("long")
+            .as("n_boilerplate"),
+          sum(col("novelty").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("sum_novelty"))
+        .orderBy("source")
+    },
+
+    // Equi-width document-length histogram per language: 500-char bins
+    // capped at bin 10 — the length-distribution profile behind
+    // truncation / packing decisions. |langs|×11 groups, map-side
+    // combined; integer bin arithmetic on both engines.
+    "q_length_histogram" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"),
+          least(expr("n_chars div 500"), lit(10L)).as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "bin")
+    },
+
     // Water-filling token-budget allocation: given per-source token
     // counts and a total budget (half the corpus), find the level τ
     // such that sum(min(tokens_s, τ)) fills the budget — small sources
@@ -1971,6 +2017,41 @@ object TextQueries {
         |    (len(t.sh) + len(e.sh) - len(list_intersect(t.sh, e.sh))), 6)
         |    >= 0.5
         |ORDER BY train_id, eval_id""".stripMargin,
+
+    "q_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, greatest(len(tk) - 6, 1)),
+        |      i -> substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15)))
+        |      AS g
+        |  FROM toks),
+        |cnt AS (SELECT g, count(*) AS c FROM sh GROUP BY g),
+        |perdoc AS (
+        |  SELECT doc_id, source, count(*) AS n_sh,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_uniq
+        |  FROM sh JOIN cnt USING (g)
+        |  GROUP BY doc_id, source),
+        |nv AS (
+        |  SELECT source,
+        |    round(CAST(n_uniq AS DOUBLE) / n_sh, 6) AS novelty
+        |  FROM perdoc)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN novelty < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boilerplate,
+        |  CAST(SUM(CAST(novelty AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_novelty
+        |FROM nv GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_length_histogram" ->
+      """SELECT lang, least(n_chars // 500, 10) AS bin,
+        |  count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
 
     "q_token_budget" ->
       """WITH per AS (

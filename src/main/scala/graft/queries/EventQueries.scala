@@ -29,6 +29,13 @@ object EventQueries {
 
   private val GapUs: Long = 1800L * 1000000L // 30 min session gap
 
+  /** events projected to exact integer time + hour bucket. */
+  private def ev2(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"),
+      unix_micros(col("ts")).as("us"),
+      expr("unix_micros(ts) div 3600000000").as("hb"))
+
   /** events with per-user break flags: brk=1 starts a new session. */
   private def withBreaks(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -104,6 +111,30 @@ object EventQueries {
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // OHLC bars: per (event_type, hour) open/high/low/close of `value` —
+    // the canonical time-series downsampling aggregate. Open/close come
+    // from row_number over the (type, hour)-keyed window with the total
+    // (us, event_id) order, so ties can never pick different rows across
+    // engines; high/low are plain min/max. No arithmetic on the doubles
+    // at all — every emitted value is a raw parquet value, identical
+    // bits on both engines.
+    "q_ohlc_bars" -> { (s, dir) =>
+      val e = ev2(s, dir)
+      val wAsc = Window.partitionBy("event_type", "hb")
+        .orderBy(col("us"), col("event_id"))
+      val wDesc = Window.partitionBy("event_type", "hb")
+        .orderBy(col("us").desc, col("event_id").desc)
+      e.withColumn("rno", row_number().over(wAsc))
+        .withColumn("rnc", row_number().over(wDesc))
+        .groupBy("event_type", "hb")
+        .agg(count(lit(1)).as("n"),
+          max(when(col("rno") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rnc") === 1, col("value"))).as("close"))
+        .orderBy("event_type", "hb")
     },
 
     // Session path mining: the top-10 three-step behavioral paths taken
@@ -849,6 +880,26 @@ object EventQueries {
          |FROM events
          |GROUP BY 1
          |ORDER BY day""".stripMargin,
+
+    "q_ohlc_bars" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hb
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hb, value,
+        |    row_number() OVER (PARTITION BY event_type, hb
+        |                       ORDER BY us, event_id) AS rno,
+        |    row_number() OVER (PARTITION BY event_type, hb
+        |                       ORDER BY us DESC, event_id DESC) AS rnc
+        |  FROM ev)
+        |SELECT event_type, hb, count(*) AS n,
+        |  max(CASE WHEN rno = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rnc = 1 THEN value END) AS close
+        |FROM r GROUP BY event_type, hb
+        |ORDER BY event_type, hb""".stripMargin,
 
     "q_path_mining" ->
       s"""WITH sb AS (

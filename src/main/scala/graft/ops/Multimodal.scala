@@ -9,9 +9,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 case class MediaFile(id: Long, kind: String, bytes: Array[Byte])
 
-/** Typed metadata extracted from a media blob. */
+/** Typed metadata extracted from a media blob. `decoded` is true when a
+  * real codec produced the dimensions, false when the deterministic
+  * fallback did (non-media bytes).
+  */
 case class MediaMeta(id: Long, kind: String, nBytes: Long, headerHash: Long,
-                     width: Int, height: Int, nFrames: Int)
+                     width: Int, height: Int, nFrames: Int,
+                     decoded: Boolean)
 
 /** A sampled "frame": a deterministic byte-range slice of the source. */
 case class MediaFrame(id: Long, frameIdx: Int, offset: Long,
@@ -22,11 +26,14 @@ case class MediaFrame(id: Long, frameIdx: Int, offset: Long,
   * per-partition so decode libraries initialize once per task (the Spark
   * pattern for heavyweight codecs).
   *
-  * The actual codec is STUBBED — this container has no image/audio
-  * libraries — with a deterministic fake decoder (`decodeStub`) so the
-  * Spark-side contract (schema, partitioning, batch iteration, typed
-  * Datasets) is real and tested end-to-end. Swapping in a real decoder
-  * changes only the function body marked below.
+  * Image decode is REAL (the JDK's ImageIO — PNG/JPEG/GIF/BMP, zero
+  * external dependencies); bytes that are not a decodable image fall
+  * back to a deterministic fake (`decodeStub`) and are flagged
+  * `decoded = false` — which is what the current testdata produces,
+  * since its "media" blobs are documents re-encoded as bytes. Audio /
+  * video codecs are the remaining genuinely-stubbed surface (no
+  * libraries in this container); they slot into the same
+  * partition-wise plumbing.
   *
   * Scale: `mapPartitions` keeps the decode streaming (no per-row setup,
   * no driver collect); binary columns are dictionary-free parquet pages,
@@ -47,10 +54,9 @@ object Multimodal {
       .as[MediaFile]
   }
 
-  /** STUB decoder — deterministic fake dimensions from the header bytes.
-    * Replace the body with a real codec (e.g. TwelveMonkeys/ImageIO for
-    * images) to productionize; the signature and the surrounding
-    * partition-wise plumbing stay unchanged.
+  /** Fallback decoder — deterministic fake dimensions from the header
+    * bytes, used when the blob is not a decodable image (the testdata
+    * reality: documents re-encoded as blobs).
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val b0 = if (bytes.length > 0) bytes(0) & 0xff else 0
@@ -59,6 +65,25 @@ object Multimodal {
     val height = 64 + (b2 % 32)
     val nFrames = 1 + bytes.length % 16
     (width, height, nFrames)
+  }
+
+  /** Decode: REAL image decode first via the JDK's ImageIO (PNG / JPEG /
+    * GIF / BMP — zero external dependencies; the reader is selected by
+    * container signature, so non-image bytes fail fast with a null
+    * reader), falling back to [[decodeStub]]. Returns
+    * (width, height, nFrames, decoded). Audio/video containers would
+    * slot in the same way with their libraries on the classpath; the
+    * partition-wise plumbing above this function is codec-agnostic.
+    */
+  def decode(bytes: Array[Byte]): (Int, Int, Int, Boolean) = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img != null) (img.getWidth, img.getHeight, 1, true)
+    else {
+      val (w, h, f) = decodeStub(bytes)
+      (w, h, f, false)
+    }
   }
 
   /** FNV-1a over the first `n` bytes — a cheap header fingerprint. */
@@ -75,11 +100,11 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition: a real impl would initialize the codec here, once
+      // per-partition: heavyweight codec state initializes here, once
       it.map { m =>
-        val (w, h, f) = decodeStub(m.bytes)
+        val (w, h, f, dec) = decode(m.bytes)
         MediaMeta(m.id, m.kind, m.bytes.length.toLong, headerHash(m.bytes),
-          w, h, f)
+          w, h, f, dec)
       }
     }
   }

@@ -31,6 +31,26 @@ class MultimodalSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .toMap
     metas shouldBe again
     metas(1L).headerHash shouldBe Multimodal.headerHash(out(1L).bytes)
+    // text blobs are NOT decodable images → fallback path, flagged
+    all(metas.values.map(_.decoded)) shouldBe false
+  }
+
+  it should "REALLY decode an actual PNG via ImageIO and flag it" in {
+    val img = new java.awt.image.BufferedImage(
+      37, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(5, 5, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val s = spark
+    import s.implicits._
+    val ds = Seq(MediaFile(42L, "image/png", bos.toByteArray)).toDS()
+    val meta = Multimodal.extractMeta(ds).collect().head
+    meta.decoded shouldBe true
+    meta.width shouldBe 37
+    meta.height shouldBe 23
+    meta.nFrames shouldBe 1
+    // and the direct function agrees
+    Multimodal.decode(bos.toByteArray) shouldBe ((37, 23, 1, true))
   }
 
   behavior of "sampleFrames"

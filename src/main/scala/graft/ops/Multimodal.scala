@@ -21,6 +21,10 @@ case class MediaMeta(id: Long, kind: String, nBytes: Long, headerHash: Long,
 case class MediaFrame(id: Long, frameIdx: Int, offset: Long,
                       bytes: Array[Byte])
 
+/** One audio blob's typed metadata. `decoded` as in [[MediaMeta]]. */
+case class AudioMeta(id: Long, nBytes: Long, sampleRate: Int,
+                     channels: Int, frames: Long, decoded: Boolean)
+
 /** Multimodal-column plumbing for training-data pipelines: image/audio/
   * video travel as opaque `binary` columns with typed metadata, processed
   * per-partition so decode libraries initialize once per task (the Spark
@@ -83,6 +87,42 @@ object Multimodal {
     else {
       val (w, h, f) = decodeStub(bytes)
       (w, h, f, false)
+    }
+  }
+
+  /** Decode audio: REAL container parse via the JDK's
+    * javax.sound.sampled (WAV / AIFF / AU — zero external dependencies);
+    * non-audio bytes fall back to deterministic fake parameters flagged
+    * `decoded = false`. Returns (sampleRate, channels, frames, decoded).
+    */
+  def decodeAudio(bytes: Array[Byte]): (Int, Int, Long, Boolean) = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (in != null) {
+      val f = in.getFormat
+      val out = (f.getSampleRate.toInt, f.getChannels, in.getFrameLength,
+        true)
+      in.close()
+      out
+    } else {
+      val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+      (8000 + (b1 % 8) * 1000, 1 + bytes.length % 2,
+        bytes.length.toLong, false)
+    }
+  }
+
+  /** Audio metadata extraction, partition-wise like [[extractMeta]]. */
+  def extractAudioMeta(media: Dataset[MediaFile]): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (sr, ch, fr, dec) = decodeAudio(m.bytes)
+        AudioMeta(m.id, m.bytes.length.toLong, sr, ch, fr, dec)
+      }
     }
   }
 

@@ -53,6 +53,29 @@ class MultimodalSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     Multimodal.decode(bos.toByteArray) shouldBe ((37, 23, 1, true))
   }
 
+  it should "REALLY decode an actual WAV via javax.sound and flag it" in {
+    // 1000 frames of 16-bit mono PCM at 8 kHz, written as a genuine WAV
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](2000)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 1000)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val s = spark
+    import s.implicits._
+    val ds = Seq(MediaFile(7L, "audio/wav", bos.toByteArray)).toDS()
+    val meta = Multimodal.extractAudioMeta(ds).collect().head
+    meta.decoded shouldBe true
+    meta.sampleRate shouldBe 8000
+    meta.channels shouldBe 1
+    meta.frames shouldBe 1000L
+    // non-audio bytes take the deterministic fallback
+    val fb = Multimodal.extractAudioMeta(media).collect()
+    all(fb.map(_.decoded)) shouldBe false
+    fb.map(_.id).toSet shouldBe Set(1L, 2L, 3L)
+  }
+
   behavior of "sampleFrames"
 
   it should "emit k evenly spaced frames and skip empty blobs" in {

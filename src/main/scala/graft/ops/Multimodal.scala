@@ -126,6 +126,69 @@ object Multimodal {
     }
   }
 
+  /** Byte-level video CONTAINER probe — no codec, just header parsing,
+    * which is what a corpus pipeline actually needs from video at ingest
+    * (decoding frames happens much later, on GPU boxes). Pure-JVM
+    * parsers for the two classic layouts:
+    *
+    *   - MP4/ISO-BMFF: walk the box tree (size + fourcc headers) to
+    *     `moov/trak/tkhd` and read the 16.16 fixed-point width/height
+    *     at the end of the tkhd box (version 0: offset 76, version 1:
+    *     offset 88 from the box header).
+    *   - AVI/RIFF: `RIFF....AVI LIST....hdrlavih`, width/height at
+    *     offsets 32/36 into the avih chunk body (little-endian).
+    *
+    * Returns Some((container, width, height)) or None for anything else.
+    */
+  def probeVideo(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def be32(o: Int): Long =
+      if (o + 4 > bytes.length) -1L
+      else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def le32(o: Int): Long =
+      if (o + 4 > bytes.length) -1L
+      else ((bytes(o + 3) & 0xffL) << 24) | ((bytes(o + 2) & 0xffL) << 16) |
+        ((bytes(o + 1) & 0xffL) << 8) | (bytes(o) & 0xffL)
+    def fourcc(o: Int): String =
+      if (o + 4 > bytes.length) ""
+      else new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    // ISO-BMFF: find tkhd inside moov/trak, depth-first box walk
+    def walkBoxes(start: Int, end: Int, depth: Int): Option[(Int, Int)] = {
+      var o = start
+      while (o + 8 <= end && depth < 8) {
+        val size = be32(o)
+        val typ = fourcc(o + 4)
+        if (size < 8 || o + size > end) return None
+        val bodyEnd = o + size.toInt
+        typ match {
+          case "tkhd" =>
+            val ver = if (o + 8 < bytes.length) bytes(o + 8) & 0xff else 0
+            val dimOff = o + 8 + (if (ver == 1) 88 else 76)
+            val w = (be32(dimOff) >> 16).toInt
+            val h = (be32(dimOff + 4) >> 16).toInt
+            if (w > 0 && h > 0) return Some((w, h))
+          case "moov" | "trak" =>
+            val r = walkBoxes(o + 8, bodyEnd, depth + 1)
+            if (r.isDefined) return r
+          case _ => ()
+        }
+        o = bodyEnd
+      }
+      None
+    }
+
+    if (fourcc(4) == "ftyp" || fourcc(4) == "moov")
+      walkBoxes(0, bytes.length, 0).map { case (w, h) => ("mp4", w, h) }
+    else if (fourcc(0) == "RIFF" && fourcc(8) == "AVI " &&
+      fourcc(12) == "LIST" && fourcc(20) == "hdrl" && fourcc(24) == "avih") {
+      val body = 32 // avih chunk body start: 24 fourcc + 4 size + ...
+      val w = le32(body + 32).toInt
+      val h = le32(body + 36).toInt
+      if (w > 0 && h > 0) Some(("avi", w, h)) else None
+    } else None
+  }
+
   /** FNV-1a over the first `n` bytes — a cheap header fingerprint. */
   def headerHash(bytes: Array[Byte], n: Int = 16): Long = {
     var h = 0xcbf29ce484222325L

@@ -76,6 +76,39 @@ class MultimodalSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     fb.map(_.id).toSet shouldBe Set(1L, 2L, 3L)
   }
 
+  behavior of "probeVideo"
+
+  it should "read dimensions from an MP4 box tree and an AVI header, " +
+    "and reject non-video bytes" in {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le32(v: Long): Array[Byte] = be32(v).reverse
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    // minimal ISO-BMFF: ftyp + moov{trak{tkhd v0 with 640x360 16.16}}
+    val tkhdBody = new Array[Byte](84)
+    be32(640L << 16).copyToArray(tkhdBody, 76)
+    be32(360L << 16).copyToArray(tkhdBody, 80)
+    val tkhd = be32(92) ++ cc("tkhd") ++ tkhdBody
+    val trak = be32(8 + tkhd.length) ++ cc("trak") ++ tkhd
+    val moov = be32(8 + trak.length) ++ cc("moov") ++ trak
+    val ftyp = be32(16) ++ cc("ftyp") ++ cc("isom") ++ be32(0)
+    val mp4 = ftyp ++ moov
+    Multimodal.probeVideo(mp4) shouldBe Some(("mp4", 640, 360))
+
+    // minimal AVI: RIFF/AVI LIST hdrl avih with 320x240 at body+32/36
+    val avihBody = new Array[Byte](40)
+    le32(320).copyToArray(avihBody, 32)
+    le32(240).copyToArray(avihBody, 36)
+    val avi = cc("RIFF") ++ le32(100) ++ cc("AVI ") ++ cc("LIST") ++
+      le32(60) ++ cc("hdrl") ++ cc("avih") ++ le32(40) ++ avihBody
+    Multimodal.probeVideo(avi) shouldBe Some(("avi", 320, 240))
+
+    Multimodal.probeVideo("not a video at all".getBytes) shouldBe None
+    Multimodal.probeVideo(Array.emptyByteArray) shouldBe None
+  }
+
   behavior of "sampleFrames"
 
   it should "emit k evenly spaced frames and skip empty blobs" in {

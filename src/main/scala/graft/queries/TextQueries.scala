@@ -454,14 +454,21 @@ object TextQueries {
           "transform(slice(tk, 1, greatest(size(tk) - 7, 0)), " +
             "(x, i) -> substring(md5(concat_ws(' ', slice(tk, i + 1, 8)))" +
             ", 1, 15))")).as("g"))
-      val cnt = sh.groupBy("g").agg(count(lit(1)).as("c"))
-      sh.join(cnt, "g")
-        .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_sh"),
-          sum(when(col("c") === 1, 1).otherwise(0)).cast("long")
-            .as("n_uniq"))
+      // no shingle-stream re-join: a corpus-unique shingle (c == 1) has
+      // exactly one occurrence, so min(doc_id) IS its document — the
+      // per-gram aggregate carries the attribution, and only doc-level
+      // rows shuffle after the one gram-keyed aggregation
+      val uniq = sh.groupBy("g")
+        .agg(count(lit(1)).as("c"), min(col("doc_id")).as("d"))
+        .filter(col("c") === 1)
+        .groupBy(col("d").as("doc_id"))
+        .agg(count(lit(1)).as("n_uniq"))
+      sh.groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_sh"))
+        .join(uniq, Seq("doc_id"), "left_outer")
         .withColumn("novelty",
-          round(col("n_uniq").cast("double") / col("n_sh"), 6))
+          round(coalesce(col("n_uniq"), lit(0L)).cast("double") /
+            col("n_sh"), 6))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("novelty") < 0.5, 1).otherwise(0)).cast("long")

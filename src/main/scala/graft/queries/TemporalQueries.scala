@@ -246,12 +246,16 @@ object TemporalQueries {
         .select(col("event_type"), col("n_days"),
           col("sy").cast("long").as("n_events"),
           // moments widened to decimal(38,0) before the cross products —
-          // n_days·Sxy overflows a long once daily counts reach ~1e9
-          round((col("n_days") * col("sxy").cast("decimal(38,0)") -
-            col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
-            (col("n_days") * col("sxx").cast("decimal(38,0)") -
-              col("sx").cast("decimal(38,0)") * col("sx"))
-              .cast("double"), 6).as("slope_per_day"))
+          // n_days·Sxy overflows a long once daily counts reach ~1e9.
+          // A single-day group has zero x-variance: slope is NULL by the
+          // same explicit rule in both engines (double /0 is engine-
+          // dependent — Infinity vs error — so never reach it).
+          when(col("n_days") > 1,
+            round((col("n_days") * col("sxy").cast("decimal(38,0)") -
+              col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+              (col("n_days") * col("sxx").cast("decimal(38,0)") -
+                col("sx").cast("decimal(38,0)") * col("sx"))
+                .cast("double"), 6)).as("slope_per_day"))
         .orderBy("event_type")
     },
 
@@ -421,9 +425,10 @@ object TemporalQueries {
          |  FROM ev GROUP BY 1, 2)
          |SELECT event_type, count(*) AS n_days,
          |  CAST(sum(n) AS BIGINT) AS n_events,
-         |  round(CAST(count(*) * sum(d * n) - sum(d) * sum(n) AS DOUBLE)
+         |  CASE WHEN count(*) > 1 THEN
+         |    round(CAST(count(*) * sum(d * n) - sum(d) * sum(n) AS DOUBLE)
          |        / CAST(count(*) * sum(d * d) - sum(d) * sum(d) AS DOUBLE),
-         |        6) AS slope_per_day
+         |        6) END AS slope_per_day
          |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_seasonal_anomaly" ->

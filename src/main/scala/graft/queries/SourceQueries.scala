@@ -19,6 +19,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SourceQueries {
 
+  /** Lossless-CSV option sets shared by the gate and its spec: quoted
+    * empties on write + an off-"" null token on read keep the
+    * empty-string / NULL distinction CSV loses by default.
+    */
+  def csvWrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .option("emptyValue", "\"\"")
+      .csv(path)
+
+  def csvRead(s: SparkSession, schema: org.apache.spark.sql.types.StructType,
+              path: String): DataFrame =
+    s.read.schema(schema)
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .option("nullValue", "\\N")
+      .csv(path)
+
   private def withTempDir[A](prefix: String)(f: String => A): A = {
     val base = java.nio.file.Files.createTempDirectory(prefix).toString
     try f(base)
@@ -78,17 +96,12 @@ object SourceQueries {
     "q_csv_roundtrip" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       withTempDir("graft_csv") { base =>
-        docs.write.mode("overwrite")
-          .option("header", "true").option("escape", "\"")
-          .csv(s"$base/out")
-        // multiLine: embedded newlines in quoted text parse correctly if
-        // a future testdata generation introduces them (costs per-file
-        // instead of per-split parallelism — correctness first here; the
-        // parquet gates carry the scan-performance story)
-        Pin.pin(s.read.schema(docs.schema)
-          .option("header", "true").option("escape", "\"")
-          .option("multiLine", "true")
-          .csv(s"$base/out")
+        // csvWrite/csvRead carry the lossless option set (quoted
+        // empties, off-"" null token, multiLine) — see their scaladoc;
+        // a future testdata generation with empty texts or embedded
+        // newlines still round trips hash-identically.
+        csvWrite(docs, s"$base/out")
+        Pin.pin(csvRead(s, docs.schema, s"$base/out")
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).cast("long").as("sum_chars"),

@@ -259,6 +259,33 @@ object TemporalQueries {
         .orderBy("event_type")
     },
 
+    // CUSUM drift detection over the daily series: the classic
+    // change-point statistic s_i = max(0, s_{i-1} + dev_i) computed
+    // WITHOUT its sequential recurrence — s_i ≡ p_i − min_{j≤i} p_j for
+    // the prefix sums p, so two frames of one type-keyed window replace
+    // the loop. Deviations are cross-multiplied integers
+    // (n·n_days − total, mean never divided), the alarm rule
+    // (2·cusum > total·n_days... spelled 2·cusum > total) is an integer
+    // compare, and the whole gate is exact at any scale.
+    "q_cusum_drift" -> { (s, dir) =>
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), expr("us div 86400000000").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val typ = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum(col("n")).cast("long").as("tot"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(typ), "event_type")
+        .withColumn("p", sum(col("n") * col("nd") - col("tot")).over(w))
+        .withColumn("cusum", col("p") - min(col("p")).over(w))
+        .groupBy("event_type")
+        .agg(max(col("nd")).as("n_days"),
+          max(col("cusum")).cast("long").as("max_cusum_scaled"),
+          sum(when(col("cusum") * 2 > col("tot"), 1).otherwise(0))
+            .cast("long").as("n_alarm_days"))
+        .orderBy("event_type")
+    },
+
     // Seasonal (hour-of-day) anomaly profile: hours running at ≥1.5× the
     // type's mean hourly load, decided by integer cross-multiplication
     // (2·n·nh ≥ 3·tot) so the boundary can never flip between engines.
@@ -430,6 +457,31 @@ object TemporalQueries {
          |        / CAST(count(*) * sum(d * d) - sum(d) * sum(d) AS DOUBLE),
          |        6) END AS slope_per_day
          |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_cusum_drift" ->
+      s"""WITH $evSql,
+         |daily AS (
+         |  SELECT event_type, us // 86400000000 AS d, count(*) AS n
+         |  FROM ev GROUP BY 1, 2),
+         |typ AS (
+         |  SELECT event_type, count(*) AS nd,
+         |    CAST(sum(n) AS BIGINT) AS tot
+         |  FROM daily GROUP BY event_type),
+         |pf AS (
+         |  SELECT daily.event_type, d, nd, tot,
+         |    sum(n * nd - tot) OVER (PARTITION BY daily.event_type
+         |      ORDER BY d ROWS UNBOUNDED PRECEDING) AS p
+         |  FROM daily JOIN typ ON daily.event_type = typ.event_type),
+         |c AS (
+         |  SELECT event_type, nd, tot,
+         |    p - min(p) OVER (PARTITION BY event_type ORDER BY d
+         |                     ROWS UNBOUNDED PRECEDING) AS cusum
+         |  FROM pf)
+         |SELECT event_type, max(nd) AS n_days,
+         |  CAST(max(cusum) AS BIGINT) AS max_cusum_scaled,
+         |  CAST(sum(CASE WHEN cusum * 2 > tot THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_alarm_days
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_seasonal_anomaly" ->
       """WITH hod AS (

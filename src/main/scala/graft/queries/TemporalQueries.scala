@@ -286,6 +286,44 @@ object TemporalQueries {
         .orderBy("event_type")
     },
 
+    // Lag-24h autocorrelation — seasonality STRENGTH, complementing
+    // q_seasonal_anomaly's hot-spot view: Pearson r between each hour's
+    // count and the count exactly 24 h earlier. The lag is an equi-join
+    // on (type, hb = hb+24) — never a window over gap-ridden rows, so
+    // missing hours pair correctly. Moments are exact integers widened
+    // to decimal(38,0) (the q_trend_fit discipline); the one double
+    // formula has a fixed association mirrored in the oracle.
+    "q_autocorr_24h" -> { (s, dir) =>
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"), expr(s"us div ${HourUs}L").as("hb"))
+        .agg(count(lit(1)).as("n"))
+      val pairs = hourly.as("a")
+        .join(hourly.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.hb") === col("b.hb") + 24)
+        .select(col("a.event_type").as("event_type"),
+          col("a.n").as("x"), col("b.n").as("y"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("m"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("m").as("n_pairs"),
+          when((col("m") * d(col("sxx")) - d(col("sx")) * col("sx"))
+            .cast("double") > 0.0 &&
+            (col("m") * d(col("syy")) - d(col("sy")) * col("sy"))
+              .cast("double") > 0.0,
+            round((col("m") * d(col("sxy")) - d(col("sx")) * col("sy"))
+              .cast("double") /
+              sqrt((col("m") * d(col("sxx")) - d(col("sx")) * col("sx"))
+                .cast("double")) /
+              sqrt((col("m") * d(col("syy")) - d(col("sy")) * col("sy"))
+                .cast("double")), 6)).as("r_lag24"))
+        .orderBy("event_type")
+    },
+
     // Seasonal (hour-of-day) anomaly profile: hours running at ≥1.5× the
     // type's mean hourly load, decided by integer cross-multiplication
     // (2·n·nh ≥ 3·tot) so the boundary can never flip between engines.
@@ -482,6 +520,31 @@ object TemporalQueries {
          |  CAST(sum(CASE WHEN cusum * 2 > tot THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_alarm_days
          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_autocorr_24h" ->
+      s"""WITH $evSql,
+         |hourly AS (
+         |  SELECT event_type, us // $HourUs AS hb, count(*) AS n
+         |  FROM ev GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.event_type, a.n AS x, b.n AS y
+         |  FROM hourly a JOIN hourly b
+         |    ON a.event_type = b.event_type AND a.hb = b.hb + 24),
+         |mom AS (
+         |  SELECT event_type, count(*) AS m,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+         |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(y * y) AS HUGEINT) AS syy
+         |  FROM pairs GROUP BY event_type)
+         |SELECT event_type, m AS n_pairs,
+         |  CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0.0
+         |        AND CAST(m * syy - sy * sy AS DOUBLE) > 0.0 THEN
+         |    round(CAST(m * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+         |      / sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 6)
+         |  END AS r_lag24
+         |FROM mom ORDER BY event_type""".stripMargin,
 
     "q_seasonal_anomaly" ->
       """WITH hod AS (

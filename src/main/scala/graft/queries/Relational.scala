@@ -382,6 +382,24 @@ object Relational {
         .orderBy("fk")
     },
 
+    // Pre-join cardinality audit — the "estimate before you run it"
+    // check for a 100 TB join: per-key count products give the EXACT
+    // output size of an equi-join (Σ_k n_a(k)·n_b(k)) from two cheap
+    // aggregates + a key-level join, long before shuffling the fact
+    // rows. Emits the estimate, the hottest key's product (the row a
+    // skew-salting decision reads), and the key-overlap counts.
+    "q_join_cardinality" -> { (s, dir) =>
+      val a = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("na"))
+      val b = t(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("nb"))
+      a.join(b, "k")
+        .select(col("k"), (col("na") * col("nb")).as("prod"))
+        .agg(count(lit(1)).as("n_keys_both"),
+          sum(col("prod")).cast("long").as("est_join_rows"),
+          max(col("prod")).cast("long").as("max_key_product"))
+    },
+
     // Semi join (EXISTS): customers with ≥1 high-value order, per
     // segment — the probe side never duplicates or widens, unlike an
     // inner join + distinct.
@@ -777,6 +795,18 @@ object Relational {
          |FROM orders
          |GROUP BY 1
          |ORDER BY year""".stripMargin,
+
+    "q_join_cardinality" ->
+      """WITH a AS (
+        |  SELECT l_orderkey AS k, count(*) AS na
+        |  FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT o_orderkey AS k, count(*) AS nb
+        |  FROM orders GROUP BY 1)
+        |SELECT count(*) AS n_keys_both,
+        |  CAST(sum(na * nb) AS BIGINT) AS est_join_rows,
+        |  CAST(max(na * nb) AS BIGINT) AS max_key_product
+        |FROM a JOIN b ON a.k = b.k""".stripMargin,
 
     "q_fk_audit" ->
       """SELECT 'lineitem.l_orderkey->orders' AS fk,

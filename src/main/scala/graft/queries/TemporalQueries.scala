@@ -259,7 +259,7 @@ object TemporalQueries {
         .orderBy("event_type")
     },
 
-    // CUSUM drift detection over the daily series: the classic
+    // CUSUM drift detection over the daily series (Page 1954): the
     // change-point statistic s_i = max(0, s_{i-1} + dev_i) computed
     // WITHOUT its sequential recurrence — s_i ≡ p_i − min_{j≤i} p_j for
     // the prefix sums p, so two frames of one type-keyed window replace

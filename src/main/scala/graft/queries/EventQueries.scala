@@ -176,6 +176,39 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // A/B experiment readout: Welch's t between deterministic cohorts
+    // (user parity — the hash-split every experimentation platform
+    // does), per event type. Means/variances derive from exact decimal
+    // moment sums (the q_zscore_outliers discipline: associative, so
+    // partitioning can't perturb them) and the t formula is written in
+    // ONE fixed association mirrored by the oracle — identical doubles,
+    // then round 6. Map-side combined; 2×|types| groups of state.
+    "q_ab_metric" -> { (s, dir) =>
+      val v = col("value").cast("double")
+      val g = events(s, dir)
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+        .groupBy("event_type", "grp")
+        .agg(count(lit(1)).as("n"), dsum(v).as("s1"), dsum(v * v).as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("var",
+          (col("s2") - col("n") * col("mean") * col("mean")) /
+            (col("n") - 1))
+      val a = g.filter(col("grp") === 0)
+        .select(col("event_type"), col("n").as("n_a"),
+          col("mean").as("mean_a"), col("var").as("var_a"))
+      val b = g.filter(col("grp") === 1)
+        .select(col("event_type"), col("n").as("n_b"),
+          col("mean").as("mean_b"), col("var").as("var_b"))
+      a.join(b, "event_type")
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("mean_a") - col("mean_b"), 6).as("mean_diff"),
+          when(col("n_a") > 1 && col("n_b") > 1,
+            round((col("mean_a") - col("mean_b")) /
+              sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")),
+              6)).as("t_welch"))
+        .orderBy("event_type")
+    },
+
     // Join-key skew report — the diagnostic run before keying any 100 TB
     // shuffle on user_id: per-key counts, the heaviest keys, and each
     // one's skew ratio (n·n_keys/tot; 1.0 = perfectly uniform). The
@@ -941,6 +974,26 @@ object EventQueries {
         |    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
         |    AS sum_kept_value
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_ab_metric" ->
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS grp,
+         |    count(*) AS n,
+         |    ${dsumSql("value")} AS s1,
+         |    ${dsumSql("value * value")} AS s2
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, grp, n, s1 / n AS mean,
+         |    (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) AS var
+         |  FROM g)
+         |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+         |  round(a.mean - b.mean, 6) AS mean_diff,
+         |  CASE WHEN a.n > 1 AND b.n > 1 THEN
+         |    round((a.mean - b.mean) /
+         |          sqrt(a.var / a.n + b.var / b.n), 6) END AS t_welch
+         |FROM m a JOIN m b
+         |  ON a.event_type = b.event_type AND a.grp = 0 AND b.grp = 1
+         |ORDER BY a.event_type""".stripMargin,
 
     "q_skew_report" ->
       """WITH pk AS (

@@ -209,6 +209,39 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Chi-square independence of event_type × cohort — the categorical
+    // companion to q_ab_metric's means test (is traffic COMPOSITION
+    // different between arms, not just the metric?). Marginals widen to
+    // decimal(38,0) before the cross products (o·n overflows a long at
+    // corpus scale); each cell's term rounds to 9 dp then decimal-sums,
+    // so the |types|×2-cell total is addition-order-proof in both
+    // engines.
+    "q_chi2_cohort" -> { (s, dir) =>
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val base = events(s, dir)
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      val cells = base.groupBy("event_type", "grp")
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy("event_type").agg(sum("o").as("rt"))
+      val ct = cells.groupBy("grp").agg(sum("o").as("ct"))
+      val n = cells.agg(sum("o").as("n"),
+        count_distinct(col("event_type")).as("k"))
+      cells.join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "grp")
+        .crossJoin(broadcast(n))
+        .withColumn("num",
+          (d(col("o")) * col("n") - d(col("rt")) * col("ct"))
+            .cast("double"))
+        .withColumn("den",
+          (d(col("rt")) * col("ct") * col("n")).cast("double"))
+        .withColumn("term",
+          round(col("num") * col("num") / col("den"), 9)
+            .cast(DecimalType(28, 9)))
+        .agg(max(col("n")).cast("long").as("n_events"),
+          ((max(col("k")) - 1) * 1).cast("long").as("dof"),
+          sum(col("term")).cast("double").as("chi2"))
+    },
+
     // Join-key skew report — the diagnostic run before keying any 100 TB
     // shuffle on user_id: per-key counts, the heaviest keys, and each
     // one's skew ratio (n·n_keys/tot; 1.0 = perfectly uniform). The
@@ -974,6 +1007,31 @@ object EventQueries {
         |    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
         |    AS sum_kept_value
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_chi2_cohort" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS grp,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS HUGEINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT grp, CAST(sum(o) AS HUGEINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS HUGEINT) AS n,
+        |               count(DISTINCT event_type) AS k FROM cells),
+        |terms AS (
+        |  SELECT round(
+        |    CAST(o * n - rt * ct AS DOUBLE) *
+        |    CAST(o * n - rt * ct AS DOUBLE) /
+        |    CAST(rt * ct * n AS DOUBLE), 9) AS term, n, k
+        |  FROM cells
+        |  JOIN rt USING (event_type)
+        |  JOIN ct USING (grp)
+        |  CROSS JOIN tot)
+        |SELECT CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(max(k) - 1 AS BIGINT) AS dof,
+        |  CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE) AS chi2
+        |FROM terms""".stripMargin,
 
     "q_ab_metric" ->
       s"""WITH g AS (

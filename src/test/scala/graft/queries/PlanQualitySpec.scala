@@ -127,7 +127,8 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
       "q_bigram_lm", "q_incr_agg", "q_fk_audit", "q_phrase_search",
       "q_winsorize", "q_skew_report", "q_audience_overlap",
       "q_path_mining", "q_debounce", "q_ngram_novelty", "q_cusum_drift",
-      "q_autocorr_24h", "q_join_cardinality", "q_ab_metric")
+      "q_autocorr_24h", "q_join_cardinality", "q_ab_metric",
+      "q_chi2_cohort")
     graft.ops.Pin.disabled = true
     try {
       joinHeavy.foreach { name =>

@@ -176,6 +176,28 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // User-timeline serialization — the sequence-example builder of a
+    // behavioral model's training pipeline: each user's events collected
+    // into ONE deterministically-ordered string (array_sort on the
+    // (us, event_id, type) struct → total order independent of
+    // partitioning), fingerprinted with md5 so the oracle proves the
+    // ORDER, not just the multiset. Per-user state is the user's own
+    // history — the op's inherent requirement; the groupBy is one
+    // user-keyed shuffle.
+    "q_user_timeline" -> { (s, dir) =>
+      ev2(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("us"), col("event_id"), col("event_type")))),
+              x => concat_ws(":", x.getField("us"),
+                x.getField("event_id"), x.getField("event_type"))),
+            "|")).as("timeline_md5"))
+        .orderBy("user_id")
+    },
+
     // A/B experiment readout: Welch's t between deterministic cohorts
     // (user parity — the hash-split every experimentation platform
     // does), per event type. Means/variances derive from exact decimal
@@ -1007,6 +1029,16 @@ object EventQueries {
         |    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
         |    AS sum_kept_value
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_user_timeline" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  md5(string_agg(us || ':' || event_id || ':' || event_type, '|'
+        |      ORDER BY us, event_id, event_type)) AS timeline_md5
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_chi2_cohort" ->
       """WITH cells AS (

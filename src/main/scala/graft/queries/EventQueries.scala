@@ -176,6 +176,32 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Funnel-integrity audit — the data-contract check behind any
+    // conversion metric: a purchase should follow ≥1 view INSIDE its
+    // own session; orphan purchases measure instrumentation loss. One
+    // strictly-before running count per (user, session) window (frame
+    // ends at 1 PRECEDING, so the first row sums an empty frame), then
+    // a single-row report.
+    "q_funnel_integrity" -> { (s, dir) =>
+      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val before = Window.partitionBy("user_id", "sid")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withBreaks(s, dir)
+        .withColumn("sid", sum(col("brk")).over(run))
+        .withColumn("views_before",
+          sum(when(col("event_type") === "view", 1).otherwise(0))
+            .over(before))
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(coalesce(col("views_before"), lit(0)) === 0, 1)
+            .otherwise(0)).cast("long").as("n_orphan_purchases"))
+        .select(col("n_purchases"), col("n_orphan_purchases"),
+          round(col("n_orphan_purchases").cast("double") /
+            col("n_purchases"), 6).as("orphan_ratio"))
+    },
+
     // User-timeline serialization — the sequence-example builder of a
     // behavioral model's training pipeline: each user's events collected
     // into ONE deterministically-ordered string (array_sort on the
@@ -1029,6 +1055,29 @@ object EventQueries {
         |    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
         |    AS sum_kept_value
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_funnel_integrity" ->
+      s"""WITH sb AS (
+         |  SELECT user_id, event_id, us,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM ($breaksSql)),
+         |et AS (
+         |  SELECT sb.user_id, sb.event_id, sb.us, sb.sid, e.event_type
+         |  FROM sb JOIN events e ON sb.event_id = e.event_id),
+         |vb AS (
+         |  SELECT event_type,
+         |    coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id, sid ORDER BY us, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS views_before
+         |  FROM et)
+         |SELECT count(*) AS n_purchases,
+         |  CAST(sum(CASE WHEN views_before = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_orphan_purchases,
+         |  round(CAST(sum(CASE WHEN views_before = 0 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS orphan_ratio
+         |FROM vb WHERE event_type = 'purchase'""".stripMargin,
 
     "q_user_timeline" ->
       """WITH ev AS (

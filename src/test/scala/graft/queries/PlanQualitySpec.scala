@@ -128,7 +128,7 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
       "q_winsorize", "q_skew_report", "q_audience_overlap",
       "q_path_mining", "q_debounce", "q_ngram_novelty", "q_cusum_drift",
       "q_autocorr_24h", "q_join_cardinality", "q_ab_metric",
-      "q_chi2_cohort")
+      "q_chi2_cohort", "q_funnel_integrity")
     graft.ops.Pin.disabled = true
     try {
       joinHeavy.foreach { name =>

@@ -382,6 +382,29 @@ object Relational {
         .orderBy("fk")
     },
 
+    // Open-order aging report: the operational backlog view — open
+    // orders bucketed by age relative to the newest order date (the
+    // dataset's "now", so the report is deterministic), with exact
+    // decimal value at risk per bucket. One scan, integer day
+    // arithmetic, buckets bounded.
+    "q_order_backlog" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val mx = o.agg(max(col("o_orderdate")).as("mx"))
+      o.filter(col("o_orderstatus") === "O")
+        .crossJoin(broadcast(mx))
+        .withColumn("age_d", datediff(col("mx"), col("o_orderdate")))
+        .withColumn("bucket",
+          when(col("age_d") < 90, "a_lt90")
+            .when(col("age_d") < 365, "b_90to365")
+            .when(col("age_d") < 730, "c_1to2y")
+            .otherwise("d_gt2y"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("value_at_risk"),
+          max(col("age_d")).cast("long").as("max_age_days"))
+        .orderBy("bucket")
+    },
+
     // Pre-join cardinality audit — the "estimate before you run it"
     // check for a 100 TB join: per-key count products give the EXACT
     // output size of an equi-join (Σ_k n_a(k)·n_b(k)) from two cheap
@@ -795,6 +818,22 @@ object Relational {
          |FROM orders
          |GROUP BY 1
          |ORDER BY year""".stripMargin,
+
+    "q_order_backlog" ->
+      s"""WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+         |aged AS (
+         |  SELECT o_totalprice,
+         |    date_diff('day', CAST(o_orderdate AS DATE),
+         |              CAST((SELECT mx FROM mx) AS DATE)) AS age_d
+         |  FROM orders WHERE o_orderstatus = 'O')
+         |SELECT CASE WHEN age_d < 90 THEN 'a_lt90'
+         |            WHEN age_d < 365 THEN 'b_90to365'
+         |            WHEN age_d < 730 THEN 'c_1to2y'
+         |            ELSE 'd_gt2y' END AS bucket,
+         |  count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS value_at_risk,
+         |  CAST(max(age_d) AS BIGINT) AS max_age_days
+         |FROM aged GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_join_cardinality" ->
       """WITH a AS (

@@ -439,6 +439,21 @@ object TextQueries {
         .orderBy("train_id", "eval_id")
     },
 
+    // Per-language exact-duplicate rate — the dedup planning number
+    // (which language partitions are worth a near-dup pass?): docs vs
+    // distinct text hashes per lang, one multi-distinct aggregate over
+    // one scan.
+    "q_dup_rate_by_lang" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(md5(col("text"))).as("n_distinct_texts"))
+        .withColumn("dup_rate",
+          round((col("n_docs") - col("n_distinct_texts")).cast("double") /
+            col("n_docs"), 6))
+        .orderBy("lang")
+    },
+
     // Per-document n-gram novelty: the fraction of a doc's 8-token
     // shingles that appear NOWHERE else in the corpus — low novelty =
     // boilerplate/template text, the complement of q_source_overlap's
@@ -2024,6 +2039,13 @@ object TextQueries {
         |    (len(t.sh) + len(e.sh) - len(list_intersect(t.sh, e.sh))), 6)
         |    >= 0.5
         |ORDER BY train_id, eval_id""".stripMargin,
+
+    "q_dup_rate_by_lang" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct_texts,
+        |  round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+        |        / count(*), 6) AS dup_rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_ngram_novelty" ->
       """WITH toks AS (

@@ -50,7 +50,10 @@ object TopK {
                    orderCol: String, tieCol: String): DataFrame =
     df.select(groupCols.map(col) :+
         posexplode(sort_array(col(tkCol), asc = false)): _*)
-      .select(groupCols.map(col) ++ Seq((col("pos") + 1).as("rnk"),
+      .select(groupCols.map(col) ++ Seq(
+        // long rank: DuckDB's row_number() is BIGINT — emitting the same
+        // type keeps the oracle relation hash-identical under typed hashing
+        (col("pos") + 1).cast("long").as("rnk"),
         col(s"col.$tieCol").as(tieCol),
         col(s"col.$orderCol").as(orderCol)): _*)
 }

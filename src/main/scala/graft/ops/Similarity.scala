@@ -245,7 +245,7 @@ object Similarity {
       .withColumn("sim", cosine(col("ne"), col("qe")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nid").as(idCol), col("sim"))
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid").as(idCol), col("sim"))
   }
 
   /** IVF (inverted-file) approximate top-k: a seeded KMeans coarse
@@ -296,7 +296,7 @@ object Similarity {
       .withColumn("sim", round(dot(col("nu"), col("qu")), 6))
       .withColumn("rnk", row_number().over(rankW))
       .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nid").as(idCol), col("sim"))
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid").as(idCol), col("sim"))
       .transform(Pin.pin) // small: ≤ k rows per query
     corpus.unpersist()
     out
@@ -434,7 +434,7 @@ object Similarity {
     val out = scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nid").as(idCol), col("adc_dist"))
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid").as(idCol), col("adc_dist"))
       .transform(Pin.pin) // small: ≤ k rows per query
     corpus.unpersist()
     out
@@ -507,7 +507,7 @@ object Similarity {
       .toDF("qid", "nid", "adc_dist")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nid").as(idCol), col("adc_dist"))
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid").as(idCol), col("adc_dist"))
       .transform(Pin.pin) // small: ≤ k rows per query
     corpus.unpersist()
     out

@@ -161,12 +161,17 @@ object GraphQueries {
         |edges AS (
         |  SELECT DISTINCT src, dst FROM e0
         |  WHERE dst IS NOT NULL AND dst <> src)""".stripMargin
+    // DuckDB's SUM(BIGINT) returns HUGEINT; without the explicit casts it
+    // propagates through every iteration CTE into the result schema and
+    // the driver's *typed* hash can never match the engine's BIGINT even
+    // when all values are equal (the round-7 sole red row). CAST both the
+    // inner SUM and the rank expression back to BIGINT.
     def iterSql(prev: String): String =
       s"""SELECT nodes.node,
-         |  (15 * (SELECT 1000000000000 // n FROM nn)) // 100
-         |  + (85 * COALESCE(s.c, 0)) // 100 AS rank
+         |  CAST((15 * (SELECT 1000000000000 // n FROM nn)) // 100
+         |  + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank
          |FROM nodes LEFT JOIN (
-         |  SELECT e.dst AS node, SUM(r.rank // o.deg) AS c
+         |  SELECT e.dst AS node, CAST(SUM(r.rank // o.deg) AS BIGINT) AS c
          |  FROM edges e
          |  JOIN $prev r ON e.src = r.node
          |  JOIN outd o ON e.src = o.src

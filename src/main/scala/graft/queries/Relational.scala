@@ -153,7 +153,7 @@ object Relational {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rn")
@@ -195,7 +195,7 @@ object Relational {
           col("p_size") === col("size_b") && col("id_a") < col("id_b"))
         .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 4))
         .filter(col("dist") >= 0)
-        .select(col("id_a"), col("id_b"), col("dist"))
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")
     },
 
@@ -245,7 +245,7 @@ object Relational {
       val w = Window.partitionBy("c_mktsegment")
         .orderBy(col("c_acctbal"), col("c_custkey"))
       t(s, dir, "customer")
-        .withColumn("q", ntile(4).over(w))
+        .withColumn("q", ntile(4).over(w).cast("long"))
         .groupBy("c_mktsegment", "q")
         .agg(count(lit(1)).as("n"),
           min(col("c_acctbal")).as("lo"),

@@ -19,23 +19,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SourceQueries {
 
-  /** Lossless-CSV option sets shared by the gate and its spec: quoted
-    * empties on write + an off-"" null token on read keep the
-    * empty-string / NULL distinction CSV loses by default.
+  /** Lossless-CSV helpers shared by the gate and its spec: quoted empties
+    * on write + an off-"" null token on read keep the empty-string / NULL
+    * distinction CSV loses by default.
+    *
+    * The null token itself needs more than options: Spark's univocity
+    * parser compares the token AFTER unquoting, so a text value literally
+    * equal to \N reads back as NULL no matter how the writer quotes it.
+    * The helpers therefore encode at the DataFrame level — on write, NULL
+    * becomes \N and any value in the token's escape family (\N, \\N, …)
+    * gains one leading backslash; on read, the parser nulls bare \N
+    * (reachable only from an encoded NULL) and the decode strips one
+    * backslash from the surviving family members.
     */
-  def csvWrite(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite")
+  private val NullTok = "\\N"
+  private val TokFamily = "^\\\\+N$" // \N, \\N, \\\N, ...
+
+  def csvWrite(df: DataFrame, path: String): Unit = {
+    val enc = df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        d.withColumn(f.name,
+          when(col(f.name).isNull, lit(NullTok))
+            .when(col(f.name).rlike(TokFamily),
+              concat(lit("\\"), col(f.name)))
+            .otherwise(col(f.name)))
+      else d
+    }
+    enc.write.mode("overwrite")
       .option("header", "true").option("escape", "\"")
       .option("emptyValue", "\"\"")
       .csv(path)
+  }
 
   def csvRead(s: SparkSession, schema: org.apache.spark.sql.types.StructType,
-              path: String): DataFrame =
-    s.read.schema(schema)
+              path: String): DataFrame = {
+    val raw = s.read.schema(schema)
       .option("header", "true").option("escape", "\"")
       .option("multiLine", "true")
-      .option("nullValue", "\\N")
+      // With write-side encoding, bare \N is reachable ONLY from an
+      // encoded NULL (the token family in real text gained a backslash),
+      // so the parser token is unambiguous; non-string NULLs serialize as
+      // bare empty fields, which the parser also nulls.
+      .option("nullValue", NullTok)
       .csv(path)
+    schema.fields.foldLeft(raw) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        d.withColumn(f.name,
+          when(col(f.name).rlike(TokFamily),
+            expr(s"substring(${f.name}, 2)"))
+            .otherwise(col(f.name)))
+      else d
+    }
+  }
 
   private def withTempDir[A](prefix: String)(f: String => A): A = {
     val base = java.nio.file.Files.createTempDirectory(prefix).toString

@@ -71,9 +71,12 @@ object TemporalQueries {
     // groupBy — two shuffles total, both on the merge key.
     "q_upsert_merge" -> { (s, dir) =>
       val e = ev(s, dir)
-      val cut = e.agg((min(col("us")) +
-        ((max(col("us")) - min(col("us"))) * 7) / 10).cast("long")
-        .as("cutoff_us"))
+      // Integer floor division (`div`), mirroring the oracle's `// 10`:
+      // Column `/` is DOUBLE division and at epoch-micro magnitudes its
+      // rounding can shift the cutoff by 1 us, misclassifying boundary
+      // events between base/upd on regenerated testdata.
+      val cut = e.agg(min(col("us")).as("mn_us"), max(col("us")).as("mx_us"))
+        .select(expr("mn_us + ((mx_us - mn_us) * 7) div 10").as("cutoff_us"))
       val w = Window.partitionBy("user_id", "event_type", "side")
         .orderBy(desc("us"), desc("event_id"))
       val winners = e.crossJoin(broadcast(cut))
@@ -207,9 +210,11 @@ object TemporalQueries {
     // gate proves the incremental path bit-identical to the batch path.
     "q_incr_agg" -> { (s, dir) =>
       val e = ev(s, dir)
-      val cut = e.agg((min(col("us")) +
-        ((max(col("us")) - min(col("us"))) * 7) / 10).cast("long")
-        .as("cutoff_us"))
+      // Same integer `div` cutoff as q_upsert_merge: this gate's oracle is
+      // cutoff-independent, but the engine's base/delta split should still
+      // sit on the exact integer boundary the scaladoc claims.
+      val cut = e.agg(min(col("us")).as("mn_us"), max(col("us")).as("mx_us"))
+        .select(expr("mn_us + ((mx_us - mn_us) * 7) div 10").as("cutoff_us"))
       val tagged = e.crossJoin(broadcast(cut))
       def partial(df: DataFrame): DataFrame =
         df.groupBy(expr(s"us div ${HourUs}L").as("hb"), col("event_type"))

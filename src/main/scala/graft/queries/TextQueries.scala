@@ -886,7 +886,7 @@ object TextQueries {
       tf.join(dfreq, "term").crossJoin(broadcast(nTotal))
         .withColumn("tfidf", round(col("tf") *
           (log((col("n_total") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select("doc_id", "rnk", "term", "tfidf")
         .orderBy("doc_id", "rnk")

@@ -24,7 +24,10 @@ class CsvLosslessSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       (3L, null.asInstanceOf[String]),
       (4L, "has,comma"),
       (5L, "has \"quotes\" inside"),
-      (6L, "line one\nline two"))
+      (6L, "line one\nline two"),
+      (7L, "\\N"),
+      (8L, "\\\\N"),   // deeper escape family member
+      (9L, "\\Nx"))    // near-token text outside the family
     val df = rows.toDF("id", "text")
     val base = Files.createTempDirectory("graft_csv_spec").toString
     try {
@@ -38,6 +41,9 @@ class CsvLosslessSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       back(4L) shouldBe "has,comma"
       back(5L) shouldBe "has \"quotes\" inside"
       back(6L) shouldBe "line one\nline two"
+      back(7L) shouldBe "\\N"       // literal token, NOT null
+      back(8L) shouldBe "\\\\N"
+      back(9L) shouldBe "\\Nx"
     } finally {
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(base))

@@ -19,6 +19,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def col_types(con, sql):
+    """Column-name -> DuckDB type name for an arbitrary query."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -70,6 +76,21 @@ def main():
         wc, w = canon(want, want_cols)
         if gc != wc:
             print(f"FAIL  {name}: columns {gc} != oracle {wc}")
+            n_fail += 1
+            continue
+        # Type-strict gate: the driver hashes TYPED values, so a DuckDB
+        # result type diverging from the engine parquet's type (e.g.
+        # SUM(BIGINT) -> HUGEINT) hash-mismatches even when every value is
+        # equal. A local "pass" must imply a driver hash-match, so require
+        # exact per-column type equality between the engine's parquet (as
+        # DuckDB reads it) and the oracle query's result relation.
+        got_t = col_types(con, f"SELECT * FROM read_parquet({files!r})")
+        want_t = col_types(con, oracle[name])
+        type_bad = [(c, got_t.get(c), want_t.get(c)) for c in gc
+                    if got_t.get(c) != want_t.get(c)]
+        if type_bad:
+            print(f"FAIL  {name}: column type divergence "
+                  f"(engine vs oracle): {type_bad}")
             n_fail += 1
             continue
         if len(g) != len(w):

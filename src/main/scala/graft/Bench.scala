@@ -11,7 +11,13 @@ object Bench {
     */
   def resetState(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // Skip SessionCache's checkpoint blocks: those are session-level
+    // materialized derivations shared ACROSS queries (unpersisting a
+    // localCheckpoint destroys it — truncated lineage can't recompute).
+    val keep = graft.ops.SessionCache.protectedRddIds
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keep.contains(id)) rdd.unpersist(true)
+    }
     // One explicit GC between queries (outside the timed section): lets
     // the ContextCleaner process weak refs (shuffle files, broadcasts)
     // and keeps full-GC pauses out of the next query's measurement.

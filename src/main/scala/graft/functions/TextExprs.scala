@@ -109,12 +109,25 @@ object textBridge {
     (children: Seq[Expression]) => {
       require(children.length == 2,
         s"fingerprint expects 2 arguments, got ${children.length}")
-      val n = children(1) match {
-        case Literal(v: Int, _) => v
+      // Any foldable integral expression works (1+2, CAST(3 AS BIGINT),
+      // a plain literal): fold it at registration time and range-check.
+      val nArg = children(1)
+      val n = nArg match {
+        case e if e.foldable => e.eval() match {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long    => l.longValue()
+          case s: java.lang.Short   => s.longValue()
+          case b: java.lang.Byte    => b.longValue()
+          case other => throw new IllegalArgumentException(
+            "fingerprint's second argument must be a foldable integer, " +
+              s"got ${if (other == null) "NULL" else other} from $e")
+        }
         case other => throw new IllegalArgumentException(
-          "fingerprint's second argument must be an integer literal, " +
-            s"got $other")
+          "fingerprint's second argument must be a foldable integer, " +
+            s"got non-foldable $other")
       }
-      Fingerprint(children.head, n)
+      require(n >= 1 && n <= Int.MaxValue,
+        s"fingerprint window width must be in [1, ${Int.MaxValue}], got $n")
+      Fingerprint(children.head, n.toInt)
     })
 }

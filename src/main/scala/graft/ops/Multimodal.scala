@@ -102,11 +102,15 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes)))
       catch { case scala.util.control.NonFatal(_) => null }
     if (in != null) {
-      val f = in.getFormat
-      val out = (f.getSampleRate.toInt, f.getChannels, in.getFrameLength,
-        true)
-      in.close()
-      out
+      // getFrameLength is AudioSystem.NOT_SPECIFIED (-1) for formats with
+      // unknown length — clamp to 0 rather than emitting frames=-1 with
+      // decoded=true; close in finally so a throwing getFormat/
+      // getFrameLength can't leak the stream.
+      try {
+        val f = in.getFormat
+        val frames = math.max(in.getFrameLength, 0L)
+        (f.getSampleRate.toInt, f.getChannels, frames, true)
+      } finally in.close()
     } else {
       val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
       (8000 + (b1 % 8) * 1000, 1 + bytes.length % 2,

@@ -14,10 +14,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * relational toolbox alongside the IFS operators.
   *
   * Scale notes (100 TB design point):
-  *   - dimension joins (region/nation/supplier/customer) are broadcast —
-  *     Spark's planner picks BroadcastHashJoin for them automatically under
-  *     the 10 MB threshold, and `broadcast()` hints force it where the
-  *     statistics might not be available;
+  *   - CONSTANT-cardinality dimensions (region: 5 rows, nation: 25) carry
+  *     `broadcast()` hints — safe at any SF. Scaling dimensions
+  *     (customer/supplier/part, linear in SF) carry NO hint: AQE
+  *     broadcasts them iff the filtered side measures small at runtime,
+  *     and shuffle-joins at the SF where a forced broadcast would OOM;
   *   - fact-fact joins (orders⋈lineitem) shuffle on the join key only after
   *     filters are pushed into the parquet scan;
   *   - aggregations are partial (map-side) before the shuffle, so shuffle
@@ -81,7 +82,9 @@ object Relational {
         .filter(col("l_shipdate") > lit("1999-01-01"))
       lineitem
         .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        // customer SCALES with SF (unlike region/nation) — no forced
+        // broadcast; AQE broadcasts the filtered side iff it measures small
+        .join(customer, col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey")
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
           .as("revenue"))
@@ -96,7 +99,8 @@ object Relational {
       val nation = t(s, dir, "nation")
       val supplier = t(s, dir, "supplier")
       t(s, dir, "lineitem")
-        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        // supplier scales with SF → AQE's call; nation/region are constant
+        .join(supplier, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
@@ -122,7 +126,8 @@ object Relational {
         .select("p_partkey", "p_brand")
       val w = Window.partitionBy("l_partkey")
       t(s, dir, "lineitem")
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        // part scales with SF even brand-filtered → AQE's call
+        .join(parts, col("l_partkey") === col("p_partkey"))
         .withColumn("sq",
           sum(col("l_quantity").cast("decimal(18,6)")).over(w))
         .withColumn("nq", count(lit(1)).over(w))
@@ -619,7 +624,8 @@ object Relational {
       val supplier = t(s, dir, "supplier")
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        // supplier scales with SF → AQE's call; nation is constant
+        .join(supplier, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .groupBy("o_orderpriority", "n_name")
         .agg(count(lit(1)).as("n_items"),

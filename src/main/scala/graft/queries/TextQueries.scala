@@ -1094,11 +1094,14 @@ object TextQueries {
         .groupBy("tok").agg(count(lit(1)).as("c"))
       val nTok = uni.agg(sum("c").as("n_tok"))
       val nPair = pairs.agg(sum("c_ab").as("n_pair"))
+      // No broadcast hints on the unigram side: |vocab| is unbounded (a
+      // web corpus reaches 10^7–10^8 distinct tokens). AQE broadcasts
+      // when the measured build side is small, shuffle-joins otherwise.
       pairs
-        .join(broadcast(uni.select(col("tok").as("tok_a"),
-          col("c").as("c_a"))), "tok_a")
-        .join(broadcast(uni.select(col("tok").as("tok_b"),
-          col("c").as("c_b"))), "tok_b")
+        .join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")),
+          "tok_a")
+        .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")),
+          "tok_b")
         .crossJoin(broadcast(nTok))
         .crossJoin(broadcast(nPair))
         .filter(col("c_ab") >= 5)
@@ -1133,7 +1136,12 @@ object TextQueries {
       val vocab = graft.ops.RowIndex
         .withContiguousIndex(counts, Seq("neg_c", "tok"))
         .select(col("tok"), col("row_idx").as("tok_id"))
-      toks.join(broadcast(vocab), "tok")
+      // No broadcast hint: the vocabulary's cardinality is UNBOUNDED (a
+      // web corpus reaches 10^7–10^8 distinct tokens → a multi-GB
+      // broadcast that OOMs every executor). Let AQE pick — it broadcasts
+      // when the built side measures small and shuffle-joins on `tok`
+      // otherwise, which is the plan that survives 100 TB.
+      toks.join(vocab, "tok")
         .groupBy("source")
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("tok_id")).as("sum_ids"),

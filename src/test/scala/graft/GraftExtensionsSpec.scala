@@ -49,7 +49,13 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers
     spark.sql("SELECT fingerprint('a b c d e f g h', 3) AS f")
       .head().getLong(0) shouldBe
       graft.ops.TextAnalysis.fingerprintOf("a b c d e f g h", 3)
-    // n must be a literal: a column reference is a plan-time error
+    // n accepts any FOLDABLE integral expression, not just a bare literal
+    val want = graft.ops.TextAnalysis.fingerprintOf("a b c d e f g h", 3)
+    spark.sql("SELECT fingerprint('a b c d e f g h', 1 + 2) AS f")
+      .head().getLong(0) shouldBe want
+    spark.sql("SELECT fingerprint('a b c d e f g h', CAST(3 AS BIGINT)) AS f")
+      .head().getLong(0) shouldBe want
+    // ...but a non-foldable expression is a plan-time error
     an[Exception] should be thrownBy
       spark.sql("SELECT fingerprint('x', CAST(rand() * 3 AS INT))")
         .collect()

@@ -185,6 +185,63 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
     } finally { graft.ops.Pin.disabled = false }
   }
 
+  it should "never force-broadcast an unbounded-cardinality side " +
+    "anywhere in the registry" in {
+    // VERDICT r7 #6: q_vocab_encode force-broadcast the full vocabulary —
+    // fine at sf0.1, >1 GB at 10^8 tokens. The rule, applied to every
+    // registry gate's ANALYZED plan (ResolvedHint survives analysis; the
+    // optimizer folds it into the join): a broadcast-hinted subtree must
+    // be bounded, meaning one of
+    //   - it scans no SCALING base table (region/nation are constant;
+    //     customer/supplier/part/orders/lineitem/documents/embeddings/
+    //     events grow with SF),
+    //   - it contains a Limit, or
+    //   - it contains an Aggregate whose grouping keys are NOT
+    //     vocabulary-like (tok/term/token/ngram/shingle: the one grouping
+    //     family whose cardinality grows with corpus size faster than any
+    //     enum-ish dimension).
+    // Unhinted joins are AQE's call at runtime and are exempt by design.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val scaling = Seq("customer", "supplier", "part", "orders", "lineitem",
+      "documents", "embeddings", "events").map(t => s"/$t.parquet")
+    val vocabLike = Set("tok", "term", "token", "ngram", "shingle",
+      "tok_a", "tok_b", "word")
+    val excluded = (n: String) => n.startsWith("q_stream") ||
+      Seq("q_jsonl_roundtrip", "q_partitioned_scan", "q_csv_roundtrip",
+        "q_zorder_stats", "q_bucketed_join", "q_train_shards").contains(n)
+    graft.ops.Pin.disabled = true
+    try {
+      graft.SparkEntry.queries.keys.filterNot(excluded).toSeq.sorted
+        .foreach { name =>
+          val analyzed = planOf(name).queryExecution.analyzed
+          val hinted = analyzed.collect {
+            case h: ResolvedHint if h.hints.strategy.isDefined => h.child
+          }
+          hinted.foreach { sub =>
+            val scansScaling = sub.collectLeaves().exists { leaf =>
+              val s = leaf.toString
+              scaling.exists(s.contains)
+            }
+            if (scansScaling) {
+              val limited = sub.collectFirst {
+                case l: GlobalLimit => l
+                case l: LocalLimit => l
+              }.isDefined
+              val boundedAgg = sub.collectFirst {
+                case a: Aggregate if a.groupingExpressions.forall(g =>
+                  !g.references.exists(r =>
+                    vocabLike.contains(r.name.toLowerCase))) => a
+              }.isDefined
+              withClue(s"$name: broadcast hint over a scaling-table " +
+                s"subtree with no bounding Limit/Aggregate:\n$sub\n") {
+                (limited || boundedAgg) shouldBe true
+              }
+            }
+          }
+        }
+    } finally { graft.ops.Pin.disabled = false }
+  }
+
   it should "rank the vocabulary without any window at all" in {
     // VERDICT r6 #1: q_vocab_encode used to rank the full vocabulary
     // through Window.orderBy with NO partition key — one executor sorts

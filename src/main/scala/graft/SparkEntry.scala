@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.EmbeddingQueries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.SourceQueries.queries ++
-      graft.queries.TemporalQueries.queries
+      graft.queries.TemporalQueries.queries ++
+      graft.queries.UserQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.EmbeddingQueries.oracles ++
       graft.queries.GraphQueries.oracles ++
       graft.queries.SourceQueries.oracles ++
-      graft.queries.TemporalQueries.oracles
+      graft.queries.TemporalQueries.oracles ++
+      graft.queries.UserQueries.oracles
 }

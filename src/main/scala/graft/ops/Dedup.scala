@@ -41,22 +41,21 @@ object Dedup {
     * proportional to actual shingle collisions, not block², and every step
     * is a shuffled hash join/agg — the shape that survives 100 TB.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, n: Int, minJaccard: Double,
-                        prefixFilter: Boolean = false): DataFrame = {
+  /** Cached posting list: one (id, blk, sz, g) row per (doc, distinct
+    * shingle). Built via a typed flatMap (see TextAnalysis.shingleSetOf
+    * for why not the HOF expression); repartitioned first because
+    * shingling is the CPU-bound stage, so its parallelism must come from
+    * an explicit shuffle, not from however many file splits the scan
+    * happened to produce (a single small parquet file otherwise
+    * serializes the whole stage on one core). Linear in corpus size, far
+    * smaller than the raw text at 100 TB. Caller unpersists.
+    */
+  private def postingLists(df: DataFrame, idCol: String, textCol: String,
+                           blockCol: String, n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nPart = spark.sparkContext.defaultParallelism
-    // Materialize the posting list once via a typed flatMap (see
-    // TextAnalysis.shingleSetOf for why not the HOF expression), cached so
-    // the self-join reads it from memory instead of re-shingling both
-    // sides. Repartition first: shingling is the CPU-bound stage, so its
-    // parallelism must come from an explicit shuffle, not from however
-    // many file splits the scan happened to produce (a single small
-    // parquet file otherwise serializes the whole stage on one core).
-    // Postings are one row per (doc, distinct shingle) — linear in corpus
-    // size, far smaller than the raw text at 100 TB.
-    val ex = df.select(col(idCol).cast("long").as("id"),
+    df.select(col(idCol).cast("long").as("id"),
         col(blockCol).cast("string").as("blk"),
         col(textCol).cast("string").as("text"))
       .as[(Long, String, String)]
@@ -67,6 +66,12 @@ object Dedup {
       }
       .toDF("id", "blk", "sz", "g")
       .cache()
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int, minJaccard: Double,
+                        prefixFilter: Boolean = false): DataFrame = {
+    val ex = postingLists(df, idCol, textCol, blockCol, n)
     try {
       // Both paths are exact (pairwise-equal on random corpora incl.
       // heavy boilerplate, DedupSpec). Default is the full posting join:
@@ -79,6 +84,45 @@ object Dedup {
       // hot keys go quadratic and the prefix bound caps them.
       if (prefixFilter && minJaccard >= 0.5) prefixFilteredPairs(ex, minJaccard)
       else fullPostingPairs(ex, minJaccard)
+    } finally { ex.unpersist(); () }
+  }
+
+  /** Asymmetric n-gram CONTAINMENT pairs within a blocking key: for each
+    * pair, C(A→B) = |A∩B| / |A| and C(B→A) = |A∩B| / |B|; a pair passes
+    * when the LARGER containment (= |A∩B| / min(|A|,|B|)) clears
+    * `minContainment`. This is the near-SUPERSET detector Jaccard
+    * structurally misses: a document wholly embedded in a 10× larger one
+    * has J ≈ 0.1 but containment 1.0 — the quote/aggregation/boilerplate-
+    * wrapper dup class of web corpora.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] (explode distinct
+    * shingles, equi-join on (block, shingle), count shared shingles), but
+    * WITHOUT the Jaccard size-ratio prune — size-mismatched pairs are
+    * exactly the ones this operator exists to find, so the only join
+    * predicates are the block, the shingle, and id_a < id_b. Returns
+    * (id_a, id_b, cont_ab, cont_ba), both rounded to 6 decimals before
+    * the threshold (the engine-independent cutoff rule).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, n: Int,
+                       minContainment: Double): DataFrame = {
+    val ex = postingLists(df, idCol, textCol, blockCol, n)
+    try {
+      val a = ex.select(col("id").as("id_a"), col("blk"),
+        col("sz").as("sz_a"), col("g"))
+      val b = ex.select(col("id").as("id_b"), col("blk").as("blk_b"),
+        col("sz").as("sz_b"), col("g").as("g_b"))
+      a.join(b, col("blk") === col("blk_b") && col("g") === col("g_b") &&
+          col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("cont_ab",
+          round(col("inter").cast("double") / col("sz_a"), 6))
+        .withColumn("cont_ba",
+          round(col("inter").cast("double") / col("sz_b"), 6))
+        .filter(greatest(col("cont_ab"), col("cont_ba")) >= minContainment)
+        .select("id_a", "id_b", "cont_ab", "cont_ba")
+        .transform(Pin.pin) // small: only passing pairs
     } finally { ex.unpersist(); () }
   }
 

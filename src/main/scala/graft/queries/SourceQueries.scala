@@ -172,6 +172,34 @@ object SourceQueries {
         .select(col("col_name"), col("n_rows"), col("n_null"),
           col("n_distinct"), col("min_str"), col("max_str"))
         .orderBy("col_name")
+    },
+
+    // Schema evolution under mergeSchema: half the corpus (even doc_ids)
+    // is written WITHOUT the `lang` column — the "old producer" files of
+    // a real lake — the other half with it; a mergeSchema read must
+    // union the schemas and surface the missing column as NULL, never
+    // drop rows or bytes. The gate aggregates the merged read per
+    // source; the oracle derives the same numbers from the ORIGINAL
+    // table (lang is null exactly where doc_id is even), so a pass
+    // proves both the evolution semantics and losslessness. At 100 TB
+    // mergeSchema costs one footer read per file at planning — the
+    // scan itself is unchanged.
+    "q_schema_evolution" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      withTempDir("graft_schevo") { base =>
+        docs.filter(col("doc_id") % 2 === 0).drop("lang")
+          .write.mode("overwrite").parquet(s"$base/v1")
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .write.mode("overwrite").parquet(s"$base/v2")
+        Pin.pin(s.read.option("mergeSchema", "true")
+          .parquet(s"$base/v1", s"$base/v2")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lang").isNull, 1).otherwise(0)).cast("long")
+              .as("n_no_lang"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("source"))
+      }
     })
 
   val oracles: Map[String, String] = Map(
@@ -207,5 +235,16 @@ object SourceQueries {
            |  min(CAST($c AS VARCHAR)) AS min_str,
            |  max(CAST($c AS VARCHAR)) AS max_str
            |FROM documents""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // The merged read's numbers, derived from the original table: lang
+    // is missing exactly where doc_id is even.
+    "q_schema_evolution" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_lang,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
 }

@@ -348,6 +348,29 @@ object TemporalQueries {
           round(max(col("n") * col("n_hours")).cast("double") /
             max(col("tot")), 6).as("peak_ratio"))
         .orderBy("event_type")
+    },
+
+    // Time-weighted average value per event type: each event's value
+    // holds until the user's NEXT event (step-function semantics — the
+    // correct mean for sensor/metric streams where sampling is uneven;
+    // the arithmetic mean over-weights chatty periods). One
+    // user-partitioned lead window + one groupBy; the numerator is an
+    // exact decimal Σ value·duration (associative), the single division
+    // happens once per group and is rounded to 6.
+    "q_time_weighted_avg" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      ev(s, dir)
+        .withColumn("next_us", lead("us", 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dur", col("next_us") - col("us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dur")).cast("long").as("sum_dur_us"),
+          sum(col("value").cast("decimal(18,4)") * col("dur")).as("num"))
+        .select(col("event_type"), col("n_intervals"), col("sum_dur_us"),
+          round(col("num").cast("double") / col("sum_dur_us"), 6)
+            .as("tw_avg"))
+        .orderBy("event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -565,5 +588,23 @@ object TemporalQueries {
         |  round(CAST(max(n * n_hours) AS DOUBLE) / max(tot), 6)
         |    AS peak_ratio
         |FROM hod JOIN typ ON hod.event_type = typ.event_type
-        |GROUP BY hod.event_type ORDER BY hod.event_type""".stripMargin)
+        |GROUP BY hod.event_type ORDER BY hod.event_type""".stripMargin,
+
+    // Same lead-window durations; SUM(BIGINT) cast back to BIGINT (the
+    // DuckDB HUGEINT rule), decimal numerator, one rounded division.
+    "q_time_weighted_avg" ->
+      s"""WITH $evSql,
+         |iv AS (
+         |  SELECT event_type, value,
+         |    lead(us) OVER (PARTITION BY user_id
+         |                   ORDER BY us, event_id) - us AS dur
+         |  FROM ev),
+         |g AS (
+         |  SELECT event_type, count(*) AS n_intervals,
+         |    CAST(sum(dur) AS BIGINT) AS sum_dur_us,
+         |    sum(CAST(value AS DECIMAL(18,4)) * dur) AS num
+         |  FROM iv WHERE dur IS NOT NULL GROUP BY event_type)
+         |SELECT event_type, n_intervals, sum_dur_us,
+         |  round(CAST(num AS DOUBLE) / sum_dur_us, 6) AS tw_avg
+         |FROM g ORDER BY event_type""".stripMargin)
 }

@@ -361,6 +361,16 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Asymmetric containment near-dup pairs — the near-superset detector
+    // (doc embedded in a larger doc: Jaccard ~0.1, containment ~1.0).
+    // Same inverted-index posting join as q_ngram_jaccard, deliberately
+    // without the size-ratio prune; see Dedup.containmentPairs.
+    "q_containment_dedup" -> { (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          "source", 3, 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
     // Multimodal plumbing: opaque bytes → typed metadata (decode stubbed
     // deterministically; see graft.ops.Multimodal for the binary path).
     "q_media_meta" -> { (s, dir) =>
@@ -1078,6 +1088,45 @@ object TextQueries {
     // scale) with the identical association order in the oracle, and the
     // top-20 cutoff is decided on the ROUNDED value + token order, so
     // the emitted set is engine-independent.
+    // Jensen–Shannon divergence between each source's unigram
+    // distribution and the corpus distribution — the mix diagnostic
+    // behind data-mixture decisions (which sources are interchangeable,
+    // which add something). Computed WITHOUT a sources×vocab grid: JSD
+    // decomposes as the in-support sum plus a closed-form 0.5·ln2·(1 −
+    // q-mass of the source's support), so the only joins are
+    // (source,token)⋈token counts — vocab-sized shuffle joins with NO
+    // broadcast hint (AQE's call) — and a per-source totals join.
+    // Per-token terms are rounded then decimal-summed (the q_chi2_cohort
+    // pattern), so the vocab-sized summation is evaluation-order-free.
+    "q_js_divergence" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val cst = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+      val ctok = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
+      val ns = toks.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val nTot = toks.agg(count(lit(1)).as("n_tot"))
+      cst.join(ctok, "tok")
+        .join(ns, "source")
+        .crossJoin(broadcast(nTot))
+        .withColumn("p", col("c_st").cast(DoubleType) / col("n_s"))
+        .withColumn("q", col("c_t").cast(DoubleType) / col("n_tot"))
+        .withColumn("term", round(
+          (col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) +
+            col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))) *
+            lit(0.5), 12).cast(DecimalType(28, 12)))
+        .groupBy("source")
+        .agg(max(col("n_s")).cast("long").as("n_tokens"),
+          sum(col("term")).cast("double").as("in_support"),
+          sum(col("c_t")).cast("double").as("sup"),
+          max(col("n_tot")).cast("double").as("ntot"))
+        .select(col("source"), col("n_tokens"),
+          round(col("in_support") +
+            lit(0.5) * log(lit(2.0)) *
+              (lit(1.0) - col("sup") / col("ntot")), 6).as("jsd"))
+        .orderBy("source")
+    },
+
     "q_token_pmi" -> { (s, dir) =>
       val withTk = t(s, dir, "documents")
         .withColumn("tk", split(col("text"), " "))
@@ -1815,6 +1864,30 @@ object TextQueries {
         |WHERE jaccard >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Naive quadratic containment over the same shingle sets — exact
+    // oracle for the inverted-index spelling (shingles are distinct per
+    // doc, so the posting-join match count IS the intersection size).
+    "q_containment_dedup" ->
+      """WITH d AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, source,
+        |      list_distinct(list_transform(
+        |        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+        |        AS sh
+        |    FROM documents)
+        |  WHERE len(sh) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(a.sh), 6) AS cont_ab,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(b.sh), 6) AS cont_ba
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, cont_ab, cont_ba FROM p
+        |WHERE greatest(cont_ab, cont_ba) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_mixture_sample" ->
       """WITH q AS (
         |  SELECT doc_id, source, n_chars,
@@ -2364,6 +2437,37 @@ object TextQueries {
         |  CAST(64 + ascii(substr(text, 3, 1)) % 32 AS BIGINT) AS fake_height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the in-support decomposition and the exact double
+    // association order of the Spark expression; per-token terms rounded
+    // at 12 decimals then decimal-summed on both engines.
+    "q_js_divergence" ->
+      """WITH tk0 AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT source, tok FROM tk0 WHERE tok <> ''),
+        |cst AS (SELECT source, tok, count(*) AS c_st
+        |        FROM tk GROUP BY 1, 2),
+        |ctok AS (SELECT tok, count(*) AS c_t FROM tk GROUP BY 1),
+        |ns AS (SELECT source, count(*) AS n_s FROM tk GROUP BY 1),
+        |n AS (SELECT count(*) AS n_tot FROM tk),
+        |j AS (
+        |  SELECT cst.source, c_t,
+        |    CAST(c_st AS DOUBLE) / n_s AS p,
+        |    CAST(c_t AS DOUBLE) / n_tot AS q,
+        |    n_s, n_tot
+        |  FROM cst JOIN ctok USING (tok) JOIN ns USING (source), n),
+        |t AS (
+        |  SELECT source, n_s, n_tot, c_t,
+        |    CAST(round((p * ln(2.0 * p / (p + q)) +
+        |                q * ln(2.0 * q / (p + q))) * 0.5, 12)
+        |      AS DECIMAL(28,12)) AS term
+        |  FROM j)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(term) AS DOUBLE) +
+        |    0.5 * ln(2.0) * (1.0 - CAST(SUM(c_t) AS DOUBLE) /
+        |      CAST(max(n_tot) AS DOUBLE)), 6) AS jsd
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirrors the map-side pair generation: distance-1 and distance-2
     // ordered pairs via 1-based list indexing, unigram/pair totals from

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.queries.Q._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User/growth analytics over `events`: marketing attribution, audience
+  * accumulation, and lifetime-value stratification — the reporting loops
+  * a product analytics stack runs daily over the event firehose.
+  *
+  * Scale shapes: attribution is one user-partitioned window (no task
+  * holds more than one user's timeline); cumulative distinct users is
+  * groupBy(user) → groupBy(day) → distributed prefix sum
+  * ([[graft.ops.PrefixSum]] — never an unpartitioned running-total
+  * window); LTV deciles rank through [[graft.ops.RowIndex]]'s
+  * zipWithIndex (range-repartitioned, full parallelism at any user
+  * count — the q_vocab_encode lesson applied to user ranking). Money
+  * sums ride the Q decimal contract.
+  */
+object UserQueries {
+
+  private val DayUs: Long = 86400L * 1000000L
+
+  /** events projected to exact integer time. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"),
+      unix_micros(col("ts")).as("us"))
+
+  private val evSql =
+    """ev AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Last-touch attribution: each purchase is credited to the user's
+    // most recent PRECEDING non-purchase event type (the touchpoint);
+    // purchases with no prior touch fall in 'none'. One window
+    // partitioned by user — the attribution pass is a single shuffle on
+    // user_id at any scale — then a per-touchpoint rollup of purchase
+    // counts and exact-decimal revenue.
+    "q_attribution" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, dir)
+        .withColumn("attr",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("attr"), lit("none")).as("attributed"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("attributed")
+    },
+
+    // Cumulative distinct users by day — the audience growth curve. The
+    // scalable spelling: min-day per user (ONE groupBy — distinctness is
+    // resolved at the user grain, never recounted per day), new-user
+    // counts per day, then ops/PrefixSum's two-phase distributed running
+    // total over the calendar — the `SUM() OVER (ORDER BY day)` that
+    // would otherwise single-partition-sort. Integer-exact throughout.
+    "q_cume_distinct_users" -> { (s, dir) =>
+      val firstDay = ev(s, dir)
+        .groupBy("user_id")
+        .agg(min(expr(s"us div ${DayUs}L")).as("day"))
+      val perDay = firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+      graft.ops.PrefixSum.withExclusivePrefix(perDay, Seq("day"), "n_new")
+        .select(col("day"), col("n_new"),
+          (col("prefix") + col("n_new")).cast("long").as("cume_users"))
+        .orderBy("day")
+    },
+
+    // Lifetime-value deciles: per-user purchase totals (exact decimal),
+    // users ranked by (ltv DESC, user_id) through RowIndex's distributed
+    // zipWithIndex (the negated sort key rides along because the range
+    // partitioner orders ascending), decile = rank*10 div n — integer-
+    // exact boundaries, no percentile approximation. Emits the standard
+    // LTV concentration table (decile → users, revenue share input).
+    "q_ltv_deciles" -> { (s, dir) =>
+      val ltv = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,4)")).as("ltv"))
+        .withColumn("neg_ltv", -col("ltv"))
+      val nTot = ltv.agg(count(lit(1)).as("nu"))
+      graft.ops.RowIndex
+        .withContiguousIndex(ltv, Seq("neg_ltv", "user_id"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("decile", expr("(row_idx * 10) div nu"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("ltv")).cast("double").as("sum_ltv"))
+        .orderBy("decile")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      s"""WITH $evSql,
+         |a AS (
+         |  SELECT event_type, value,
+         |    last_value(CASE WHEN event_type <> 'purchase'
+         |                    THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY us, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS attr
+         |  FROM ev)
+         |SELECT COALESCE(attr, 'none') AS attributed,
+         |  count(*) AS n_purchases,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM a WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cume_distinct_users" ->
+      s"""WITH $evSql,
+         |f AS (SELECT user_id, min(us // $DayUs) AS day
+         |      FROM ev GROUP BY 1),
+         |d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+         |SELECT day, n_new,
+         |  CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cume_users
+         |FROM d ORDER BY day""".stripMargin,
+
+    "q_ltv_deciles" ->
+      s"""WITH $evSql,
+         |l AS (
+         |  SELECT user_id, SUM(CAST(value AS DECIMAL(18,4))) AS ltv
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+         |n AS (SELECT count(*) AS nu FROM l),
+         |r AS (
+         |  SELECT user_id, ltv,
+         |    row_number() OVER (ORDER BY ltv DESC, user_id) - 1 AS idx
+         |  FROM l)
+         |SELECT CAST((idx * 10) // nu AS BIGINT) AS decile,
+         |  count(*) AS n_users,
+         |  CAST(SUM(ltv) AS DOUBLE) AS sum_ltv
+         |FROM r, n
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

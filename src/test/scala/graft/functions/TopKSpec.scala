@@ -26,14 +26,14 @@ class TopKSpec extends AnyFlatSpec with Matchers with SparkTestBase
     val got = TopK.topKPerGroup(df, Seq("g"), "v", "id", 2)
       .select("g", "rnk", "id", "v")
       .orderBy("g", "rnk")
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3)))
     val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").desc)
-    val want = df.withColumn("rnk", row_number().over(w))
+    val want = df.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 2)
       .select("g", "rnk", "id", "v")
       .orderBy("g", "rnk")
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3)))
     got shouldBe want
   }

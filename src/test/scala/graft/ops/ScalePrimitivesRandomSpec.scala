@@ -33,7 +33,7 @@ class ScalePrimitivesRandomSpec extends AnyFlatSpec with Matchers
           Seq("g"), "v", "id", k)
         .select("g", "rnk", "id", "v")
         .collect()
-        .map(x => (x.getString(0), x.getInt(1), x.getLong(2),
+        .map(x => (x.getString(0), x.getLong(1).toInt, x.getLong(2),
           x.getDouble(3)))
         .sortBy(t => (t._1, t._2))
       val want = data.groupBy(_._1).toSeq.flatMap { case (g, rows) =>

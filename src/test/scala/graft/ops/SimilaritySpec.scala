@@ -61,7 +61,7 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
     // ranks are 1..5 per query
     out.groupBy(_.getLong(0)).values.foreach { g =>
-      g.map(_.getInt(1)).sorted shouldBe (1 to 5)
+      g.map(_.getLong(1)).sorted shouldBe (1L to 5L)
     }
   }
 
@@ -133,7 +133,7 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
         emb, queries, "vec_id", "embedding", 5, nList = 6, nProbe = 2)
       .collect()
     ivf.groupBy(_.getLong(0)).values.foreach { g =>
-      g.map(_.getInt(1)).sorted shouldBe (1 to 5)
+      g.map(_.getLong(1)).sorted shouldBe (1L to 5L)
     }
     val approx = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
@@ -144,7 +144,7 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
     def run() = Similarity.ivfTopK(
         emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding", 3,
         nList = 6, nProbe = 2)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     run() shouldBe run()
   }
 
@@ -161,7 +161,7 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
         m = 4, kCode = 16)
       .collect()
     pq.groupBy(_.getLong(0)).values.foreach { g =>
-      g.map(_.getInt(1)).sorted shouldBe (1 to 5)
+      g.map(_.getLong(1)).sorted shouldBe (1L to 5L)
     }
     // PQ distances are lossy, but well-separated clusters must still rank
     // same-cluster vectors first
@@ -175,7 +175,7 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
     def run() = Similarity.pqTopK(
         emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding", 3,
         m = 4, kCode = 8)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     run() shouldBe run()
   }
 
@@ -191,7 +191,7 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
         nList = 6, nProbe = 3, m = 4, kCode = 16)
       .collect()
     got.groupBy(_.getLong(0)).values.foreach { g =>
-      g.map(_.getInt(1)).sorted shouldBe (1 to 5)
+      g.map(_.getLong(1)).sorted shouldBe (1L to 5L)
     }
     got.foreach { r => (r.getLong(2) % 3) shouldBe (r.getLong(0) % 3) }
     val approx = got.map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -203,7 +203,7 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
     def run() = Similarity.ivfPqTopK(
         emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding", 3,
         nList = 6, nProbe = 2, m = 4, kCode = 8)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     run() shouldBe run()
   }
 

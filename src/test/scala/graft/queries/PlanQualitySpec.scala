@@ -128,7 +128,9 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
       "q_winsorize", "q_skew_report", "q_audience_overlap",
       "q_path_mining", "q_debounce", "q_ngram_novelty", "q_cusum_drift",
       "q_autocorr_24h", "q_join_cardinality", "q_ab_metric",
-      "q_chi2_cohort", "q_funnel_integrity")
+      "q_chi2_cohort", "q_funnel_integrity",
+      "q_attribution", "q_cume_distinct_users", "q_ltv_deciles",
+      "q_js_divergence", "q_containment_dedup", "q_time_weighted_avg")
     graft.ops.Pin.disabled = true
     try {
       joinHeavy.foreach { name =>

@@ -238,34 +238,6 @@ object TextQueries {
         .orderBy(col("source"), col("cnt").desc, col("token"))
     },
 
-    // Distribution-drift detection: per-source Jensen-Shannon divergence
-    // between the source's unigram token distribution and the whole
-    // corpus's (the standard domain-shift statistic for training-data
-    // mixes). All shuffles are keyed aggregations; the per-(source,
-    // vocab-term) expansion is sources × vocabulary — the bounded shape
-    // (never per-document) that survives corpus scale.
-    "q_js_divergence" -> { (s, dir) =>
-      val tok = t(s, dir, "documents")
-        .select(col("source"), explode(TextAnalysis.tokens(col("text")))
-          .as("token"))
-      val src = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
-      val sTot = src.groupBy("source").agg(sum("c").as("sn"))
-      val glob = tok.groupBy("token").agg(count(lit(1)).as("g"))
-      val gn = glob.agg(sum("g")).head().getLong(0).toDouble
-      sTot.crossJoin(glob)
-        .join(src, Seq("source", "token"), "left")
-        .withColumn("p",
-          coalesce(col("c"), lit(0L)).cast("double") / col("sn"))
-        .withColumn("q", col("g").cast("double") / lit(gn))
-        .withColumn("m", (col("p") + col("q")) / 2)
-        .withColumn("term",
-          when(col("p") > 0, col("p") * log(col("p") / col("m")) * 0.5)
-            .otherwise(lit(0.0)) +
-            col("q") * log(col("q") / col("m")) * 0.5)
-        .groupBy("source").agg(round(sum("term"), 6).as("js"))
-        .orderBy("source")
-    },
-
     // DSIR importance-resampling weights (Xie et al. 2023): score every
     // document by hashed-bigram likelihood ratio against a target split
     // (here lang='de' — "select more German-like data"), the standard
@@ -1675,31 +1647,6 @@ object TextQueries {
         |SELECT source, token, cnt, TRUE AS cms_ok
         |FROM r WHERE rn <= 3
         |ORDER BY source, cnt DESC, token""".stripMargin,
-
-    "q_js_divergence" ->
-      """WITH tok AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |src AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS c
-        |        FROM tok GROUP BY 1, 2),
-        |st AS (SELECT source, sum(c) AS sn FROM src GROUP BY 1),
-        |gl AS (SELECT token, CAST(count(*) AS DOUBLE) AS g
-        |       FROM tok GROUP BY 1),
-        |gt AS (SELECT CAST(count(*) AS DOUBLE) AS gn FROM tok)
-        |SELECT source, round(sum(term), 6) AS js FROM (
-        |  SELECT st.source,
-        |    CASE WHEN src.c IS NULL THEN 0
-        |         ELSE (src.c / st.sn) *
-        |              ln((src.c / st.sn) /
-        |                 ((src.c / st.sn + gl.g / gt.gn) / 2)) * 0.5 END +
-        |    (gl.g / gt.gn) *
-        |      ln((gl.g / gt.gn) /
-        |         ((COALESCE(src.c, 0) / st.sn + gl.g / gt.gn) / 2)) * 0.5
-        |      AS term
-        |  FROM st CROSS JOIN gl CROSS JOIN gt
-        |  LEFT JOIN src ON src.source = st.source AND src.token = gl.token)
-        |GROUP BY source
-        |ORDER BY source""".stripMargin,
 
     "q_dsir_weights" ->
       """WITH tk AS (

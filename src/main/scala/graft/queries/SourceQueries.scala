@@ -174,6 +174,38 @@ object SourceQueries {
         .orderBy("col_name")
     },
 
+    // Small-files compaction — the lake-maintenance pass that turns a
+    // streaming sink's thousands of kilobyte files back into scan-sized
+    // ones (a 100 TB table of 1 MB files spends more time in listing +
+    // task scheduling than in reading). The gate writes the table at an
+    // exaggerated 32-way split, compacts with a single repartition(4)
+    // (shuffle — even output sizes, unlike coalesce's partition-glueing
+    // which inherits skew), and proves the rewrite lossless per source;
+    // the emitted file counts pin the layout contract itself (32-way
+    // write → exactly 32 data files, repartition(4) → exactly 4).
+    "q_compaction" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def dataFiles(p: String): Long =
+        new java.io.File(p).listFiles()
+          .count(f => f.getName.endsWith(".parquet"))
+      withTempDir("graft_compact") { base =>
+        docs.repartition(32).write.mode("overwrite")
+          .parquet(s"$base/small")
+        val nPre = dataFiles(s"$base/small")
+        s.read.parquet(s"$base/small").repartition(4)
+          .write.mode("overwrite").parquet(s"$base/compact")
+        val nPost = dataFiles(s"$base/compact")
+        Pin.pin(s.read.parquet(s"$base/compact")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            count_distinct(md5(col("text"))).as("n_distinct_texts"))
+          .withColumn("files_pre", lit(nPre))
+          .withColumn("files_post", lit(nPost))
+          .orderBy("source"))
+      }
+    },
+
     // Schema evolution under mergeSchema: half the corpus (even doc_ids)
     // is written WITHOUT the `lang` column — the "old producer" files of
     // a real lake — the other half with it; a mergeSchema read must
@@ -236,6 +268,19 @@ object SourceQueries {
            |  max(CAST($c AS VARCHAR)) AS max_str
            |FROM documents""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // Content columns from the original table; the file counts are the
+    // layout contract (32-way write, 4-way compaction) — constants BY
+    // DESIGN, so the oracle pins them as literals.
+    "q_compaction" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_distinct_texts,
+        |  CAST(32 AS BIGINT) AS files_pre,
+        |  CAST(4 AS BIGINT) AS files_post
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // The merged read's numbers, derived from the original table: lang
     // is missing exactly where doc_id is even.

@@ -900,6 +900,33 @@ object EventQueries {
           sum(col("n_events")).cast("long").as("n_events"))
         .orderBy("user_id")
     },
+
+    // Realtime last-touch attribution: flatMapGroupsWithState keeps ONE
+    // string per user (the latest non-purchase touch) and emits each
+    // purchase credited to it as it streams past — the stateful mirror
+    // of the batch q_attribution window, gated against the IDENTICAL
+    // oracle, so the streaming and batch paths are proven to agree.
+    "q_stream_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+        .as[graft.streaming.AttrEvent]
+      val attributed = graft.streaming.Stateful.streamAttribution(stream)
+      val name = "q_stream_attribution_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        val q = attributed.writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .groupBy("attributed")
+        .agg(count(lit(1)).as("n_purchases"),
+          graft.queries.Q.dsum(col("value")).as("sum_value"))
+        .orderBy("attributed")
+    },
   )
 
   private val breaksSql =
@@ -1455,5 +1482,9 @@ object EventQueries {
          |JOIN customer c ON e.user_id = c.c_custkey
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+
+    // The streaming path answers to the BATCH gate's oracle verbatim:
+    // one SQL, two engines, two execution models.
+    "q_stream_attribution" -> UserQueries.oracles("q_attribution"),
   )
 }

@@ -1060,6 +1060,26 @@ object TextQueries {
     // scale) with the identical association order in the oracle, and the
     // top-20 cutoff is decided on the ROUNDED value + token order, so
     // the emitted set is engine-independent.
+    // Hashing-trick featurization audit: every token hashes to one of
+    // 128 buckets (the engine-neutral md5-prefix hash shared with DSIR),
+    // and the gate emits the top-20 buckets by load with their collision
+    // profile (distinct terms per bucket) — the numbers that decide the
+    // hash width before training a linear model at corpus scale. One
+    // explode + one groupBy(bucket): 128 aggregate rows however large
+    // the corpus, and the hash is a codegen'd expression chain (md5 →
+    // substring → conv), never a UDF.
+    "q_feature_hashing" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("bucket", graft.ops.Dsir.bucketOf(col("tok"), 128))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("tok")).as("n_terms"))
+        .orderBy(desc("n_tokens"), col("bucket"))
+        .limit(20)
+    },
+
     // Jensen–Shannon divergence between each source's unigram
     // distribution and the corpus distribution — the mix diagnostic
     // behind data-mixture decisions (which sources are interchangeable,
@@ -2384,6 +2404,21 @@ object TextQueries {
         |  CAST(64 + ascii(substr(text, 3, 1)) % 32 AS BIGINT) AS fake_height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB twin of Dsir.bucketOf: first 8 md5 hex digits → BIGINT.
+    "q_feature_hashing" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (
+        |  SELECT tok,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 128
+        |      AS bucket
+        |  FROM tk WHERE tok <> '')
+        |SELECT bucket, count(*) AS n_tokens,
+        |  count(DISTINCT tok) AS n_terms
+        |FROM h GROUP BY bucket
+        |ORDER BY n_tokens DESC, bucket
+        |LIMIT 20""".stripMargin,
 
     // Mirrors the in-support decomposition and the exact double
     // association order of the Spark expression; per-token terms rounded

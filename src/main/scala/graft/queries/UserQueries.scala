@@ -72,6 +72,29 @@ object UserQueries {
         .orderBy("day")
     },
 
+    // Smoothed target encoding over the (event_type, hour-of-day) grid —
+    // the leakage-prone categorical featurizer done the safe way:
+    // enc = (Σvalue + m·prior) / (n + m) with m = 100 and prior = the
+    // global mean, so rare cells shrink toward the prior instead of
+    // memorizing noise. 120 cells at any corpus size; sums are exact
+    // decimals and the two divisions run once per cell in one mirrored
+    // association, rounded to 6.
+    "q_target_encoding" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val cat = e.groupBy(col("event_type"),
+          expr("(us div 3600000000) % 24").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("sv"))
+      val g = e.agg(count(lit(1)).as("gn"),
+        sum(col("value").cast("decimal(18,4)")).as("gs"))
+      cat.crossJoin(broadcast(g))
+        .select(col("event_type"), col("hod"), col("n"),
+          round((col("sv").cast("double") +
+            lit(100.0) * (col("gs").cast("double") / col("gn"))) /
+            (col("n") + lit(100.0)), 6).as("enc"))
+        .orderBy("event_type", "hod")
+    },
+
     // Lifetime-value deciles: per-user purchase totals (exact decimal),
     // users ranked by (ltv DESC, user_id) through RowIndex's distributed
     // zipWithIndex (the negated sort key rides along because the range
@@ -120,6 +143,23 @@ object UserQueries {
          |SELECT day, n_new,
          |  CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cume_users
          |FROM d ORDER BY day""".stripMargin,
+
+    "q_target_encoding" ->
+      s"""WITH $evSql,
+         |cat AS (
+         |  SELECT event_type, (us // 3600000000) % 24 AS hod,
+         |    count(*) AS n,
+         |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+         |  FROM ev GROUP BY 1, 2),
+         |g AS (
+         |  SELECT count(*) AS gn,
+         |    SUM(CAST(value AS DECIMAL(18,4))) AS gs
+         |  FROM ev)
+         |SELECT event_type, hod, n,
+         |  round((CAST(sv AS DOUBLE) +
+         |    100.0 * (CAST(gs AS DOUBLE) / gn)) / (n + 100.0), 6) AS enc
+         |FROM cat, g
+         |ORDER BY event_type, hod""".stripMargin,
 
     "q_ltv_deciles" ->
       s"""WITH $evSql,

@@ -19,6 +19,17 @@ case class OpenSession(startMs: Long, endMs: Long, n: Long)
 case class ClosedSession(user_id: Long, session_start: Timestamp,
                          session_end: Timestamp, n_events: Long)
 
+/** One input event for streaming attribution (integer micros — exact). */
+case class AttrEvent(user_id: Long, event_id: Long, us: Long,
+                     event_type: String, value: Double)
+
+/** Per-user attribution state: the last non-purchase touch seen. */
+case class LastTouch(touch: String)
+
+/** An attributed purchase emitted by [[Stateful.streamAttribution]]. */
+case class AttributedPurchase(user_id: Long, attributed: String,
+                              value: Double)
+
 /** Custom-state streaming operators — the part of the extension surface
   * that `session_window` can't express: arbitrary per-key state machines
   * via `flatMapGroupsWithState` with event-time timeouts.
@@ -81,6 +92,45 @@ object Stateful {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming last-touch attribution as a per-user state machine: the
+    * state is ONE string (the user's most recent non-purchase event type);
+    * each purchase is emitted immediately, credited to that touch — the
+    * realtime mirror of the batch q_attribution gate, checked against the
+    * SAME oracle.
+    *
+    * Within a micro-batch the group's events are sorted by (us, event_id)
+    * before the walk — `flatMapGroupsWithState` hands the iterator in
+    * arrival order, not event-time order — and the carried state makes
+    * the walk correct ACROSS batches as long as batches arrive in event-
+    * time order (true for AvailableNow over an ordered log; an
+    * out-of-order multi-batch feed would need event-time buffering +
+    * timeouts like [[statefulSessions]]). State size: one short string
+    * per user ever seen — bytes per key, no event retention.
+    */
+  def streamAttribution(events: Dataset[AttrEvent])
+  : Dataset[AttributedPurchase] = {
+    val s = events.sparkSession
+    import s.implicits._
+
+    def fn(userId: Long, batch: Iterator[AttrEvent],
+           state: GroupState[LastTouch]): Iterator[AttributedPurchase] = {
+      val out = mutable.ArrayBuffer.empty[AttributedPurchase]
+      var last = state.getOption.map(_.touch).orNull
+      batch.toArray.sortBy(e => (e.us, e.event_id)).foreach { e =>
+        if (e.event_type == "purchase")
+          out += AttributedPurchase(userId,
+            if (last == null) "none" else last, e.value)
+        else last = e.event_type
+      }
+      if (last != null) state.update(LastTouch(last))
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Watermarked tumbling-window count per (window, event_type) — the

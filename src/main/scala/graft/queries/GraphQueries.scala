@@ -24,6 +24,7 @@ object GraphQueries {
   private val CoreRounds = 4
   private val BfsSeeds = 3
   private val BfsHops = 3
+  private val CompRounds = 4
 
   /** Distinct (src, dst) user pairs: consecutive actors within each
     * (event_type, hour) cell, self-loops dropped.
@@ -129,6 +130,37 @@ object GraphQueries {
         out = out.unionByName(stats(r, cur))
       }
       out.orderBy("round")
+    },
+
+    // Connected components by synchronous min-label propagation,
+    // `CompRounds` rounds (fixed-depth, unrolled identically in the
+    // oracle — the q_kcore honesty contract: a bounded-round peel, not a
+    // fixpoint claim). Each round is ONE equi-join of the labels against
+    // the symmetrized edge list + a min-aggregate; labels are pinned per
+    // round so lineage stays constant-depth. Emits the component-size
+    // histogram — the grouping primitive under dup-cluster collapse and
+    // graph denoising. At any scale a round shuffles (labels ⋈ edges),
+    // never recomputes prior rounds.
+    "q_graph_components" -> { (s, dir) =>
+      val e = referralEdges(s, dir)
+      val sym = Pin.pin(
+        e.select(col("src").as("u"), col("dst").as("v"))
+          .union(e.select(col("dst").as("u"), col("src").as("v")))
+          .distinct())
+      val nodes = sym.select(col("u").as("node")).distinct()
+      var lab = Pin.pin(nodes.select(col("node"), col("node").as("lbl")))
+      for (_ <- 1 to CompRounds) {
+        val fromNbr = lab.join(sym, lab("node") === sym("u"))
+          .groupBy(col("v").as("node2")).agg(min(col("lbl")).as("nlbl"))
+        lab = Pin.pin(lab
+          .join(fromNbr, lab("node") === fromNbr("node2"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
+              .as("lbl")))
+      }
+      lab.groupBy("lbl").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_components"))
+        .orderBy("size")
     },
 
     // Multi-source BFS, `BfsHops` hops from the top-3 out-degree hubs:
@@ -248,6 +280,29 @@ object GraphQueries {
            |$rounds
            |${(0 to CoreRounds).map(statRow).mkString("\nUNION ALL\n")}
            |ORDER BY round""".stripMargin
+      },
+
+      "q_graph_components" -> {
+        val rounds = (1 to CompRounds).map { r =>
+          val prev = if (r == 1) "l0" else s"l${r - 1}"
+          s"""l$r AS (
+             |  SELECT $prev.node,
+             |    least($prev.lbl, COALESCE(nb.nlbl, $prev.lbl)) AS lbl
+             |  FROM $prev LEFT JOIN (
+             |    SELECT sym.v AS node, min(p.lbl) AS nlbl
+             |    FROM sym JOIN $prev p ON sym.u = p.node
+             |    GROUP BY sym.v) nb ON $prev.node = nb.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgesSql,
+           |sym AS (
+           |  SELECT src AS u, dst AS v FROM edges
+           |  UNION SELECT dst, src FROM edges),
+           |nodes AS (SELECT DISTINCT u AS node FROM sym),
+           |l0 AS (SELECT node, node AS lbl FROM nodes),
+           |$rounds
+           |SELECT size, count(*) AS n_components FROM (
+           |  SELECT lbl, count(*) AS size FROM l$CompRounds GROUP BY lbl)
+           |GROUP BY size ORDER BY size""".stripMargin
       },
 
       "q_bfs_reach" -> {

@@ -258,6 +258,26 @@ object Relational {
         .orderBy("c_mktsegment", "q")
     },
 
+    // Rank-statistics window family (percent_rank + cume_dist): each
+    // customer's account-balance position within its (segment, nation)
+    // cell, emitted for a deterministic 1-in-50 sample. The partition
+    // key is deliberately the FINER (segment, nation) grid: exact rank
+    // statistics sort each partition on one task, so the partition must
+    // be the unit that fits — corpus-wide exact ranks use
+    // q_approx_quantiles / RowIndex instead (this gate is the API-
+    // completeness row for the rank-stat windows, at the granularity
+    // that stays task-sized).
+    "q_percent_rank" -> { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment", "c_nationkey")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .filter(col("c_custkey") % 50 === 0)
+        .select("c_custkey", "c_mktsegment", "c_nationkey", "pr", "cd")
+        .orderBy("c_custkey")
+    },
+
     // Same top-3-per-group result as a bounded-heap AGGREGATE
     // (graft.functions.TopK over Catalyst's CollectTopK): the window
     // spelling above shuffles + sorts every row; this shuffles ≤ k rows
@@ -776,6 +796,19 @@ object Relational {
         |  FROM customer)
         |GROUP BY c_mktsegment, q
         |ORDER BY c_mktsegment, q""".stripMargin,
+
+    "q_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_nationkey, pr, cd FROM (
+        |  SELECT c_custkey, c_mktsegment, c_nationkey,
+        |    round(percent_rank() OVER (
+        |      PARTITION BY c_mktsegment, c_nationkey
+        |      ORDER BY c_acctbal, c_custkey), 6) AS pr,
+        |    round(cume_dist() OVER (
+        |      PARTITION BY c_mktsegment, c_nationkey
+        |      ORDER BY c_acctbal, c_custkey), 6) AS cd
+        |  FROM customer)
+        |WHERE c_custkey % 50 = 0
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT o_orderpriority, rn AS rnk, o_orderkey, o_totalprice FROM (

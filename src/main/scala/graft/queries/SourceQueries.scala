@@ -174,6 +174,25 @@ object SourceQueries {
         .orderBy("col_name")
     },
 
+    // ORC round trip — the other columnar lake format (a migration
+    // target/source in mixed Hive estates). Same fidelity contract as
+    // q_jsonl_roundtrip: write documents as ORC, read back with the
+    // explicit schema, prove counts / exact char sums / distinct text
+    // md5s survive per source. ORC is a first-class Spark source:
+    // predicate pushdown and column pruning work the same as parquet.
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      withTempDir("graft_orc") { base =>
+        docs.write.mode("overwrite").orc(s"$base/out")
+        Pin.pin(s.read.schema(docs.schema).orc(s"$base/out")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            count_distinct(md5(col("text"))).as("n_distinct_texts"))
+          .orderBy("source"))
+      }
+    },
+
     // Small-files compaction — the lake-maintenance pass that turns a
     // streaming sink's thousands of kilobyte files back into scan-sized
     // ones (a 100 TB table of 1 MB files spends more time in listing +
@@ -268,6 +287,16 @@ object SourceQueries {
            |  max(CAST($c AS VARCHAR)) AS max_str
            |FROM documents""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // Same fidelity aggregate as the JSONL/CSV round trips, against the
+    // ORIGINAL table — a pass proves the ORC hop lossless.
+    "q_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_distinct_texts
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // Content columns from the original table; the file counts are the
     // layout contract (32-way write, 4-way compaction) — constants BY

@@ -84,6 +84,50 @@ object EmbeddingQueries {
        |ORDER BY qid, rnk""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Leading principal direction by INTEGER power iteration — PCA's
+    // workhorse step, made hash-exact: embeddings quantize once to
+    // round(v·1000) longs; each of the 3 iterations computes
+    // y = Xᵀ(X·x) with integer dots (zip_with + aggregate, codegen'd)
+    // and DECIMAL(38,0) sums (exact at any row count), then re-quantizes
+    // the direction on the driver as sign(y)·((|y|·1000) div max|y|) —
+    // all-integer, so both engines land on identical bits with NO
+    // floating-point mirroring anywhere. Per iteration the cluster work
+    // is one scan + a 64-group aggregate; the driver holds 64 longs
+    // (the IFS driver-loop pattern, not a data collect). The oracle
+    // unrolls the 3 iterations over HUGEINT arithmetic.
+    "q_emb_pca_power" -> { (s, dir) =>
+      val S = 1000L
+      val iters = 3
+      val emb = graft.ops.Pin.pin(t(s, dir, "embeddings")
+        .select(transform(col("embedding"),
+          v => round(v.cast("double") * S, 0).cast("long")).as("vi")))
+      val d = emb.select(size(col("vi"))).head().getInt(0)
+      var x = Array.fill(d)(BigInt(S))
+      for (_ <- 1 to iters) {
+        val xlit = array(x.map(v => lit(v.toLong)): _*)
+        val y = emb
+          .withColumn("dot", aggregate(zip_with(col("vi"), xlit,
+            (a, b) => a * b), lit(0L), (acc, v) => acc + v))
+          .select(col("dot"), posexplode(col("vi")).as(Seq("dim", "v")))
+          .groupBy("dim")
+          .agg(sum((col("v") * col("dot"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("y"))
+          .collect()
+          .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
+          .toMap
+        val ys = (0 until d).map(i => y.getOrElse(i, BigInt(0)))
+        val m = ys.map(_.abs).max
+        if (m > 0)
+          x = ys.map(v => (if (v < 0) -BigInt(1) else BigInt(1)) *
+            ((v.abs * S) / m)).toArray
+      }
+      import s.implicits._
+      x.zipWithIndex
+        .map { case (w, i) => (i.toLong, w.toLong) }.toSeq
+        .toDF("dim", "weight")
+        .orderBy("dim")
+    },
+
     // Exact cosine top-5 neighbors for the first 5 vectors.
     "q_emb_knn" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -298,6 +342,45 @@ object EmbeddingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // Unrolled 3-iteration integer power method over HUGEINT arithmetic
+    // (exact — DuckDB SUM(BIGINT) widens losslessly); quantization is
+    // sign(y)·((|y|·1000) // max|y|), floor division on non-negative
+    // operands exactly as the engine's BigInt driver step.
+    "q_emb_pca_power" -> {
+      def iter(k: Int): String = {
+        val prev = s"x${k - 1}"
+        s"""d$k AS (
+           |  SELECT f.rid, SUM(f.v * x.xv) AS dot
+           |  FROM flat f JOIN $prev x ON f.i = x.dim + 1
+           |  GROUP BY f.rid),
+           |y$k AS (
+           |  SELECT f.i - 1 AS dim, SUM(f.v * d.dot) AS y
+           |  FROM flat f JOIN d$k d ON f.rid = d.rid
+           |  GROUP BY 1),
+           |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
+           |x$k AS (
+           |  SELECT dim,
+           |    (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
+           |      ((abs(y) * 1000) // m) AS xv
+           |  FROM y$k, m$k)""".stripMargin
+      }
+      s"""WITH e AS (
+         |  SELECT row_number() OVER () AS rid,
+         |    list_transform(embedding,
+         |      v -> CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))
+         |      AS vi
+         |  FROM embeddings),
+         |flat AS (
+         |  SELECT rid, i, vi[i] AS v
+         |  FROM e, unnest(range(1, len(vi) + 1)) AS u(i)),
+         |x0 AS (
+         |  SELECT DISTINCT i - 1 AS dim, CAST(1000 AS HUGEINT) AS xv
+         |  FROM flat),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT dim, CAST(xv AS BIGINT) AS weight FROM x3
+         |ORDER BY dim""".stripMargin
+    },
+
     "q_emb_knn" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

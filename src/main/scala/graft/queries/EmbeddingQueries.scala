@@ -128,6 +128,56 @@ object EmbeddingQueries {
         .orderBy("dim")
     },
 
+    // PCA projection — the feature-extraction half of q_emb_pca_power:
+    // every vector's integer dot with the 3-iteration principal
+    // direction, rolled up per label (count, exact integer sum, min/max
+    // of the projection). Separated label means along the top component
+    // is the classic "is this embedding space linearly separable"
+    // screen. Same all-integer arithmetic: one more scan with a
+    // zip_with dot against the broadcast direction literal.
+    "q_emb_pca_project" -> { (s, dir) =>
+      val S = 1000L
+      val iters = 3
+      val embQ = graft.ops.Pin.pin(t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            v => round(v.cast("double") * S, 0).cast("long")).as("vi")))
+      val d = embQ.select(size(col("vi"))).head().getInt(0)
+      var x = Array.fill(d)(BigInt(S))
+      for (_ <- 1 to iters) {
+        val xlit = array(x.map(v => lit(v.toLong)): _*)
+        val y = embQ
+          .withColumn("dot", aggregate(zip_with(col("vi"), xlit,
+            (a, b) => a * b), lit(0L), (acc, v) => acc + v))
+          .select(col("dot"), posexplode(col("vi")).as(Seq("dim", "v")))
+          .groupBy("dim")
+          .agg(sum((col("v") * col("dot"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("y"))
+          .collect()
+          .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
+          .toMap
+        val ys = (0 until d).map(i => y.getOrElse(i, BigInt(0)))
+        val m = ys.map(_.abs).max
+        if (m > 0)
+          x = ys.map(v => (if (v < 0) -BigInt(1) else BigInt(1)) *
+            ((v.abs * S) / m)).toArray
+      }
+      val xlit = array(x.map(v => lit(v.toLong)): _*)
+      embQ
+        .withColumn("proj", aggregate(zip_with(col("vi"), xlit,
+          (a, b) => a * b), lit(0L), (acc, v) => acc + v))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("proj")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("decimal(38,0)").cast("double").as("sum_proj"),
+          min(col("proj")).as("min_proj"),
+          max(col("proj")).as("max_proj"))
+        .select(col("label").cast("long").as("label"), col("n"),
+          col("sum_proj"), col("min_proj"), col("max_proj"))
+        .orderBy("label")
+    },
+
     // Exact cosine top-5 neighbors for the first 5 vectors.
     "q_emb_knn" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -379,6 +429,51 @@ object EmbeddingQueries {
          |${(1 to 3).map(iter).mkString(",\n")}
          |SELECT dim, CAST(xv AS BIGINT) AS weight FROM x3
          |ORDER BY dim""".stripMargin
+    },
+
+    // Same unrolled power method as q_emb_pca_power, plus one projection
+    // join; HUGEINT throughout, cast at the output boundary.
+    "q_emb_pca_project" -> {
+      def iter(k: Int): String = {
+        val prev = s"x${k - 1}"
+        s"""d$k AS (
+           |  SELECT f.rid, SUM(f.v * x.xv) AS dot
+           |  FROM flat f JOIN $prev x ON f.i = x.dim + 1
+           |  GROUP BY f.rid),
+           |y$k AS (
+           |  SELECT f.i - 1 AS dim, SUM(f.v * d.dot) AS y
+           |  FROM flat f JOIN d$k d ON f.rid = d.rid
+           |  GROUP BY 1),
+           |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
+           |x$k AS (
+           |  SELECT dim,
+           |    (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
+           |      ((abs(y) * 1000) // m) AS xv
+           |  FROM y$k, m$k)""".stripMargin
+      }
+      s"""WITH e AS (
+         |  SELECT row_number() OVER () AS rid, label,
+         |    list_transform(embedding,
+         |      v -> CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))
+         |      AS vi
+         |  FROM embeddings),
+         |flat AS (
+         |  SELECT rid, i, vi[i] AS v
+         |  FROM e, unnest(range(1, len(vi) + 1)) AS u(i)),
+         |x0 AS (
+         |  SELECT DISTINCT i - 1 AS dim, CAST(1000 AS HUGEINT) AS xv
+         |  FROM flat),
+         |${(1 to 3).map(iter).mkString(",\n")},
+         |proj AS (
+         |  SELECT f.rid, SUM(f.v * x.xv) AS p
+         |  FROM flat f JOIN x3 x ON f.i = x.dim + 1
+         |  GROUP BY f.rid)
+         |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n,
+         |  CAST(SUM(p) AS DOUBLE) AS sum_proj,
+         |  CAST(min(p) AS BIGINT) AS min_proj,
+         |  CAST(max(p) AS BIGINT) AS max_proj
+         |FROM e JOIN proj ON e.rid = proj.rid
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "q_emb_knn" ->

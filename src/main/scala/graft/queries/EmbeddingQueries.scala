@@ -3,7 +3,7 @@ package graft.queries
 import graft.ops.Similarity
 import graft.queries.Q._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Similarity-search queries over `embeddings` (64-dim float vectors):
   * exact brute-force cosine top-k (DuckDB-oracled via list_dot_product),
@@ -23,6 +23,82 @@ object EmbeddingQueries {
   private val NQueries = 5
   private val NearDupCosine = 0.45
   private val SemClusters = 16
+  private val PcaScale = 1000L
+  private val PcaIters = 3
+
+  /** Shared engine core of the PCA pair: the leading direction by
+    * integer power iteration over `embQ` (rows carry a `vi` long-array
+    * column = round(v·PcaScale)). Each iteration is one scan + a
+    * dim-grouped DECIMAL(38,0) aggregate; the driver holds `d` BigInts
+    * and re-quantizes as sign(y)·((|y|·PcaScale) div max|y|) — exact,
+    * no floating point anywhere (see q_emb_pca_power's gate doc).
+    */
+  private def powerDirection(embQ: DataFrame, d: Int): Array[BigInt] = {
+    var x = Array.fill(d)(BigInt(PcaScale))
+    for (_ <- 1 to PcaIters) {
+      val xlit = array(x.map(v => lit(v.toLong)): _*)
+      val y = embQ
+        .withColumn("dot", aggregate(zip_with(col("vi"), xlit,
+          (a, b) => a * b), lit(0L), (acc, v) => acc + v))
+        .select(col("dot"), posexplode(col("vi")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(sum((col("v") * col("dot"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("y"))
+        .collect()
+        .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
+        .toMap
+      val ys = (0 until d).map(i => y.getOrElse(i, BigInt(0)))
+      val m = ys.map(_.abs).max
+      if (m > 0)
+        x = ys.map(v => (if (v < 0) -BigInt(1) else BigInt(1)) *
+          ((v.abs * PcaScale) / m)).toArray
+    }
+    x
+  }
+
+  /** round(v·PcaScale) long-array projection of `embeddings`. */
+  private def quantized(df: DataFrame, extraCols: Column*): DataFrame =
+    graft.ops.Pin.pin(df.select(extraCols :+
+      transform(col("embedding"),
+        v => round(v.cast("double") * PcaScale, 0).cast("long"))
+        .as("vi"): _*))
+
+  /** Shared oracle core: the WITH-clause body (e/flat/x0/x1..x3 CTEs)
+    * of the unrolled HUGEINT power method; `eExtra` adds columns to the
+    * quantized-rows CTE (e.g. label for the projection gate).
+    */
+  private def pcaCtes(eExtra: String): String = {
+    def iter(k: Int): String = {
+      val prev = s"x${k - 1}"
+      s"""d$k AS (
+         |  SELECT f.rid, SUM(f.v * x.xv) AS dot
+         |  FROM flat f JOIN $prev x ON f.i = x.dim + 1
+         |  GROUP BY f.rid),
+         |y$k AS (
+         |  SELECT f.i - 1 AS dim, SUM(f.v * d.dot) AS y
+         |  FROM flat f JOIN d$k d ON f.rid = d.rid
+         |  GROUP BY 1),
+         |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
+         |x$k AS (
+         |  SELECT dim,
+         |    (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
+         |      ((abs(y) * $PcaScale) // m) AS xv
+         |  FROM y$k, m$k)""".stripMargin
+    }
+    s"""e AS (
+       |  SELECT row_number() OVER () AS rid,$eExtra
+       |    list_transform(embedding,
+       |      v -> CAST(round(CAST(v AS DOUBLE) * $PcaScale, 0) AS BIGINT))
+       |      AS vi
+       |  FROM embeddings),
+       |flat AS (
+       |  SELECT rid, i, vi[i] AS v
+       |  FROM e, unnest(range(1, len(vi) + 1)) AS u(i)),
+       |x0 AS (
+       |  SELECT DISTINCT i - 1 AS dim, CAST($PcaScale AS HUGEINT) AS xv
+       |  FROM flat),
+       |${(1 to PcaIters).map(iter).mkString(",\n")}""".stripMargin
+  }
 
   /** Fixed-size deterministic audit sample for the exact near-dup truth:
     * the `AuditSample` vectors with the smallest md5(vec_id) — the same
@@ -96,31 +172,9 @@ object EmbeddingQueries {
     // (the IFS driver-loop pattern, not a data collect). The oracle
     // unrolls the 3 iterations over HUGEINT arithmetic.
     "q_emb_pca_power" -> { (s, dir) =>
-      val S = 1000L
-      val iters = 3
-      val emb = graft.ops.Pin.pin(t(s, dir, "embeddings")
-        .select(transform(col("embedding"),
-          v => round(v.cast("double") * S, 0).cast("long")).as("vi")))
-      val d = emb.select(size(col("vi"))).head().getInt(0)
-      var x = Array.fill(d)(BigInt(S))
-      for (_ <- 1 to iters) {
-        val xlit = array(x.map(v => lit(v.toLong)): _*)
-        val y = emb
-          .withColumn("dot", aggregate(zip_with(col("vi"), xlit,
-            (a, b) => a * b), lit(0L), (acc, v) => acc + v))
-          .select(col("dot"), posexplode(col("vi")).as(Seq("dim", "v")))
-          .groupBy("dim")
-          .agg(sum((col("v") * col("dot"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("y"))
-          .collect()
-          .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
-          .toMap
-        val ys = (0 until d).map(i => y.getOrElse(i, BigInt(0)))
-        val m = ys.map(_.abs).max
-        if (m > 0)
-          x = ys.map(v => (if (v < 0) -BigInt(1) else BigInt(1)) *
-            ((v.abs * S) / m)).toArray
-      }
+      val embQ = quantized(t(s, dir, "embeddings"))
+      val d = embQ.select(size(col("vi"))).head().getInt(0)
+      val x = powerDirection(embQ, d)
       import s.implicits._
       x.zipWithIndex
         .map { case (w, i) => (i.toLong, w.toLong) }.toSeq
@@ -136,32 +190,10 @@ object EmbeddingQueries {
     // screen. Same all-integer arithmetic: one more scan with a
     // zip_with dot against the broadcast direction literal.
     "q_emb_pca_project" -> { (s, dir) =>
-      val S = 1000L
-      val iters = 3
-      val embQ = graft.ops.Pin.pin(t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          transform(col("embedding"),
-            v => round(v.cast("double") * S, 0).cast("long")).as("vi")))
+      val embQ = quantized(t(s, dir, "embeddings"),
+        col("vec_id"), col("label"))
       val d = embQ.select(size(col("vi"))).head().getInt(0)
-      var x = Array.fill(d)(BigInt(S))
-      for (_ <- 1 to iters) {
-        val xlit = array(x.map(v => lit(v.toLong)): _*)
-        val y = embQ
-          .withColumn("dot", aggregate(zip_with(col("vi"), xlit,
-            (a, b) => a * b), lit(0L), (acc, v) => acc + v))
-          .select(col("dot"), posexplode(col("vi")).as(Seq("dim", "v")))
-          .groupBy("dim")
-          .agg(sum((col("v") * col("dot"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("y"))
-          .collect()
-          .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
-          .toMap
-        val ys = (0 until d).map(i => y.getOrElse(i, BigInt(0)))
-        val m = ys.map(_.abs).max
-        if (m > 0)
-          x = ys.map(v => (if (v < 0) -BigInt(1) else BigInt(1)) *
-            ((v.abs * S) / m)).toArray
-      }
+      val x = powerDirection(embQ, d)
       val xlit = array(x.map(v => lit(v.toLong)): _*)
       embQ
         .withColumn("proj", aggregate(zip_with(col("vi"), xlit,
@@ -392,89 +424,29 @@ object EmbeddingQueries {
   )
 
   def oracles: Map[String, String] = Map(
-    // Unrolled 3-iteration integer power method over HUGEINT arithmetic
-    // (exact — DuckDB SUM(BIGINT) widens losslessly); quantization is
-    // sign(y)·((|y|·1000) // max|y|), floor division on non-negative
+    // Unrolled integer power method over HUGEINT arithmetic (exact —
+    // DuckDB SUM(BIGINT) widens losslessly); quantization is
+    // sign(y)·((|y|·PcaScale) // max|y|), floor division on non-negative
     // operands exactly as the engine's BigInt driver step.
-    "q_emb_pca_power" -> {
-      def iter(k: Int): String = {
-        val prev = s"x${k - 1}"
-        s"""d$k AS (
-           |  SELECT f.rid, SUM(f.v * x.xv) AS dot
-           |  FROM flat f JOIN $prev x ON f.i = x.dim + 1
-           |  GROUP BY f.rid),
-           |y$k AS (
-           |  SELECT f.i - 1 AS dim, SUM(f.v * d.dot) AS y
-           |  FROM flat f JOIN d$k d ON f.rid = d.rid
-           |  GROUP BY 1),
-           |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
-           |x$k AS (
-           |  SELECT dim,
-           |    (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
-           |      ((abs(y) * 1000) // m) AS xv
-           |  FROM y$k, m$k)""".stripMargin
-      }
-      s"""WITH e AS (
-         |  SELECT row_number() OVER () AS rid,
-         |    list_transform(embedding,
-         |      v -> CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))
-         |      AS vi
-         |  FROM embeddings),
-         |flat AS (
-         |  SELECT rid, i, vi[i] AS v
-         |  FROM e, unnest(range(1, len(vi) + 1)) AS u(i)),
-         |x0 AS (
-         |  SELECT DISTINCT i - 1 AS dim, CAST(1000 AS HUGEINT) AS xv
-         |  FROM flat),
-         |${(1 to 3).map(iter).mkString(",\n")}
-         |SELECT dim, CAST(xv AS BIGINT) AS weight FROM x3
-         |ORDER BY dim""".stripMargin
-    },
+    "q_emb_pca_power" ->
+      s"""WITH ${pcaCtes("")}
+         |SELECT dim, CAST(xv AS BIGINT) AS weight FROM x$PcaIters
+         |ORDER BY dim""".stripMargin,
 
     // Same unrolled power method as q_emb_pca_power, plus one projection
     // join; HUGEINT throughout, cast at the output boundary.
-    "q_emb_pca_project" -> {
-      def iter(k: Int): String = {
-        val prev = s"x${k - 1}"
-        s"""d$k AS (
-           |  SELECT f.rid, SUM(f.v * x.xv) AS dot
-           |  FROM flat f JOIN $prev x ON f.i = x.dim + 1
-           |  GROUP BY f.rid),
-           |y$k AS (
-           |  SELECT f.i - 1 AS dim, SUM(f.v * d.dot) AS y
-           |  FROM flat f JOIN d$k d ON f.rid = d.rid
-           |  GROUP BY 1),
-           |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
-           |x$k AS (
-           |  SELECT dim,
-           |    (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
-           |      ((abs(y) * 1000) // m) AS xv
-           |  FROM y$k, m$k)""".stripMargin
-      }
-      s"""WITH e AS (
-         |  SELECT row_number() OVER () AS rid, label,
-         |    list_transform(embedding,
-         |      v -> CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))
-         |      AS vi
-         |  FROM embeddings),
-         |flat AS (
-         |  SELECT rid, i, vi[i] AS v
-         |  FROM e, unnest(range(1, len(vi) + 1)) AS u(i)),
-         |x0 AS (
-         |  SELECT DISTINCT i - 1 AS dim, CAST(1000 AS HUGEINT) AS xv
-         |  FROM flat),
-         |${(1 to 3).map(iter).mkString(",\n")},
+    "q_emb_pca_project" ->
+      s"""WITH ${pcaCtes(" label,")},
          |proj AS (
          |  SELECT f.rid, SUM(f.v * x.xv) AS p
-         |  FROM flat f JOIN x3 x ON f.i = x.dim + 1
+         |  FROM flat f JOIN x$PcaIters x ON f.i = x.dim + 1
          |  GROUP BY f.rid)
          |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n,
          |  CAST(SUM(p) AS DOUBLE) AS sum_proj,
          |  CAST(min(p) AS BIGINT) AS min_proj,
          |  CAST(max(p) AS BIGINT) AS max_proj
          |FROM e JOIN proj ON e.rid = proj.rid
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_emb_knn" ->
       s"""WITH e AS (

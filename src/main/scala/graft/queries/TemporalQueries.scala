@@ -350,6 +350,26 @@ object TemporalQueries {
         .orderBy("event_type")
     },
 
+    // Time-travel snapshot read: each user's STATE (last event type) as
+    // of the 70% integer cutoff — "what did the table look like at T",
+    // the reproducible-read primitive under every backfill audit. One
+    // filter + one user-keyed max_by; emits the state census at T.
+    // At 100 TB the filter prunes to partitions ≤ T before any shuffle.
+    "q_time_travel" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val cut = e.agg(min(col("us")).as("mn_us"), max(col("us")).as("mx_us"))
+        .select(expr("mn_us + ((mx_us - mn_us) * 7) div 10").as("cutoff_us"))
+      e.crossJoin(broadcast(cut))
+        .filter(col("us") <= col("cutoff_us"))
+        .groupBy("user_id")
+        .agg(max(struct(col("us"), col("event_id"), col("event_type")))
+          .as("last"))
+        .select(col("user_id"), col("last.event_type").as("state"))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("state")
+    },
+
     // Time-weighted average value per event type: each event's value
     // holds until the user's NEXT event (step-function semantics — the
     // correct mean for sensor/metric streams where sampling is uneven;
@@ -589,6 +609,24 @@ object TemporalQueries {
         |    AS peak_ratio
         |FROM hod JOIN typ ON hod.event_type = typ.event_type
         |GROUP BY hod.event_type ORDER BY hod.event_type""".stripMargin,
+
+    // Same integer cutoff as q_upsert_merge; the per-user latest row via
+    // a rank window (the oracle's single-node spelling of the engine's
+    // struct-max aggregate).
+    "q_time_travel" ->
+      s"""WITH $evSql,
+         |c AS (
+         |  SELECT CAST(min(us) + ((max(us) - min(us)) * 7) // 10 AS BIGINT)
+         |    AS cutoff FROM ev),
+         |f AS (SELECT ev.* FROM ev, c WHERE us <= cutoff),
+         |r AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY us DESC, event_id DESC) AS rn
+         |  FROM f)
+         |SELECT event_type AS state, count(*) AS n_users
+         |FROM r WHERE rn = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same lead-window durations; SUM(BIGINT) cast back to BIGINT (the
     // DuckDB HUGEINT rule), decimal numerator, one rounded division.

@@ -1060,6 +1060,29 @@ object TextQueries {
     // scale) with the identical association order in the oracle, and the
     // top-20 cutoff is decided on the ROUNDED value + token order, so
     // the emitted set is engine-independent.
+    // Cross-source OOV audit: build the vocabulary from ONE reference
+    // source (src0) and measure every other source's out-of-vocabulary
+    // token rate — the tokenizer-transfer health check run before
+    // committing a vocab trained on one domain to a mixed corpus. One
+    // distinct + one left join on the token (vocab side unhinted — AQE
+    // decides, the q_vocab_encode rule) + one per-source rollup.
+    "q_vocab_oov" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = toks.filter(col("source") === "src0")
+        .select("tok").distinct().withColumn("in_vocab", lit(1))
+      toks.filter(col("source") =!= "src0")
+        .join(vocab, Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1).otherwise(0)).cast("long")
+            .as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .orderBy("source")
+    },
+
     // Hashing-trick featurization audit: every token hashes to one of
     // 128 buckets (the engine-neutral md5-prefix hash shared with DSIR),
     // and the gate emits the top-20 buckets by load with their collision
@@ -2404,6 +2427,22 @@ object TextQueries {
         |  CAST(64 + ascii(substr(text, 3, 1)) % 32 AS BIGINT) AS fake_height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_oov" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT source, tok FROM tk WHERE tok <> ''),
+        |v AS (SELECT DISTINCT tok FROM t2 WHERE source = 'src0')
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM t2 LEFT JOIN v ON t2.tok = v.tok
+        |WHERE source <> 'src0'
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // DuckDB twin of Dsir.bucketOf: first 8 md5 hex digits → BIGINT.
     "q_feature_hashing" ->

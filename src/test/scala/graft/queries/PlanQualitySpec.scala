@@ -132,7 +132,8 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
       "q_attribution", "q_cume_distinct_users", "q_ltv_deciles",
       "q_js_divergence", "q_containment_dedup", "q_time_weighted_avg",
       "q_feature_hashing", "q_target_encoding", "q_graph_components",
-      "q_percent_rank", "q_emb_pca_power", "q_emb_pca_project")
+      "q_percent_rank", "q_emb_pca_power", "q_emb_pca_project",
+      "q_time_travel", "q_vocab_oov")
     graft.ops.Pin.disabled = true
     try {
       joinHeavy.foreach { name =>

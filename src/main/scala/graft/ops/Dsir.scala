@@ -97,14 +97,23 @@ object Dsir {
     // llr = ln((1/(tt+B))/(1/(tr+B))) but contribute only to docs that
     // hash there — and every doc feature lands in an observed bucket by
     // construction, so the B-row table is complete for the join.
+    //
+    // The llr rounds ONCE PER BUCKET to a 10^-12-grain scaled long (B
+    // roundings total), so the corpus-sized per-occurrence sum runs over
+    // longs cast DECIMAL(38,0) — the compact long-backed path — instead
+    // of a per-row double→DECIMAL(28,14) BigDecimal allocation (the
+    // q_corr_matrix lesson; same exactness: integer sums are associative
+    // and the single /10^12 division happens once per doc).
+    val LlrScale = 1e12
     val llr = hist.select(col("b"),
-      (log((col("ct") + 1).cast("double") / (tt.toDouble + buckets)) -
-        log((col("cr") + 1).cast("double") / (tr.toDouble + buckets)))
-        .as("llr"))
+      round((log((col("ct") + 1).cast("double") / (tt.toDouble + buckets)) -
+        log((col("cr") + 1).cast("double") / (tr.toDouble + buckets))) *
+        LlrScale, 0).cast("long").as("llr_i"))
     fb.join(broadcast(llr), "b")
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_features"),
-        round(sum(col("llr").cast("decimal(28,14)"))
-          .cast("double"), 6).as("dsir_weight"))
+        round(sum(col("llr_i")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / LlrScale, 6).as("dsir_weight"))
   }
 }

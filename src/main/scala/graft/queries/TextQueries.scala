@@ -1712,12 +1712,13 @@ object TextQueries {
         |  FROM fb GROUP BY 1),
         |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM hist),
         |llr AS (
-        |  SELECT b, ln((ct + 1.0) / (tt + 256.0)) -
-        |            ln((cr + 1.0) / (tr + 256.0)) AS llr
+        |  SELECT b, CAST(round((ln((ct + 1.0) / (tt + 256.0)) -
+        |                 ln((cr + 1.0) / (tr + 256.0)))
+        |                 * 1000000000000.0, 0) AS BIGINT) AS llr_i
         |  FROM hist, tot),
         |w AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
-        |    round(CAST(sum(CAST(llr AS DECIMAL(28,14))) AS DOUBLE), 6)
+        |    round(CAST(sum(llr_i) AS DOUBLE) / 1000000000000.0, 6)
         |      AS dsir_weight
         |  FROM fb JOIN llr USING (b) GROUP BY 1)
         |SELECT d.doc_id, d.lang, d.source, w.n_features, w.dsir_weight

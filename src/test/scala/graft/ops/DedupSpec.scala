@@ -50,6 +50,60 @@ class DedupSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .count() shouldBe 0L
   }
 
+  behavior of "containmentPairs"
+
+  it should "flag a doc embedded in a much larger one that Jaccard misses" in {
+    // `base` is wholly contained in a 4x-longer wrapper: J ~ 0.25 (below
+    // a 0.5 jaccard bar) but containment(base -> wrapper) = 1.0.
+    val wrapper = base + " plus a lot of surrounding boilerplate text " +
+      "that goes on and on with many extra tokens " * 3
+    val out = Dedup.containmentPairs(
+      docs((1L, base), (2L, wrapper), (3L, unrelated)),
+      "doc_id", "text", "source", 3, 0.9)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    out.map(p => (p._1, p._2)) should contain only ((1L, 2L))
+    out.head._3 shouldBe 1.0 // cont(A->B): every base shingle in wrapper
+    out.head._4 should be < 0.5
+    Dedup.ngramJaccardPairs(
+      docs((1L, base), (2L, wrapper), (3L, unrelated)),
+      "doc_id", "text", "source", 3, 0.5).count() shouldBe 0L
+  }
+
+  it should "match the naive quadratic containment on random corpora" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def text() =
+      Seq.fill(3 + rnd.nextInt(20))(words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    for (_ <- 1 to 3) {
+      val rows = (1L to 30L).map(i => (i, text()))
+      val df = rows.toDF("doc_id", "text").withColumn("source",
+        org.apache.spark.sql.functions.lit("s0"))
+      val got = Dedup.containmentPairs(df, "doc_id", "text", "source",
+          3, 0.3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+      def shingles(t: String): Set[String] =
+        t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val want = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        sa = shingles(ta); sb = shingles(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa intersect sb).size
+        cab = BigDecimal(inter.toDouble / sa.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        cba = BigDecimal(inter.toDouble / sb.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if math.max(cab, cba) >= 0.3 && inter > 0
+      } yield (ia, ib, cab, cba)).toSet
+      got shouldBe want
+    }
+  }
+
   behavior of "minHashPairs"
 
   it should "find the planted near-dup pair (same definition as exact)" in {

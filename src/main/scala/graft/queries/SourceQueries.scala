@@ -174,6 +174,29 @@ object SourceQueries {
         .orderBy("col_name")
     },
 
+    // Order-independent table fingerprint — the cheap way to prove two
+    // copies of a 100 TB table identical without sorting either: each
+    // row serializes (unit separator chr(31), null marker chr(30)),
+    // hashes to a 60-bit integer (15 md5 hex digits), and the SUM of
+    // row hashes — exact, associative, partition-order-free — plus the
+    // row count is the table's content fingerprint. Emitted per source
+    // so a mismatch localizes. One scan, one aggregate; compare
+    // fingerprints across replicas/engines/migrations byte-for-byte.
+    "q_table_fingerprint" -> { (s, dir) =>
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val ser = cols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u001e")))
+        .reduce((a, b) => concat(a, lit("\u001f"), b))
+      t(s, dir, "documents")
+        .select(col("source"),
+          conv(substring(md5(ser), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("fingerprint"))
+        .orderBy("source")
+    },
+
     // ORC round trip — the other columnar lake format (a migration
     // target/source in mixed Hive estates). Same fidelity contract as
     // q_jsonl_roundtrip: write documents as ORC, read back with the
@@ -287,6 +310,22 @@ object SourceQueries {
            |  max(CAST($c AS VARCHAR)) AS max_str
            |FROM documents""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // Identical serialization (chr(31) separators, chr(30) nulls) and
+    // 60-bit md5-prefix row hash; HUGEINT sum cast to DECIMAL(38,0) to
+    // match the engine's exact decimal sum type.
+    "q_table_fingerprint" ->
+      """SELECT source, count(*) AS n_rows,
+        |  CAST(sum(CAST(('0x' || substr(md5(
+        |    COALESCE(CAST(doc_id AS VARCHAR), chr(30)) || chr(31) ||
+        |    COALESCE(text, chr(30)) || chr(31) ||
+        |    COALESCE(lang, chr(30)) || chr(31) ||
+        |    COALESCE(source, chr(30)) || chr(31) ||
+        |    COALESCE(CAST(n_chars AS VARCHAR), chr(30))), 1, 15))
+        |    AS BIGINT)) AS DECIMAL(38,0)) AS fingerprint
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // Same fidelity aggregate as the JSONL/CSV round trips, against the
     // ORIGINAL table — a pass proves the ORC hop lossless.

@@ -3,7 +3,7 @@ package graft.queries
 import graft.queries.Q._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** User/growth analytics over `events`: marketing attribution, audience
   * accumulation, and lifetime-value stratification — the reporting loops
@@ -70,6 +70,31 @@ object UserQueries {
         .select(col("day"), col("n_new"),
           (col("prefix") + col("n_new")).cast("long").as("cume_users"))
         .orderBy("day")
+    },
+
+    // Right-to-erasure cascade audit: given a deletion cohort (the
+    // deterministic user_id % 97 == 0 stand-in for a GDPR request
+    // batch), report per table how many rows the cascade removes and
+    // how many survive — the compliance evidence a deletion job must
+    // emit. Each table is ONE anti-join-shaped aggregate (a conditional
+    // sum on the key predicate — no join needed when membership is
+    // computable from the key itself; with an arbitrary request table
+    // these become broadcast anti-joins). Customer keys join events'
+    // user ids, so the same cohort cascades across both.
+    "q_delete_propagation" -> { (s, dir) =>
+      def audit(df: DataFrame, table: String, key: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(when(key % 97 === 0, 1).otherwise(0)).cast("long")
+              .as("n_deleted"))
+          .select(lit(table).as("table_name"), col("n_rows"),
+            col("n_deleted"),
+            (col("n_rows") - col("n_deleted")).as("n_surviving"))
+      audit(ev(s, dir), "events", col("user_id"))
+        .unionByName(audit(t(s, dir, "customer"), "customer",
+          col("c_custkey")))
+        .unionByName(audit(t(s, dir, "orders"), "orders",
+          col("o_custkey")))
+        .orderBy("table_name")
     },
 
     // Smoothed target encoding over the (event_type, hour-of-day) grid —
@@ -143,6 +168,27 @@ object UserQueries {
          |SELECT day, n_new,
          |  CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cume_users
          |FROM d ORDER BY day""".stripMargin,
+
+    "q_delete_propagation" ->
+      s"""WITH $evSql,
+         |a AS (
+         |  SELECT 'events' AS table_name, count(*) AS n_rows,
+         |    CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_deleted
+         |  FROM ev
+         |  UNION ALL
+         |  SELECT 'customer', count(*),
+         |    CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT)
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'orders', count(*),
+         |    CAST(sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT)
+         |  FROM orders)
+         |SELECT table_name, n_rows, n_deleted,
+         |  n_rows - n_deleted AS n_surviving
+         |FROM a ORDER BY table_name""".stripMargin,
 
     "q_target_encoding" ->
       s"""WITH $evSql,

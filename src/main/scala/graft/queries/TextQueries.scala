@@ -460,8 +460,14 @@ object TextQueries {
         .filter(col("c") === 1)
         .groupBy(col("d").as("doc_id"))
         .agg(count(lit(1)).as("n_uniq"))
-      sh.groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_sh"))
+      // the per-doc shingle count needs no explode, no md5, and no
+      // occurrence shuffle: every position is a shingle, so n_sh is
+      // just size(tk) - 7 — one cheap scan instead of a second pass
+      // over the hashed shingle stream
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (size(split(col("text"), " ")) - 7).cast("long").as("n_sh"))
+        .filter(col("n_sh") > 0)
         .join(uniq, Seq("doc_id"), "left_outer")
         .withColumn("novelty",
           round(coalesce(col("n_uniq"), lit(0L)).cast("double") /

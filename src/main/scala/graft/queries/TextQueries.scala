@@ -43,6 +43,40 @@ object TextQueries {
     * so the source-blocked pair set would miss them). Inverted-index
     * shape (postings join), never all-pairs.
     */
+  /** Source-blocked 3-gram Jaccard pairs at 0.2 — the pair set three
+    * gates share (`q_ngram_jaccard`, `q_dup_clusters`, `q_cluster_split`).
+    * Derived once per (session, documents-file identity) via
+    * [[graft.ops.SessionCache]], same pattern as the graph edge list:
+    * the pinned form is O(near-dup pairs), orders of magnitude below the
+    * posting join that produces it, and each sharing gate would
+    * otherwise re-run the full inverted-index join.
+    */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def derive: DataFrame =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 3, 0.2)
+    graft.ops.PlanKey.of(docs) match {
+      case Some(k) =>
+        graft.ops.SessionCache.getOrElsePin(s, "neardup_pairs|" + k)(derive)
+      case None => derive
+    }
+  }
+
+  /** Connected-components clustering of [[neardupPairs]], shared by
+    * `q_dup_clusters` and `q_cluster_split`; cached like the pairs (the
+    * min-label propagation is iterative — the most expensive piece after
+    * the posting join itself).
+    */
+  private def neardupClusters(s: SparkSession, dir: String): DataFrame = {
+    def derive: DataFrame = Dedup.dupClusters(neardupPairs(s, dir))
+    graft.ops.PlanKey.of(t(s, dir, "documents")) match {
+      case Some(k) =>
+        graft.ops.SessionCache.getOrElsePin(s, "neardup_clusters|" + k)(
+          derive)
+      case None => derive
+    }
+  }
+
   private def truthPairs(s: SparkSession, dir: String,
                          minJ: Double): DataFrame =
     // Pinned (eager localCheckpoint): every contract gate references its
@@ -328,9 +362,7 @@ object TextQueries {
 
     // Brute-force 3-gram Jaccard near-dup pairs within a source block.
     "q_ngram_jaccard" -> { (s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          "source", 3, 0.2)
-        .orderBy("id_a", "id_b")
+      neardupPairs(s, dir).orderBy("id_a", "id_b")
     },
 
     // Asymmetric containment near-dup pairs — the near-superset detector
@@ -391,9 +423,7 @@ object TextQueries {
     // oracle computes the same components with a recursive CTE over the
     // identical pair definition.
     "q_dup_clusters" -> { (s, dir) =>
-      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
-        "text", "source", 3, 0.2)
-      Dedup.dupClusters(pairs).orderBy("doc_id")
+      neardupClusters(s, dir).orderBy("doc_id")
     },
 
     // Banded MinHash gate (b×r AND/OR amplification, which Spark ML's
@@ -684,9 +714,7 @@ object TextQueries {
     // rule as q_hash_sample; singletons are their own cluster.
     "q_cluster_split" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        "source", 3, 0.2)
-      val clusters = Dedup.dupClusters(pairs)
+      val clusters = neardupClusters(s, dir)
         .select(col("doc_id").as("cdoc"), col("cluster_id"))
       docs.join(clusters, col("doc_id") === col("cdoc"), "left")
         .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))

@@ -94,4 +94,25 @@ object Q {
   /** Oracle-side spelling of [[dsum]]. */
   def dsumSql(expr: String, scale: Int = 4): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** [[dsum]] for a column ALREADY rounded to ≤ `scale` decimals (e.g.
+    * `round(log(...), 9)`), computed through scaled longs instead of a
+    * per-row DecimalType cast: each value is an exact multiple of
+    * 10^-scale, so round(c·10^scale) recovers its integer numerator
+    * exactly (|c|·10^scale must stay ≪ 2^53 — true for logprob-sized
+    * values at scale ≤ 9), longs sum on DECIMAL(38,0)'s compact path
+    * (no BigDecimal until a partial sum exceeds 2^63), and the final
+    * exact integer converts to double once before one division by the
+    * exactly-representable 10^scale. Bit-identical to [[dsum]] whenever
+    * the GROUP's integer sum stays under 2^53 (a per-document group is
+    * bounded by document length, so this holds at any corpus scale) —
+    * which is why gates may swap this in WITHOUT touching their oracle.
+    * For group sums that grow with the corpus, keep [[dsum]] or move
+    * the oracle to the same scaled spelling.
+    */
+  def dsumPre(c: Column, scale: Int): Column = {
+    val f = math.pow(10.0, scale)
+    sum(round(c * f, 0).cast("long").cast(DecimalType(38, 0)))
+      .cast(DoubleType) / f
+  }
 }

@@ -627,8 +627,7 @@ object TextQueries {
             (col("c1") + col("v")).cast("double")), 9).as("lp"))
         .groupBy("doc_id", "source")
         .agg(count(lit(1)).as("n_bi"),
-          sum(col("lp").cast(DecimalType(18, 9))).cast(DoubleType)
-            .as("sum_lp"))
+          dsumPre(col("lp"), 9).as("sum_lp"))
         .withColumn("avg_lp", round(col("sum_lp") / col("n_bi"), 6))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -656,8 +655,7 @@ object TextQueries {
           round(log(col("c").cast("double") / col("n_total")), 9).as("lp"))
         .groupBy("doc_id", "source")
         .agg(count(lit(1)).as("n_tok"),
-          sum(col("lp").cast(DecimalType(18, 9))).cast(DoubleType)
-            .as("sum_lp"))
+          dsumPre(col("lp"), 9).as("sum_lp"))
         .withColumn("avg_lp", round(col("sum_lp") / col("n_tok"), 6))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -1352,8 +1350,7 @@ object TextQueries {
           round(log(col("c").cast("double") / col("n_total")), 9).as("lp"))
         .groupBy("doc_id", "source")
         .agg(count(lit(1)).as("n_tok"),
-          sum(col("lp").cast(DecimalType(18, 9))).cast(DoubleType)
-            .as("sum_lp"))
+          dsumPre(col("lp"), 9).as("sum_lp"))
         .withColumn("avg_lp", round(col("sum_lp") / col("n_tok"), 6))
       val rkW = Window.partitionBy("source")
         .orderBy(desc("avg_lp"), col("doc_id"))
@@ -1407,8 +1404,7 @@ object TextQueries {
           col("idf") * (col("tf") * lit(2.2)) /
             (col("tf") + lit(1.2) * col("norm")), 9))
         .groupBy("qid", "doc_id")
-        .agg(sum(col("comp").cast(DecimalType(18, 9))).cast(DoubleType)
-          .as("sum_comp"))
+        .agg(dsumPre(col("comp"), 9).as("sum_comp"))
         .withColumn("score", round(col("sum_comp"), 6))
       val w = Window.partitionBy("qid").orderBy(desc("score"),
         col("doc_id"))

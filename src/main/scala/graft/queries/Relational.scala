@@ -110,6 +110,54 @@ object Relational {
         .orderBy(col("n_name"))
     },
 
+    // TPC-H Q8 shape (national market share): the deepest join in the
+    // registry — lineitem against every other table of the star schema
+    // (part, supplier, orders, customer, nation twice, region; 7 joins).
+    // The dimension policy is the broadcast rule writ large: nation and
+    // region (constant cardinality) carry explicit broadcast hints;
+    // part, supplier, customer and orders all scale with SF, so their
+    // joins shuffle on their keys and AQE localizes whichever side
+    // fits at runtime. The p_type filter prunes part BEFORE its join
+    // and the o_orderdate range prunes orders likewise — both reach
+    // the parquet scans as pushed filters. Exact decimal volume sums;
+    // the share divides once, in one fixed association, on both
+    // engines.
+    "q8_market_share" -> { (s, dir) =>
+      val part = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+      val region = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      t(s, dir, "lineitem")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .withColumn("volume",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupBy("o_year")
+        .agg(
+          dsum(when(col("supp_nation") === "NATION_7", col("volume"))
+            .otherwise(lit(0.0)), 6).as("nation_volume"),
+          dsum(col("volume"), 6).as("total_volume"))
+        .withColumn("mkt_share",
+          round(col("nation_volume") / col("total_volume"), 6))
+        .orderBy("o_year")
+    },
+
     // TPC-H Q17 shape (small-quantity revenue): revenue from line items
     // whose quantity is below 20% of the part's average quantity — the
     // classic correlated scalar subquery, decorrelated the Spark-first
@@ -704,6 +752,33 @@ object Relational {
          |WHERE r_name IN ('ASIA', 'EUROPE')
          |GROUP BY n_name
          |ORDER BY n_name""".stripMargin,
+
+    "q8_market_share" ->
+      s"""WITH v AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    l_extendedprice * (1 - l_discount) AS volume,
+         |    n2.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+         |  JOIN region ON r_regionkey = n1.n_regionkey
+         |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+         |  WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+         |a AS (
+         |  SELECT o_year,
+         |    ${dsumSql(
+             "CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0.0 END",
+             6)} AS nation_volume,
+         |    ${dsumSql("volume", 6)} AS total_volume
+         |  FROM v GROUP BY o_year)
+         |SELECT o_year, nation_volume, total_volume,
+         |  round(nation_volume / total_volume, 6) AS mkt_share
+         |FROM a ORDER BY o_year""".stripMargin,
 
     "q_small_qty_revenue" ->
       s"""WITH pf AS (

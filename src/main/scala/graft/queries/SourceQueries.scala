@@ -174,6 +174,47 @@ object SourceQueries {
         .orderBy("col_name")
     },
 
+    // Data-contract audit — the dbt-test/Great-Expectations staple: a
+    // rule catalog evaluated as ONE conditional-sum aggregate per table
+    // (plus one distinct aggregate for the uniqueness rule), one scan
+    // each, no joins. Emits per rule the checked and violating row
+    // counts — the evidence a pipeline gate publishes before promoting
+    // a 100 TB batch. Integer counts only; a violation appearing in a
+    // regenerated batch flips the hash, which is the alert.
+    "q_contract_audit" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val dAgg = docs.agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0))
+          .cast("long").as("v_len"),
+        (count(lit(1)) - count_distinct(col("doc_id"))).as("v_uniq"),
+        sum(when(col("lang").isNull || col("lang") === "", 1).otherwise(0))
+          .cast("long").as("v_lang"))
+      val dRules = dAgg.select(expr(
+        "stack(3, " +
+          "'documents', 'n_chars_eq_len', n, v_len, " +
+          "'documents', 'doc_id_unique', n, v_uniq, " +
+          "'documents', 'lang_nonnull', n, v_lang) " +
+          "AS (table_name, rule_name, n_checked, n_violations)"))
+      val lAgg = t(s, dir, "lineitem").agg(count(lit(1)).as("n"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1)
+          .otherwise(0)).cast("long").as("v_disc"),
+        sum(when(col("l_quantity") <= 0, 1).otherwise(0)).cast("long")
+          .as("v_qty"))
+      val lRules = lAgg.select(expr(
+        "stack(2, " +
+          "'lineitem', 'discount_in_unit_range', n, v_disc, " +
+          "'lineitem', 'quantity_positive', n, v_qty) " +
+          "AS (table_name, rule_name, n_checked, n_violations)"))
+      val oAgg = t(s, dir, "orders").agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).cast("long")
+          .as("v_tp"))
+      val oRules = oAgg.select(expr(
+        "stack(1, 'orders', 'totalprice_positive', n, v_tp) " +
+          "AS (table_name, rule_name, n_checked, n_violations)"))
+      dRules.unionByName(lRules).unionByName(oRules)
+        .orderBy("table_name", "rule_name")
+    },
+
     // Order-independent table fingerprint — the cheap way to prove two
     // copies of a 100 TB table identical without sorting either: each
     // row serializes (unit separator chr(31), null marker chr(30)),
@@ -310,6 +351,40 @@ object SourceQueries {
            |  max(CAST($c AS VARCHAR)) AS max_str
            |FROM documents""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "q_contract_audit" ->
+      """WITH d AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_len,
+        |    count(*) - count(DISTINCT doc_id) AS v_uniq,
+        |    CAST(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS v_lang
+        |  FROM documents),
+        |l AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS v_disc,
+        |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_qty
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_tp
+        |  FROM orders),
+        |u AS (
+        |  SELECT 'documents' AS table_name, 'n_chars_eq_len' AS rule_name,
+        |    n AS n_checked, v_len AS n_violations FROM d
+        |  UNION ALL SELECT 'documents', 'doc_id_unique', n, v_uniq FROM d
+        |  UNION ALL SELECT 'documents', 'lang_nonnull', n, v_lang FROM d
+        |  UNION ALL SELECT 'lineitem', 'discount_in_unit_range', n,
+        |    v_disc FROM l
+        |  UNION ALL SELECT 'lineitem', 'quantity_positive', n, v_qty
+        |    FROM l
+        |  UNION ALL SELECT 'orders', 'totalprice_positive', n, v_tp
+        |    FROM o)
+        |SELECT * FROM u ORDER BY table_name, rule_name""".stripMargin,
 
     // Identical serialization (chr(31) separators, chr(30) nulls) and
     // 60-bit md5-prefix row hash; HUGEINT sum cast to DECIMAL(38,0) to

@@ -228,6 +228,55 @@ object Relational {
         .orderBy("part_a", "part_b")
     },
 
+    // Distributed Poisson bootstrap — the only bootstrap that works on
+    // a cluster (resampling-with-replacement needs global indexing; the
+    // Poisson(1) approximation needs only a per-row weight): 32
+    // replicas of the per-segment mean order value, each row's weight
+    // in replica b drawn DETERMINISTICALLY from md5(o_orderkey, b)
+    // against exact integer thresholds (cumulative Poisson(1) on the
+    // 2^16 grid — reproducible across engines, partitionings, reruns;
+    // no RNG state). Work is rows×B map-side with a (segment, replica)-
+    // keyed aggregate of 160 groups — the shuffle is trivial at any
+    // scale. Replica means come from exact scaled-long sums with one
+    // double division; the CI is the 2nd/31st of the 32 sorted means
+    // (a ~94% interval), picked from a bounded collected list.
+    "q_poisson_bootstrap" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).as("cents"))
+      val rep = base
+        .select(col("seg"), col("o_orderkey"), col("cents"),
+          explode(expr("sequence(0, 31)")).as("b"))
+        .withColumn("h", conv(substring(md5(
+          concat(col("o_orderkey"), lit("_"), col("b"))), 1, 4), 16, 10)
+          .cast("long"))
+        .withColumn("w", when(col("h") < 24109, 0)
+          .when(col("h") < 48219, 1).when(col("h") < 60281, 2)
+          .when(col("h") < 64299, 3).otherwise(4))
+      val means = rep.groupBy("seg", "b")
+        .agg(sum(col("w")).as("sw"),
+          sum((col("w") * col("cents")).cast("long")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double").as("swx"))
+        .select(col("seg"),
+          round(col("swx") / col("sw") / lit(100), 6).as("mean_b"))
+      val point = base.groupBy("seg")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents").cast("long")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double").as("sx"))
+        .select(col("seg"), col("n_orders"),
+          round(col("sx") / col("n_orders") / lit(100), 6)
+            .as("point_mean"))
+      val ci = means.groupBy("seg")
+        .agg(array_sort(collect_list(col("mean_b"))).as("a"))
+        .select(col("seg"), expr("try_element_at(a, 2)").as("ci_lo"),
+          expr("try_element_at(a, cast(size(a) - 1 AS INT))").as("ci_hi"))
+      point.join(ci, "seg").orderBy("seg")
+    },
+
     // Aggregates with exact-decimal average per market segment.
     "q_mktseg_stats" -> { (s, dir) =>
       t(s, dir, "customer")
@@ -837,6 +886,39 @@ object Relational {
          |WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * nq < sq
          |GROUP BY p_brand
          |ORDER BY p_brand""".stripMargin,
+
+    "q_poisson_bootstrap" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS seg, o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |rep AS (
+        |  SELECT seg, cents, r.b AS b,
+        |    CAST(('0x' || substr(md5(o_orderkey || '_' || r.b), 1, 4))
+        |      AS BIGINT) AS h
+        |  FROM base, range(32) r(b)),
+        |wt AS (
+        |  SELECT seg, b, cents,
+        |    CASE WHEN h < 24109 THEN 0 WHEN h < 48219 THEN 1
+        |         WHEN h < 60281 THEN 2 WHEN h < 64299 THEN 3
+        |         ELSE 4 END AS w
+        |  FROM rep),
+        |m AS (
+        |  SELECT seg,
+        |    round(CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100, 6)
+        |      AS mean_b
+        |  FROM wt GROUP BY seg, b),
+        |p AS (
+        |  SELECT seg, count(*) AS n_orders,
+        |    round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 6)
+        |      AS point_mean
+        |  FROM base GROUP BY seg),
+        |c AS (
+        |  SELECT seg, list_sort(list(mean_b)) AS a FROM m GROUP BY seg)
+        |SELECT p.seg, n_orders, point_mean, a[2] AS ci_lo,
+        |  a[len(a) - 1] AS ci_hi
+        |FROM p JOIN c ON p.seg = c.seg
+        |ORDER BY p.seg""".stripMargin,
 
     "q_basket_pairs" ->
       """WITH li AS (

@@ -106,9 +106,18 @@ object Bench {
     }
     resetState(spark)
     val only = args.toSet
+    // Sorted by name: Map iteration order SHIFTS whenever a gate is added,
+    // and the session-level caches (ifs MI/chi2 stats, SessionCache) make
+    // per-query times order-dependent — under hash order, adding an
+    // unrelated gate re-rolled which family member pays each cold
+    // derivation, making cross-round per-query comparison meaningless
+    // (observed: ifs_mi_pairwise 3.2 s ↔ 14.9 s purely by order). A fixed
+    // order pins the accounting: the alphabetically-first gate of a
+    // cache-sharing family pays its cold cost, every round.
     val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => only(n) }
+      (if (only.isEmpty) SparkEntry.queries
+       else SparkEntry.queries.filter { case (n, _) => only(n) })
+        .toSeq.sortBy(_._1)
     // A query that THROWS must never be timed as a (fast) success — round 5
     // benched 21 analysis exceptions as "speedups". Failures record -1.0
     // (unmistakably not a duration), are excluded from the total, and are
@@ -129,7 +138,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver captures only the TAIL of stdout: emit the big per-query
     // map on its own line first and the short headline line LAST, so a

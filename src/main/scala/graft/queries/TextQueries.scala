@@ -1193,14 +1193,17 @@ object TextQueries {
       // No broadcast hints on the unigram side: |vocab| is unbounded (a
       // web corpus reaches 10^7–10^8 distinct tokens). AQE broadcasts
       // when the measured build side is small, shuffle-joins otherwise.
-      pairs
+      // the support filter runs BEFORE the vocabulary joins (Catalyst
+      // would push it anyway; spelled here so the intent survives
+      // refactors): the c_ab < 5 long tail is the bulk of the distinct
+      // pair table and never needs its unigram counts
+      pairs.filter(col("c_ab") >= 5)
         .join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")),
           "tok_a")
         .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")),
           "tok_b")
         .crossJoin(broadcast(nTok))
         .crossJoin(broadcast(nPair))
-        .filter(col("c_ab") >= 5)
         .select(col("tok_a"), col("tok_b"), col("c_ab"),
           round(log(col("c_ab").cast(DoubleType) * col("n_tok") *
             col("n_tok") /

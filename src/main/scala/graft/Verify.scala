@@ -18,9 +18,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Sorted name order, same as Bench: the session caches (ifs stats,
+    // SessionCache) warm along a fixed path, so the dump's runtime and
+    // cold-cost accounting don't shift when a gate is added.
     val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => only(n) }
+      (if (only.isEmpty) SparkEntry.queries
+       else SparkEntry.queries.filter { case (n, _) => only(n) })
+        .toSeq.sortBy(_._1)
     // A failed query must be LOUD: round 5's testdata schema change broke
     // 21 queries, and because failures only went to stderr (no output file)
     // the driver's oracle compare silently OMITTED them instead of showing

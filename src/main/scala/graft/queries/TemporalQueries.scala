@@ -21,6 +21,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TemporalQueries {
 
   private val HourUs: Long = 3600L * 1000000L
+
+  /** q_ewma_burst's exact λ=0.9 weights: 9^(k−1)·10^(8−k) for trailing
+    * lag k = 1..8, scale 10^7 — one integer literal list shared by both
+    * spellings (pow() doubles differ by ULPs across libms; these never
+    * can).
+    */
+  private val EwmaW: Seq[BigInt] =
+    (1 to 8).map(k => BigInt(9).pow(k - 1) * BigInt(10).pow(8 - k))
   private val GapUs: Long = 1800L * 1000000L // 30 min session gap
   private val RecencyDepth = 20              // events per user in the score
   private val TopN = 20
@@ -229,6 +237,44 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_hours"),
           sum(col("n")).cast("long").as("n_events"),
           sum(col("sv")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // EWMA burst detection in EXACT integer arithmetic — the classic
+    // smoother without the classic cross-engine trap: λ^k via pow()
+    // differs by ULPs between libms, so the weights are the scaled
+    // integers 9^(k−1)·10^(8−k) (λ=0.9 over an 8-hour trailing window,
+    // current hour excluded), precomputed once and injected as the SAME
+    // literals into both spellings. Each hour's count contributes to
+    // its next 8 hours through an explode (an equi-keyed aggregate —
+    // no range join, no window over an unbounded frame); a burst is
+    // x·den > 2·num, compared in integers, so the verdict can never
+    // flip on an FP boundary. Per type: observed hours, burst count,
+    // first burst hour — the alerting summary of a 100 TB event feed.
+    "q_ewma_burst" -> { (s, dir) =>
+      val wArr = EwmaW.mkString("array(", "L, ", "L)")
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"), expr(s"us div ${HourUs}L").as("hb"))
+        .agg(count(lit(1)).as("x"))
+      val contrib = hourly
+        .select(col("event_type"), col("hb"), col("x"),
+          explode(expr("sequence(1, 8)")).as("k"))
+        .select(col("event_type"), (col("hb") + col("k")).as("thb"),
+          (col("x") * expr(s"element_at($wArr, cast(k AS INT))"))
+            .as("xw"),
+          expr(s"element_at($wArr, cast(k AS INT))").as("w"))
+        .groupBy(col("event_type").as("cet"), col("thb"))
+        .agg(sum(col("xw")).as("num"), sum(col("w")).as("den"))
+      hourly.join(contrib,
+          col("event_type") === col("cet") && col("hb") === col("thb"))
+        .select(col("event_type"), col("hb"), col("x"), col("num"),
+          col("den"),
+          (col("x") * col("den") > col("num") * 2).as("burst"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("burst"), 1).otherwise(0)).cast("long")
+            .as("n_bursts"),
+          min(when(col("burst"), col("hb"))).as("first_burst_hb"))
         .orderBy("event_type")
     },
 
@@ -560,6 +606,29 @@ object TemporalQueries {
          |  count(*) AS n_events,
          |  ${dsumSql("value")} AS sum_value
          |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Identical integer weights; bursts decided by the same integer
+    // cross-multiplication.
+    "q_ewma_burst" ->
+      s"""WITH $evSql,
+         |hourly AS (
+         |  SELECT event_type, us // ${HourUs} AS hb, count(*) AS x
+         |  FROM ev GROUP BY 1, 2),
+         |contrib AS (
+         |  SELECT event_type, hb + r.k AS thb,
+         |    sum(x * ([${EwmaW.mkString(", ")}][r.k])) AS num,
+         |    sum([${EwmaW.mkString(", ")}][r.k]) AS den
+         |  FROM hourly, range(1, 9) r(k)
+         |  GROUP BY event_type, hb + r.k)
+         |SELECT h.event_type, count(*) AS n_hours,
+         |  CAST(sum(CASE WHEN h.x * c.den > 2 * c.num THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bursts,
+         |  min(CASE WHEN h.x * c.den > 2 * c.num THEN h.hb END)
+         |    AS first_burst_hb
+         |FROM hourly h
+         |JOIN contrib c ON h.event_type = c.event_type AND h.hb = c.thb
+         |GROUP BY h.event_type
+         |ORDER BY h.event_type""".stripMargin,
 
     // Full one-shot recompute of the join view the engine maintains as
     // a four-term base/delta decomposition.

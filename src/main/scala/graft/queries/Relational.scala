@@ -188,6 +188,30 @@ object Relational {
         .orderBy("p_brand")
     },
 
+    // TPC-H Q18 shape (large-volume customers): aggregate-then-join —
+    // the per-order quantity rollup runs FIRST and its >250 survivors
+    // (~1.5% of orders) are the join's build side, which AQE broadcasts
+    // at runtime; orders and customer never shuffle against the full
+    // lineitem. The HAVING compares exact decimals, and the top-100 is
+    // fully tiebroken (totalprice DESC, orderdate, orderkey) so the
+    // LIMIT boundary is deterministic in both engines.
+    "q18_big_orders" -> { (s, dir) =>
+      val big = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+        .filter(col("sq") > 250)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sq").cast("double").as("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    },
+
     // Market-basket co-occurrence with lift — the association-rule
     // primitive (FP-growth's support counting step) over order baskets:
     // which part pairs appear in the same order more often than chance?
@@ -886,6 +910,21 @@ object Relational {
          |WHERE CAST(l_quantity AS DECIMAL(18,6)) * 5 * nq < sq
          |GROUP BY p_brand
          |ORDER BY p_brand""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_poisson_bootstrap" ->
       """WITH base AS (

@@ -25,11 +25,14 @@ case class RowCandidate(id: Long, vec: Vector, rel: Double, redSum: Double)
   *
   *   - Pair counting (reference `:65-97`, an RDD `mapPartitions` +
   *     `countByValue` that collects every distinct tuple to the driver)
-  *     becomes `explode(transform(...))` → `groupBy().count()` →
-  *     a windowed MI aggregation, all planned by Catalyst. Only one MI value
-  *     per (candidate, other) pair ever reaches the driver, so driver memory
-  *     is O(features), not O(features · levels²) — the property that lets
-  *     this run against 100 TB inputs.
+  *     becomes a per-partition primitive contingency map
+  *     ([[pairCellCounts]] — one InternalRow-level pass, no row
+  *     expansion) whose per-partition cells merge through ONE keyed
+  *     `groupBy().sum()` into a windowed MI aggregation planned by
+  *     Catalyst. Only one MI value per (candidate, other) pair ever
+  *     reaches the driver, so driver memory is O(features), not
+  *     O(features · levels²) — the property that lets this run against
+  *     100 TB inputs.
   *   - MI terms are memoized across rounds (reference recomputes every round
   *     from scratch, SURVEY.md §2.4 Q5): round 0 computes MI(cand, label)
   *     for every candidate; round r>0 computes only MI(cand, s_{r-1}) against
@@ -186,6 +189,153 @@ object IterativeFeatureSelection {
   private def statsCacheKey(data: DataFrame): Option[String] =
     graft.ops.PlanKey.of(data)
 
+  /** Distinct (cand, other, cv, ov) cell counts for every pair over one
+    * pass of `src` — the shared counting stage of [[pairMIMulti]] and
+    * [[pairChi2Multi]], and the CPU-dominant stage of any profiling call
+    * (rows × |pairs| tuples).
+    *
+    * Imperative per-partition contingency instead of
+    * `crossJoin(pairs) → groupBy().count()`: the Catalyst spelling pays
+    * an UnsafeRow projection + hash-probe per expanded tuple (~4× the
+    * cost of an array probe, measured end-to-end); here each input row is
+    * read ONCE at the InternalRow level (no boxing, no row expansion) and
+    * counted into an open-addressed primitive map keyed
+    * (pairIdx, cvBits, ovBits). Map size is bounded by flush-on-full:
+    * at [[CellFlushCap]] entries the partial cells are emitted and the
+    * map restarts — the downstream merge `groupBy` re-sums duplicates, so
+    * memory stays bounded for pathological (continuous-valued) inputs
+    * without a separate fallback path. NULL values ride as a
+    * non-canonical NaN bit pattern `doubleToLongBits` can never produce,
+    * and real values canonicalize through `doubleToLongBits`, so NaN
+    * dedup and null-as-group-key semantics match the SQL spelling; ±0.0
+    * (kept distinct here) merges in the downstream groupBy exactly as
+    * Spark's float normalization would.
+    *
+    * Emitted rows ≈ partitions × Σ_pairs levels² (plus flush duplicates)
+    * — the same post-combine bound as the hash aggregate's partial side;
+    * the merge shuffle is identical. Scale behavior is unchanged, only
+    * the per-tuple constant drops.
+    */
+  private val NullBits = 0x7ff8000000000001L // non-canonical NaN pattern
+  private val CellFlushCap = 1 << 20
+
+  private[graft] def pairCellCounts(src: DataFrame,
+                                    pairs: Seq[(Int, Int)]): DataFrame = {
+    val spark = src.sparkSession
+    val cands = pairs.map(_._1).toArray
+    val others = pairs.map(_._2).toArray
+    val nP = cands.length
+    val rdd = src
+      .select(col("label").cast("double"), col("f").cast("array<double>"))
+      .queryExecution.toRdd
+      .mapPartitions { iter =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        var cap = 1 << 12
+        var mask = cap - 1
+        var keysP = new Array[Int](cap)
+        var keysCv = new Array[Long](cap)
+        var keysOv = new Array[Long](cap)
+        var cnts = new Array[Long](cap)
+        var used = new Array[Boolean](cap)
+        var size = 0
+        def emit(i: Int): Unit = {
+          val cvB = keysCv(i); val ovB = keysOv(i)
+          out += org.apache.spark.sql.Row(
+            cands(keysP(i)), others(keysP(i)),
+            if (cvB == NullBits) null
+            else java.lang.Double.longBitsToDouble(cvB),
+            if (ovB == NullBits) null
+            else java.lang.Double.longBitsToDouble(ovB),
+            cnts(i))
+        }
+        def flush(): Unit = {
+          var i = 0
+          while (i < cap) { if (used(i)) emit(i); i += 1 }
+          java.util.Arrays.fill(used, false)
+          size = 0
+          // A partition emitting millions of distinct cells means some
+          // column's cardinality is far past any usable maxCategories —
+          // the post-aggregation guard would throw anyway; throw the
+          // same contract error here before the buffer can OOM.
+          if (out.size > (4 << 20)) throw new IllegalArgumentException(
+            s"pair contingency exceeded ${4 << 20} distinct cells in one " +
+              "partition — a profiled column's cardinality is far above " +
+              "maxCategories (discretize it first)")
+        }
+        def grow(): Unit = {
+          val oK = keysP; val oCv = keysCv; val oOv = keysOv
+          val oC = cnts; val oU = used; val oCap = cap
+          cap <<= 1; mask = cap - 1
+          keysP = new Array[Int](cap); keysCv = new Array[Long](cap)
+          keysOv = new Array[Long](cap); cnts = new Array[Long](cap)
+          used = new Array[Boolean](cap)
+          var i = 0
+          while (i < oCap) {
+            if (oU(i)) {
+              var j = (scala.util.hashing.byteswap64(
+                oK(i) * 0x9e3779b97f4a7c15L + oCv(i) * 31 + oOv(i))
+                & mask).toInt
+              while (used(j)) j = (j + 1) & mask
+              keysP(j) = oK(i); keysCv(j) = oCv(i); keysOv(j) = oOv(i)
+              cnts(j) = oC(i); used(j) = true
+            }
+            i += 1
+          }
+        }
+        def add(p: Int, cvB: Long, ovB: Long): Unit = {
+          var j = (scala.util.hashing.byteswap64(
+            p * 0x9e3779b97f4a7c15L + cvB * 31 + ovB) & mask).toInt
+          while (used(j) && !(keysP(j) == p && keysCv(j) == cvB &&
+            keysOv(j) == ovB)) j = (j + 1) & mask
+          if (used(j)) cnts(j) += 1
+          else {
+            keysP(j) = p; keysCv(j) = cvB; keysOv(j) = ovB
+            cnts(j) = 1L; used(j) = true; size += 1
+            if (size >= CellFlushCap) flush()
+            else if (size * 5 >= cap * 3) grow()
+          }
+        }
+        def bitsOf(nullAt: Boolean, v: => Double): Long =
+          if (nullAt) NullBits
+          else java.lang.Double.doubleToLongBits(v)
+        iter.foreach { row =>
+          val labB = bitsOf(row.isNullAt(0), row.getDouble(0))
+          val fNull = row.isNullAt(1)
+          val arr = if (fNull) null else row.getArray(1)
+          val aLen = if (fNull) 0 else arr.numElements()
+          var p = 0
+          while (p < nP) {
+            val c = cands(p)
+            val cvB =
+              if (fNull || c >= aLen) NullBits
+              else bitsOf(arr.isNullAt(c), arr.getDouble(c))
+            val o = others(p)
+            val ovB =
+              if (o < 0) labB
+              else if (fNull || o >= aLen) NullBits
+              else bitsOf(arr.isNullAt(o), arr.getDouble(o))
+            add(p, cvB, ovB)
+            p += 1
+          }
+        }
+        flush()
+        out.iterator
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cand",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("other",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv", DoubleType),
+      org.apache.spark.sql.types.StructField("ov", DoubleType),
+      org.apache.spark.sql.types.StructField("c", LongType,
+        nullable = false)))
+    spark.createDataFrame(rdd, schema)
+      .groupBy("cand", "other", "cv", "ov")
+      .agg(sum(col("c")).as("c"))
+  }
+
   private[graft] def pairMIMulti(data: DataFrame, allPairs: Seq[(Int, Int)],
                                  maxCategories: Int)
   : Map[(Int, Int), Double] = {
@@ -210,24 +360,7 @@ object IterativeFeatureSelection {
     val par = data.sparkSession.sparkContext.defaultParallelism
     val src =
       if (data.rdd.getNumPartitions < par) data.repartition(par) else data
-    // The pair list rides as a BROADCAST TABLE, not as baked-in literals:
-    // a literal pair array makes the generated code unique per pair set,
-    // so every selection round / MI query pays a fresh janino compile of
-    // a large class — measured as ~90% of the query time at sf0.1 (the
-    // actual count+window execution is ~0.15s warm). As a join the
-    // generated code is pair-independent and Spark's codegen cache serves
-    // every invocation after the first. Row expansion is identical
-    // (rows × |pairs|), map-side, before the partial aggregation.
-    import src.sparkSession.implicits._
-    val pairsDf = pairs.toDF("cand", "other")
-    val counts = src
-      .crossJoin(broadcast(pairsDf))
-      .select(col("cand"), col("other"),
-        element_at(col("f"), col("cand") + 1).as("cv"),
-        when(col("other") < 0, col("label"))
-          .otherwise(element_at(col("f"), col("other") + 1)).as("ov"))
-      .groupBy("cand", "other", "cv", "ov")
-      .agg(count(lit(1)).as("c"))
+    val counts = pairCellCounts(src, pairs)
     val n = sum("c").over(Window.partitionBy("cand", "other"))
     val cx = sum("c").over(Window.partitionBy("cand", "other", "cv"))
     val cy = sum("c").over(Window.partitionBy("cand", "other", "ov"))
@@ -292,16 +425,7 @@ object IterativeFeatureSelection {
     val par = data.sparkSession.sparkContext.defaultParallelism
     val src =
       if (data.rdd.getNumPartitions < par) data.repartition(par) else data
-    import src.sparkSession.implicits._
-    val pairsDf = pairs.toDF("cand", "other")
-    val counts = src
-      .crossJoin(broadcast(pairsDf))
-      .select(col("cand"), col("other"),
-        element_at(col("f"), col("cand") + 1).as("cv"),
-        when(col("other") < 0, col("label"))
-          .otherwise(element_at(col("f"), col("other") + 1)).as("ov"))
-      .groupBy("cand", "other", "cv", "ov")
-      .agg(count(lit(1)).as("c"))
+    val counts = pairCellCounts(src, pairs)
     val n = sum("c").over(Window.partitionBy("cand", "other"))
     val cx = sum("c").over(Window.partitionBy("cand", "other", "cv"))
     val cy = sum("c").over(Window.partitionBy("cand", "other", "ov"))

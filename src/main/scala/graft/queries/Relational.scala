@@ -110,6 +110,39 @@ object Relational {
         .orderBy(col("n_name"))
     },
 
+    // Null-safe join semantics — the classic silent-data-loss bug of
+    // key-cleansing pipelines made measurable: under the standard
+    // equi-join NULL = NULL is unknown, so null-keyed rows silently
+    // vanish; `<=>` (IS NOT DISTINCT FROM) co-partitions them instead.
+    // The gate derives a nullable key on two disjoint document slices,
+    // counts both join cardinalities plus each side's null-key rows,
+    // and emits the reconciliation identity nullsafe = plain +
+    // nulls_a·nulls_b as an integer-checked boolean — where the rows
+    // went, proven, not assumed. All four counts are scalar aggregates
+    // combined by broadcast (the sanctioned scalar crossJoin).
+    "q_nullsafe_join" -> { (s, dir) =>
+      def slice(m: Int): DataFrame =
+        t(s, dir, "documents").filter(col("doc_id") % m === 0)
+          .select(when(col("doc_id") % 7 === 0, lit(null))
+            .otherwise(col("doc_id") % 50).as("k"))
+      val a = slice(3).select(col("k").as("ka"))
+      val b = slice(5).select(col("k").as("kb"))
+      val nPlain = a.join(b, col("ka") === col("kb"))
+        .agg(count(lit(1)).as("n_plain"))
+      val nSafe = a.join(b, col("ka") <=> col("kb"))
+        .agg(count(lit(1)).as("n_nullsafe"))
+      val nullA = a.agg(sum(when(col("ka").isNull, 1).otherwise(0))
+        .cast("long").as("n_null_a"))
+      val nullB = b.agg(sum(when(col("kb").isNull, 1).otherwise(0))
+        .cast("long").as("n_null_b"))
+      nPlain.crossJoin(broadcast(nSafe))
+        .crossJoin(broadcast(nullA)).crossJoin(broadcast(nullB))
+        .select(col("n_plain"), col("n_nullsafe"), col("n_null_a"),
+          col("n_null_b"),
+          (col("n_nullsafe") - col("n_plain") ===
+            col("n_null_a") * col("n_null_b")).as("reconciled"))
+    },
+
     // TPC-H Q8 shape (national market share): the deepest join in the
     // registry — lineitem against every other table of the star schema
     // (part, supplier, orders, customer, nation twice, region; 7 joins).
@@ -865,6 +898,26 @@ object Relational {
          |WHERE r_name IN ('ASIA', 'EUROPE')
          |GROUP BY n_name
          |ORDER BY n_name""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN NULL
+        |              ELSE doc_id % 50 END AS ka
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |b AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN NULL
+        |              ELSE doc_id % 50 END AS kb
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |p AS (SELECT count(*) AS n_plain FROM a JOIN b ON ka = kb),
+        |sf AS (SELECT count(*) AS n_nullsafe
+        |       FROM a JOIN b ON ka IS NOT DISTINCT FROM kb),
+        |na AS (SELECT CAST(sum(CASE WHEN ka IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_null_a FROM a),
+        |nb AS (SELECT CAST(sum(CASE WHEN kb IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_null_b FROM b)
+        |SELECT n_plain, n_nullsafe, n_null_a, n_null_b,
+        |  n_nullsafe - n_plain = n_null_a * n_null_b AS reconciled
+        |FROM p, sf, na, nb""".stripMargin,
 
     "q8_market_share" ->
       s"""WITH v AS (

@@ -430,6 +430,46 @@ object EventQueries {
         .orderBy("prev", "curr")
     },
 
+    // Markov next-event BACKTEST — the evaluation loop run before
+    // shipping any sequence model: train a first-order transition model
+    // on the time-PREFIX of the stream (integer-div 70/30 cutoff; a
+    // pair whose TARGET falls past the cutoff belongs to evaluation, so
+    // nothing leaks), predict each held-out transition as the argmax
+    // next-type, and score top-1 accuracy per previous type. The argmax
+    // is min(struct(−count, type)) — count DESC, type ASC — so the
+    // model is deterministic under ties in BOTH engines (max_by/min_by
+    // tie order is engine-defined; a struct ordering is not). The model
+    // is |types|² rows → broadcast; the lag stream is pinned once for
+    // its two consumers.
+    "q_markov_backtest" -> { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val cut = e.agg(min("us").as("mn"), max("us").as("mx"))
+        .select(expr("mn + ((mx - mn) * 7) div 10").as("cutoff_us"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val pairs = graft.ops.Pin.pin(
+        e.withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .crossJoin(broadcast(cut)))
+      val model = pairs.filter(col("us") < col("cutoff_us"))
+        .groupBy("prev", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("prev")
+        .agg(min(struct((-col("n")).as("negn"),
+          col("event_type").as("pred"))).as("m"))
+        .select(col("prev"), col("m.pred").as("pred"))
+      pairs.filter(col("us") >= col("cutoff_us"))
+        .join(broadcast(model), Seq("prev"), "left")
+        .groupBy("prev")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("pred") === col("event_type"), 1).otherwise(0))
+            .cast("long").as("n_hit"))
+        .withColumn("accuracy",
+          round(col("n_hit").cast("double") / col("n_eval"), 6))
+        .orderBy("prev")
+    },
+
     // Daily retention cohorts: users grouped by first-seen day, distinct
     // actives per (cohort, day-offset ≤ 7). The first-seen dimension is
     // broadcast here (users ≪ events); when the user dimension outgrows
@@ -1311,6 +1351,40 @@ object EventQueries {
          |FROM x
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+
+    // Same 70/30 integer cutoff, same deterministic argmax (count DESC,
+    // type ASC via row_number), same straddle-pairs-are-eval rule.
+    "q_markov_backtest" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |c AS (SELECT min(us) + ((max(us) - min(us)) * 7) // 10 AS cutoff
+        |      FROM ev),
+        |p AS (
+        |  SELECT user_id, us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS prev
+        |  FROM ev),
+        |pr AS (SELECT * FROM p WHERE prev IS NOT NULL),
+        |tr AS (
+        |  SELECT prev, event_type, count(*) AS n
+        |  FROM pr CROSS JOIN c WHERE us < cutoff GROUP BY 1, 2),
+        |model AS (
+        |  SELECT prev, event_type AS pred FROM (
+        |    SELECT prev, event_type,
+        |      row_number() OVER (PARTITION BY prev
+        |        ORDER BY n DESC, event_type) AS rk
+        |    FROM tr) WHERE rk = 1),
+        |ev2 AS (SELECT pr.* FROM pr CROSS JOIN c WHERE us >= cutoff)
+        |SELECT ev2.prev, count(*) AS n_eval,
+        |  CAST(sum(CASE WHEN m.pred = ev2.event_type THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN m.pred = ev2.event_type THEN 1
+        |    ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+        |FROM ev2 LEFT JOIN model m ON ev2.prev = m.prev
+        |GROUP BY ev2.prev
+        |ORDER BY ev2.prev""".stripMargin,
 
     "q_event_transitions" ->
       """WITH p AS (

@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.GraphQueries.queries ++
       graft.queries.SourceQueries.queries ++
       graft.queries.TemporalQueries.queries ++
-      graft.queries.UserQueries.queries
+      graft.queries.UserQueries.queries ++
+      graft.queries.StatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.GraphQueries.oracles ++
       graft.queries.SourceQueries.oracles ++
       graft.queries.TemporalQueries.oracles ++
-      graft.queries.UserQueries.oracles
+      graft.queries.UserQueries.oracles ++
+      graft.queries.StatQueries.oracles
 }

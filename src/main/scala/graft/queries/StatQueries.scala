@@ -1,0 +1,376 @@
+package graft.queries
+
+import graft.ops.PrefixSum
+import graft.queries.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Statistical-testing and model-evaluation queries — the measurement
+  * layer a data-curation pipeline runs BETWEEN transforms: is the
+  * heuristic classifier any good (confusion / precision / recall / F1 /
+  * kappa, AUC), did two sources come from the same distribution (two-
+  * sample Kolmogorov–Smirnov), does a money column look organic
+  * (Benford first-digit law), do two metrics co-move monotonically
+  * (Spearman rank correlation)?
+  *
+  * Scale shapes (100 TB design point):
+  *   - every gate reduces the corpus to a DOMAIN-bounded frame first
+  *     (class labels ≤ dozens, distinct doc lengths ≤ max-doc-length,
+  *     distinct money digits = 9, distinct discrete column values ≤ 50)
+  *     in ONE partially-aggregated pass; all metric arithmetic runs on
+  *     that bounded frame;
+  *   - cumulative distributions (ECDF ranks for KS / AUC / Spearman) use
+  *     [[graft.ops.PrefixSum]]'s two-phase scan — never the
+  *     `SUM OVER (ORDER BY …)` spelling that plans a single-partition
+  *     global sort (the shape PlanQualitySpec rejects);
+  *   - determinism is exact-integer end to end: counts, cross-multiplied
+  *     ECDF gaps (`cum0·n1 − cum1·n0`), doubled midranks (`2·rank` keeps
+  *     tie-averages integral), and integer kappa/AUC numerators; doubles
+  *     appear only in one final fixed-association formula per gate, so
+  *     both engines divide the same exact integers.
+  */
+object StatQueries {
+
+  /** Exact SQL twin of `TextAnalysis.langIdOf` over `documents`,
+    * producing one row per document with its true `lang` and predicted
+    * `pred` — the same CTE text the long-green `q_lang_id` oracle uses
+    * (the heuristic is frozen by that gate; this module only AGGREGATES
+    * its predictions differently).
+    */
+  private val langPredSql: String =
+    """t AS (
+      |  SELECT lang,
+      |    len(regexp_extract_all(text,
+      |      '[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]')) AS cjk,
+      |    length(text) AS n,
+      |    string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang, cjk, n,
+      |    len(list_filter(toks, x -> x IN ('the','a','and','of','is',
+      |      'to','in','that'))) AS c_en,
+      |    len(list_filter(toks, x -> x IN ('le','la','et','les','des',
+      |      'un','une','est'))) AS c_fr,
+      |    len(list_filter(toks, x -> x IN ('el','la','y','los','las',
+      |      'un','una','es'))) AS c_es,
+      |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist',
+      |      'ein','eine','nicht'))) AS c_de
+      |  FROM t),
+      |p AS (
+      |  SELECT lang,
+      |    CASE WHEN n = 0 THEN 'und'
+      |         WHEN cjk * 10 >= n THEN 'zh'
+      |         WHEN greatest(c_en, c_fr, c_es, c_de) = 0 THEN 'und'
+      |         WHEN c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+      |         WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+      |         WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+      |         ELSE 'de' END AS pred
+      |  FROM s)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Classifier evaluation of the lang-ID heuristic against the labeled
+    // lang column: per-class tp/fp/fn + precision/recall/F1, with overall
+    // accuracy and Cohen's kappa as scalar columns. The corpus collapses
+    // to a ≤|classes|² confusion matrix in one pass; every downstream
+    // number is a ratio of exact integers (F1 = 2·tp/(n_true+n_pred) —
+    // the algebraic form that avoids composing two rounded ratios; kappa
+    // = (N·Σtp − Σ n_true·n_pred) / (N² − Σ n_true·n_pred), both sides
+    // exact BIGINT until one final division). N² and the chance term
+    // stay in long range up to N ≈ 3·10⁹ labeled docs; past that, move
+    // the two kappa terms to DECIMAL(38,0) sums.
+    "q_classifier_eval" -> { (s, dir) =>
+      val cm = t(s, dir, "documents")
+        .select(col("lang"),
+          graft.functions.ArrayMath.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val actual = cm.groupBy(col("lang").as("class"))
+        .agg(sum("n").cast("long").as("n_true"))
+      val predicted = cm.groupBy(col("pred").as("class"))
+        .agg(sum("n").cast("long").as("n_pred"))
+      val tp = cm.filter(col("lang") === col("pred"))
+        .select(col("lang").as("class"), col("n").as("tp"))
+      val per = actual.join(predicted, Seq("class"), "full_outer")
+        .join(tp, Seq("class"), "left_outer")
+        .select(col("class"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+      val tot = per.agg(sum("n_true").cast("long").as("n_total"),
+        sum("tp").cast("long").as("tp_total"),
+        sum(col("n_true") * col("n_pred")).cast("long").as("chance"))
+      per.crossJoin(tot) // scalar aggregate — sanctioned broadcast
+        .select(col("class"), col("n_true"), col("n_pred"), col("tp"),
+          (col("n_pred") - col("tp")).as("fp"),
+          (col("n_true") - col("tp")).as("fn"),
+          round(when(col("n_pred") === 0L, 0.0)
+            .otherwise(col("tp") / col("n_pred")), 6).as("prec"),
+          round(when(col("n_true") === 0L, 0.0)
+            .otherwise(col("tp") / col("n_true")), 6).as("rec"),
+          round(when(col("n_true") + col("n_pred") === 0L, 0.0)
+            .otherwise(lit(2L) * col("tp") /
+              (col("n_true") + col("n_pred"))), 6).as("f1"),
+          round(col("tp_total") / col("n_total"), 6).as("accuracy"),
+          round((col("n_total") * col("tp_total") - col("chance")) /
+            (col("n_total") * col("n_total") - col("chance")), 6)
+            .as("kappa"))
+        .orderBy("class")
+    },
+
+    // Two-sample Kolmogorov–Smirnov test: did src0 and src1 draw their
+    // document lengths from the same distribution? The corpus reduces to
+    // per-distinct-length counts (bounded by the length DOMAIN, not the
+    // corpus), the two ECDFs come from one PrefixSum two-phase scan
+    // each, and the KS statistic is the max of the exact cross-multiplied
+    // integer gap |cum0·n1 − cum1·n0| — only the final D and its α=0.05
+    // critical value c(α)·√((n0+n1)/(n0·n1)) are doubles. The products
+    // stay in long range up to n ≈ 3·10⁹ docs per split; beyond, cast the
+    // two cum·n terms to DECIMAL(38,0).
+    "q_ks_test" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .groupBy(col("n_chars").as("v"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
+          .as("c0"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"))
+      val p0 = PrefixSum.withExclusivePrefix(counts, Seq("v"), "c0")
+        .withColumnRenamed("prefix", "e0")
+      val p1 = PrefixSum.withExclusivePrefix(p0, Seq("v"), "c1")
+      val cum = p1.select(col("v"),
+        (col("e0").cast("long") + col("c0")).as("cum0"),
+        (col("prefix").cast("long") + col("c1")).as("cum1"))
+      val tot = counts.agg(sum("c0").cast("long").as("n0"),
+        sum("c1").cast("long").as("n1"))
+      cum.crossJoin(tot) // scalar aggregate — sanctioned broadcast
+        .select(col("n0"), col("n1"),
+          abs(col("cum0") * col("n1") - col("cum1") * col("n0"))
+            .as("gap"))
+        .groupBy("n0", "n1").agg(max("gap").as("d_num"))
+        .select(col("n0"), col("n1"), col("d_num"),
+          (col("d_num") / (col("n0") * col("n1"))).as("d_raw"),
+          (lit(1.358) * sqrt((col("n0") + col("n1")) /
+            (col("n0") * col("n1")).cast(DoubleType))).as("c_raw"))
+        .select(col("n0"), col("n1"),
+          round(col("d_raw"), 6).as("ks_d"),
+          round(col("c_raw"), 6).as("ks_crit_05"),
+          (col("d_raw") > col("c_raw")).as("reject_05"))
+    },
+
+    // Ranking quality of doc length as a predictor of lang='en' — AUC by
+    // the Mann–Whitney rank-sum identity, ties handled by midranks. The
+    // ECDF again comes from PrefixSum over the domain-bounded distinct-
+    // length frame; DOUBLED midranks (2·e + tc + 1) keep tie-averages
+    // integral, so AUC = (Σ_pos midrank2 − P(P+1)) / (2·P·N) is a ratio
+    // of exact integers (the numerator summed in DECIMAL(38,0) — it
+    // grows with corpus×rank, past 2⁶³ at web scale — and the one
+    // subtraction done in decimal before the single double division).
+    "q_auc_rank" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("tc"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pc"))
+      val p = PrefixSum.withExclusivePrefix(counts, Seq("v"), "tc")
+      val agg = p.select(
+        (col("pc") * (lit(2L) * col("prefix").cast("long") +
+          col("tc") + lit(1L))).as("term"),
+        col("pc"), col("tc"))
+        .agg(sum(col("term").cast(DecimalType(38, 0))).as("s2"),
+          sum("pc").cast("long").as("n_pos"),
+          sum("tc").cast("long").as("n_total"))
+      agg.select(col("n_pos"),
+        (col("n_total") - col("n_pos")).as("n_neg"),
+        ((col("s2") - (col("n_pos") * (col("n_pos") + lit(1L)))
+          .cast(DecimalType(38, 0))).cast(DoubleType) /
+          (lit(2L) * col("n_pos") * (col("n_total") - col("n_pos")))
+            .cast(DoubleType)).as("raw"))
+        .select(col("n_pos"), col("n_neg"),
+          round(col("raw"), 6).as("auc"),
+          round(lit(2) * col("raw") - lit(1), 6).as("gini"))
+    },
+
+    // Benford first-digit audit of o_totalprice: organic money columns
+    // follow P(d) = log10(1 + 1/d); a fabricated or truncated feed does
+    // not. The digit is taken from the CENT count's decimal string
+    // (round(price·100) is exact for 2-dp money; integer-to-string is
+    // engine-neutral, unlike log10-of-double digit extraction which can
+    // flip at exact powers of ten). Counts are exact; the chi² terms are
+    // rounded once at 1e-6 and summed in decimal, so the 9-term total is
+    // partition- and engine-order independent.
+    "q_benford" -> { (s, dir) =>
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val digits = t(s, dir, "orders")
+        .select(substring(cents.cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum("n").cast("long").as("n_total"))
+      val chi = digits.crossJoin(tot)
+        .select((col("n_total") *
+          log10(lit(1.0) + lit(1.0) / col("digit"))).as("exp_n"),
+          col("n"))
+        .select(round((col("n") - col("exp_n")) * (col("n") - col("exp_n"))
+          / col("exp_n"), 6).cast(DecimalType(18, 6)).as("term"))
+        .agg(round(sum("term").cast(DoubleType), 4).as("chi2"))
+      digits.crossJoin(tot).crossJoin(chi)
+        .select(col("digit"), col("n"),
+          round(col("n") / col("n_total"), 6).as("pct"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+            .as("benford_pct"),
+          col("chi2"))
+        .orderBy("digit")
+    },
+
+    // Spearman rank correlation over lineitem's discrete numeric columns
+    // — Pearson on midranks, tie-corrected by construction. Midranks are
+    // computed per DISTINCT value (domain-bounded: 50/11/9 values) via
+    // PrefixSum and joined back broadcast; the Pearson pass reuses
+    // stats.Correlation's exact scaled-integer moments at inputScale=0
+    // (doubled midranks are integers ≤ 2n+1, so products stay double-
+    // exact up to n ≈ 3·10⁷ rows; at larger n switch the moment sums to
+    // the wide-decimal spelling — rank magnitude grows with the corpus,
+    // unlike the money columns the fast path was built for).
+    "q_spearman" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      def rankDim(c: String): DataFrame = {
+        val counts = li.groupBy(col(c).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        PrefixSum.withExclusivePrefix(counts, Seq("v"), "cnt")
+          .select(col("v"),
+            (lit(2L) * col("prefix").cast("long") + col("cnt") + lit(1L))
+              .as(s"r_$c"))
+      }
+      val cols = Seq("l_quantity", "l_discount", "l_tax")
+      val ranked = cols.foldLeft(li.select(cols.map(col): _*)) {
+        (acc, c) =>
+          acc.join(broadcast(rankDim(c)), acc(c) === col("v")).drop("v")
+      }
+      graft.stats.Correlation.pairwiseCorr(
+        ranked, cols.map("r_" + _), scale = 6, inputScale = 0)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_classifier_eval" ->
+      s"""WITH $langPredSql,
+         |cm AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
+         |a AS (SELECT lang AS class, CAST(sum(n) AS BIGINT) AS n_true
+         |      FROM cm GROUP BY 1),
+         |pr AS (SELECT pred AS class, CAST(sum(n) AS BIGINT) AS n_pred
+         |       FROM cm GROUP BY 1),
+         |tpt AS (SELECT lang AS class, CAST(n AS BIGINT) AS tp
+         |        FROM cm WHERE lang = pred),
+         |per AS (
+         |  SELECT coalesce(a.class, pr.class) AS class,
+         |    coalesce(n_true, CAST(0 AS BIGINT)) AS n_true,
+         |    coalesce(n_pred, CAST(0 AS BIGINT)) AS n_pred,
+         |    coalesce(tp, CAST(0 AS BIGINT)) AS tp
+         |  FROM a FULL OUTER JOIN pr ON a.class = pr.class
+         |  LEFT JOIN tpt ON coalesce(a.class, pr.class) = tpt.class),
+         |tot AS (
+         |  SELECT CAST(sum(n_true) AS BIGINT) AS n_total,
+         |    CAST(sum(tp) AS BIGINT) AS tp_total,
+         |    CAST(sum(n_true * n_pred) AS BIGINT) AS chance
+         |  FROM per)
+         |SELECT class, n_true, n_pred, tp,
+         |  n_pred - tp AS fp, n_true - tp AS fn,
+         |  round(CASE WHEN n_pred = 0 THEN 0.0 ELSE tp / n_pred END, 6)
+         |    AS prec,
+         |  round(CASE WHEN n_true = 0 THEN 0.0 ELSE tp / n_true END, 6)
+         |    AS rec,
+         |  round(CASE WHEN n_true + n_pred = 0 THEN 0.0
+         |    ELSE 2 * tp / (n_true + n_pred) END, 6) AS f1,
+         |  round(tp_total / n_total, 6) AS accuracy,
+         |  round((n_total * tp_total - chance) /
+         |    CAST(n_total * n_total - chance AS DOUBLE), 6) AS kappa
+         |FROM per, tot
+         |ORDER BY class""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH two AS (
+        |  SELECT n_chars AS v,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |c AS (
+        |  SELECT v,
+        |    CAST(sum(c0) OVER (ORDER BY v) AS BIGINT) AS cum0,
+        |    CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1
+        |  FROM two),
+        |tt AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+        |              CAST(sum(c1) AS BIGINT) AS n1 FROM two),
+        |d AS (
+        |  SELECT n0, n1,
+        |    CAST(max(abs(cum0 * n1 - cum1 * n0)) AS BIGINT) AS d_num
+        |  FROM c, tt GROUP BY n0, n1),
+        |f AS (
+        |  SELECT n0, n1,
+        |    CAST(d_num AS DOUBLE) / (n0 * n1) AS d_raw,
+        |    1.358 * sqrt((n0 + n1) / CAST(n0 * n1 AS DOUBLE)) AS c_raw
+        |  FROM d)
+        |SELECT n0, n1, round(d_raw, 6) AS ks_d,
+        |  round(c_raw, 6) AS ks_crit_05,
+        |  d_raw > c_raw AS reject_05
+        |FROM f""".stripMargin,
+
+    "q_auc_rank" ->
+      """WITH counts AS (
+        |  SELECT n_chars AS v, count(*) AS tc,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pc
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT v, tc, pc, sum(tc) OVER (ORDER BY v) - tc AS e
+        |  FROM counts),
+        |a AS (
+        |  SELECT CAST(sum(pc * (2 * e + tc + 1)) AS HUGEINT) AS s2,
+        |    CAST(sum(pc) AS BIGINT) AS n_pos,
+        |    CAST(sum(tc) AS BIGINT) AS n_total
+        |  FROM r),
+        |f AS (
+        |  SELECT n_pos, n_total - n_pos AS n_neg,
+        |    CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE) /
+        |      CAST(2 * n_pos * (n_total - n_pos) AS DOUBLE) AS raw
+        |  FROM a)
+        |SELECT n_pos, n_neg, round(raw, 6) AS auc,
+        |  round(2 * raw - 1, 6) AS gini
+        |FROM f""".stripMargin,
+
+    "q_benford" ->
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM digits),
+        |chi AS (
+        |  SELECT round(CAST(sum(CAST(round(
+        |      (n - n_total * log10(1.0 + 1.0 / digit)) *
+        |      (n - n_total * log10(1.0 + 1.0 / digit)) /
+        |      (n_total * log10(1.0 + 1.0 / digit)), 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE), 4) AS chi2
+        |  FROM digits, tot)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  round(n / n_total, 6) AS pct,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS benford_pct,
+        |  chi2
+        |FROM digits, tot, chi
+        |ORDER BY digit""".stripMargin,
+
+    "q_spearman" -> {
+      def dim(c: String) =
+        s"""(SELECT v, 2 * CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT)
+           |   - cnt + 1 AS r
+           | FROM (SELECT $c AS v, count(*) AS cnt
+           |       FROM lineitem GROUP BY 1))""".stripMargin
+      val sub =
+        s"""(SELECT CAST(q.r AS BIGINT) AS r_l_quantity,
+           |  CAST(d.r AS BIGINT) AS r_l_discount,
+           |  CAST(tx.r AS BIGINT) AS r_l_tax
+           |FROM lineitem l
+           |JOIN ${dim("l_quantity")} q ON l.l_quantity = q.v
+           |JOIN ${dim("l_discount")} d ON l.l_discount = d.v
+           |JOIN ${dim("l_tax")} tx ON l.l_tax = tx.v) rk""".stripMargin
+      graft.stats.Correlation.pairwiseCorrSql(sub,
+        Seq("r_l_quantity", "r_l_discount", "r_l_tax"),
+        scale = 6, inputScale = 0)
+    }
+  )
+}

@@ -3,6 +3,7 @@ package graft.queries
 import graft.queries.Q._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Relational query suite over the TPC-H-ish tables.
@@ -243,6 +244,70 @@ object Relational {
         .orderBy(desc("o_totalprice"), col("o_orderdate"),
           col("o_orderkey"))
         .limit(100)
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    // this schema's dates: on finished orders, which supplier was the
+    // SOLE late shipper (shipdate > orderdate + 1900 days ≈ the p97
+    // lateness tail) while at least one other supplier shared the
+    // order? The reference spelling is a correlated EXISTS + NOT EXISTS
+    // pair — the oracle keeps that spelling as semantic proof — but the
+    // engine DECORRELATES it into one per-order aggregate (distinct
+    // suppliers, distinct late suppliers) joined back to the late
+    // lines: two shuffles on the order key and zero self-join fan-out,
+    // the plan that survives a lineitem 100× this size. Counts are
+    // exact integers; the top-20 is fully tiebroken (numwait DESC,
+    // unique s_name).
+    "q21_blame_supplier" -> { (s, dir) =>
+      val fOrders = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val lines = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 1900 DAYS")).as("late"))
+      val perOrder = lines.groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("n_sups"),
+          countDistinct(when(col("late"), col("l_suppkey")))
+            .as("n_late_sups"))
+        .filter(col("n_sups") > 1 && col("n_late_sups") === 1)
+        .select("l_orderkey")
+      val blamed = lines.filter(col("late"))
+        .join(perOrder, Seq("l_orderkey"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      blamed.groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    },
+
+    // TPC-H Q11 shape (important stock concentration): revenue value
+    // per part brand, keeping only brands above a global-share
+    // threshold — the HAVING-against-scalar-subquery pattern. The
+    // global total is a one-row broadcast; the threshold compare is
+    // exact decimal cross-multiplication (value·25 > total), never a
+    // divided fraction, so the cut is bit-identical in both engines
+    // and independent of summation order at any scale.
+    "q11_brand_share" -> { (s, dir) =>
+      val per = t(s, dir, "lineitem")
+        .select("l_partkey", "l_extendedprice")
+        .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 6)))
+          .as("value_dec"))
+      val tot = per.agg(sum("value_dec").as("total_dec"))
+      per.crossJoin(tot) // scalar aggregate — sanctioned broadcast
+        .filter(col("value_dec") * 25 > col("total_dec"))
+        .select(col("p_brand"),
+          round(col("value_dec").cast(DoubleType), 2).as("brand_value"),
+          round(col("value_dec").cast(DoubleType) /
+            col("total_dec").cast(DoubleType), 6).as("share"))
+        .orderBy(desc("brand_value"), col("p_brand"))
     },
 
     // Market-basket co-occurrence with lift — the association-rule
@@ -978,6 +1043,45 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    // The reference correlated spelling — the engine's aggregate
+    // decorrelation must match it exactly.
+    "q21_blame_supplier" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM lineitem l1
+        |  JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l1.l_shipdate > o.o_orderdate + INTERVAL 1900 DAY
+        |    AND EXISTS (
+        |      SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey
+        |        AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM lineitem l3
+        |      WHERE l3.l_orderkey = l1.l_orderkey
+        |        AND l3.l_suppkey <> l1.l_suppkey
+        |        AND l3.l_shipdate > o.o_orderdate + INTERVAL 1900 DAY))
+        |SELECT s_name, count(*) AS numwait
+        |FROM b JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+
+    "q11_brand_share" ->
+      """WITH per AS (
+        |  SELECT p_brand,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS value_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |tot AS (SELECT sum(value_dec) AS total_dec FROM per)
+        |SELECT p_brand,
+        |  round(CAST(value_dec AS DOUBLE), 2) AS brand_value,
+        |  round(CAST(value_dec AS DOUBLE) / CAST(total_dec AS DOUBLE), 6)
+        |    AS share
+        |FROM per, tot
+        |WHERE value_dec * 25 > total_dec
+        |ORDER BY brand_value DESC, p_brand""".stripMargin,
 
     "q_poisson_bootstrap" ->
       """WITH base AS (

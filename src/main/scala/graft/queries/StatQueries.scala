@@ -219,6 +219,103 @@ object StatQueries {
         .orderBy("digit")
     },
 
+    // Calibration curve + expected calibration error (ECE) for the
+    // length-percentile score as a predictor of lang='en' — the
+    // reliability-diagram primitive run before trusting any heuristic
+    // quality score as a sampling weight. The score IS the exact pooled
+    // percentile (doubled midrank / 2N from PrefixSum over the distinct-
+    // length frame), so decile binning is pure integer arithmetic:
+    // bin = (10·mr2) div (2N), provably < 10 for every real midrank.
+    // Per bin, observed = pos/n and predicted = Σ(tc·mr2)/(2N·n) divide
+    // exact integers; ECE's numerator Σ|2N·pos_b − Σrank2_b| sums in
+    // DECIMAL(38,0) (it grows with corpus², past 2⁶³ near n ≈ 3·10⁹ —
+    // the long cross-products below carry the same documented bound).
+    "q_calibration" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("tc"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pc"))
+      val p = PrefixSum.withExclusivePrefix(counts, Seq("v"), "tc")
+        .select(col("tc"), col("pc"),
+          (lit(2L) * col("prefix").cast("long") + col("tc") + lit(1L))
+            .as("mr2"))
+      val tot = counts.agg(sum("tc").cast("long").as("n_total"))
+      val bins = p.crossJoin(tot) // scalar aggregate — sanctioned
+        .select(expr("(10 * mr2) div (2 * n_total)").as("bin"),
+          col("tc"), col("pc"), (col("tc") * col("mr2")).as("tr2"),
+          col("n_total"))
+        .groupBy("bin", "n_total")
+        .agg(sum("tc").cast("long").as("n_docs"),
+          sum("pc").cast("long").as("n_pos"),
+          sum(col("tr2").cast(DecimalType(38, 0))).as("s2"))
+      val ece = bins
+        .select(abs((lit(2L) * col("n_total") * col("n_pos"))
+          .cast(DecimalType(38, 0)) - col("s2")).as("gap"),
+          col("n_total"))
+        .groupBy("n_total")
+        .agg(sum("gap").as("gap_sum"))
+        .select(round(col("gap_sum").cast(DoubleType) /
+          (lit(2L) * col("n_total") * col("n_total")).cast(DoubleType), 6)
+          .as("ece"))
+      bins.crossJoin(ece) // scalar aggregate — sanctioned
+        .select(col("bin"), col("n_docs"), col("n_pos"),
+          round(col("n_pos") / col("n_docs"), 6).as("obs_rate"),
+          round(col("s2").cast(DoubleType) /
+            (lit(2L) * col("n_total") * col("n_docs")).cast(DoubleType),
+            6).as("pred_rate"),
+          col("ece"))
+        .orderBy("bin")
+    },
+
+    // Population-stability-index drift between src0 and src1 document-
+    // length distributions — the between-snapshot drift alarm run before
+    // retraining on a refreshed corpus. Bins are pooled-ECDF deciles
+    // (same integer midrank binning as q_calibration), so both splits
+    // use ONE shared bin edge set; p−q and p/q are exact integer cross-
+    // ratios (a·B−b·A, a·B/(b·A)) divided once as doubles, each PSI term
+    // rounded at 1e-6 and decimal-summed so the 10-term total is
+    // partition- and engine-order independent. Long cross-products bound
+    // n per split to ≈3·10⁹ (past that: DECIMAL(38,0), same spelling).
+    "q_psi_drift" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .groupBy(col("n_chars").as("v"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
+          .as("c0"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"))
+      val withTc = counts.withColumn("tc", col("c0") + col("c1"))
+      val p = PrefixSum.withExclusivePrefix(withTc, Seq("v"), "tc")
+        .select(col("c0"), col("c1"), col("tc"),
+          (lit(2L) * col("prefix").cast("long") + col("tc") + lit(1L))
+            .as("mr2"))
+      val tot = withTc.agg(sum("c0").cast("long").as("na"),
+        sum("c1").cast("long").as("nb"),
+        sum("tc").cast("long").as("n_total"))
+      val bins = p.crossJoin(tot) // scalar aggregate — sanctioned
+        .select(expr("(10 * mr2) div (2 * n_total)").as("bin"),
+          col("c0"), col("c1"), col("na"), col("nb"))
+        .groupBy("bin", "na", "nb")
+        .agg(sum("c0").cast("long").as("a"),
+          sum("c1").cast("long").as("b"))
+        .select(col("bin"), col("a"), col("b"), col("na"), col("nb"),
+          round(col("a") / col("na"), 6).as("p_rate"),
+          round(col("b") / col("nb"), 6).as("q_rate"),
+          round(when(col("a") > 0 && col("b") > 0,
+            ((col("a") * col("nb") - col("b") * col("na"))
+              .cast(DoubleType) /
+              (col("na") * col("nb")).cast(DoubleType)) *
+              log((col("a") * col("nb")).cast(DoubleType) /
+                (col("b") * col("na")).cast(DoubleType)))
+            .otherwise(0.0), 6).as("term"))
+      val psi = bins
+        .agg(round(sum(col("term").cast(DecimalType(18, 6)))
+          .cast(DoubleType), 6).as("psi"))
+      bins.crossJoin(psi) // scalar aggregate — sanctioned
+        .select(col("bin"), col("a"), col("b"), col("p_rate"),
+          col("q_rate"), col("term"), col("psi"))
+        .orderBy("bin")
+    },
+
     // Spearman rank correlation over lineitem's discrete numeric columns
     // — Pearson on midranks, tie-corrected by construction. Midranks are
     // computed per DISTINCT value (domain-bounded: 50/11/9 values) via
@@ -332,6 +429,72 @@ object StatQueries {
         |SELECT n_pos, n_neg, round(raw, 6) AS auc,
         |  round(2 * raw - 1, 6) AS gini
         |FROM f""".stripMargin,
+
+    "q_calibration" ->
+      """WITH counts AS (
+        |  SELECT n_chars AS v, count(*) AS tc,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pc
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT tc, pc,
+        |    2 * (sum(tc) OVER (ORDER BY v) - tc) + tc + 1 AS mr2
+        |  FROM counts),
+        |tt AS (SELECT CAST(sum(tc) AS BIGINT) AS n_total FROM counts),
+        |bins AS (
+        |  SELECT CAST((10 * mr2) // (2 * n_total) AS BIGINT) AS bin,
+        |    n_total,
+        |    CAST(sum(tc) AS BIGINT) AS n_docs,
+        |    CAST(sum(pc) AS BIGINT) AS n_pos,
+        |    CAST(sum(tc * mr2) AS HUGEINT) AS s2
+        |  FROM r, tt GROUP BY 1, 2),
+        |e AS (
+        |  SELECT round(CAST(sum(abs(2 * n_total * n_pos - s2))
+        |      AS DOUBLE) /
+        |    CAST(2 * n_total * n_total AS DOUBLE), 6) AS ece
+        |  FROM bins GROUP BY n_total)
+        |SELECT bin, n_docs, n_pos,
+        |  round(n_pos / n_docs, 6) AS obs_rate,
+        |  round(CAST(s2 AS DOUBLE) /
+        |    CAST(2 * n_total * n_docs AS DOUBLE), 6) AS pred_rate,
+        |  ece
+        |FROM bins, e
+        |ORDER BY bin""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH counts AS (
+        |  SELECT n_chars AS v,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |w AS (SELECT v, c0, c1, c0 + c1 AS tc FROM counts),
+        |r AS (
+        |  SELECT c0, c1,
+        |    2 * (sum(tc) OVER (ORDER BY v) - tc) + tc + 1 AS mr2
+        |  FROM w),
+        |tt AS (SELECT CAST(sum(c0) AS BIGINT) AS na,
+        |              CAST(sum(c1) AS BIGINT) AS nb,
+        |              CAST(sum(tc) AS BIGINT) AS n_total FROM w),
+        |bins AS (
+        |  SELECT CAST((10 * mr2) // (2 * n_total) AS BIGINT) AS bin,
+        |    na, nb,
+        |    CAST(sum(c0) AS BIGINT) AS a, CAST(sum(c1) AS BIGINT) AS b
+        |  FROM r, tt GROUP BY 1, 2, 3),
+        |terms AS (
+        |  SELECT bin, a, b,
+        |    round(a / na, 6) AS p_rate,
+        |    round(b / nb, 6) AS q_rate,
+        |    round(CASE WHEN a > 0 AND b > 0 THEN
+        |        (CAST(a * nb - b * na AS DOUBLE) /
+        |         CAST(na * nb AS DOUBLE)) *
+        |        ln(CAST(a * nb AS DOUBLE) / CAST(b * na AS DOUBLE))
+        |      ELSE 0.0 END, 6) AS term
+        |  FROM bins),
+        |p AS (
+        |  SELECT round(CAST(sum(CAST(term AS DECIMAL(18,6)))
+        |    AS DOUBLE), 6) AS psi FROM terms)
+        |SELECT bin, a, b, p_rate, q_rate, term, psi
+        |FROM terms, p
+        |ORDER BY bin""".stripMargin,
 
     "q_benford" ->
       """WITH digits AS (

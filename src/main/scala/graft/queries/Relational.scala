@@ -911,6 +911,106 @@ object Relational {
           dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority", "n_name")
     },
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // customer→orders with a predicate on the INNER side (non-urgent
+    // orders only — in the outer join it restricts which orders count,
+    // never which customers appear), count per customer with zeros
+    // preserved (count(o_orderkey) ignores the null-extended rows),
+    // then the histogram of counts. The join shuffles on the customer
+    // key; the histogram's group count is bounded by max orders per
+    // customer (double digits at any SF), so the second aggregate is
+    // effectively free. The no-orders bucket is the gate's point: an
+    // inner join silently drops it.
+    "q13_custdist" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      t(s, dir, "customer").select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // TPC-H Q22 shape (idle rich customers): customers above the
+    // positive-balance average with no URGENT order on file (every
+    // customer in this data has SOME order, so the classic "no orders
+    // at all" cut is empty — the anti-join target is the urgent slice
+    // instead, same plan shape), rolled up by nation. The global
+    // average is a one-row broadcast and the compare is exact-decimal
+    // CROSS-MULTIPLIED (bal·n > total), never a divided mean, so the
+    // cut is bit-identical in both engines at any scale; the
+    // no-urgent-orders test is a LEFT ANTI join on the customer key
+    // whose build side is pre-filtered to ~20% of orders. Both engines
+    // cast the same double balance to DECIMAL(18,6) (round half-up),
+    // so boundary rows classify identically.
+    "q22_idle_rich" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(DecimalType(18, 6)).as("bal"))
+      val avgPos = cust.filter(col("bal") > 0)
+        .agg(sum(col("bal")).as("tot"), count(lit(1)).as("n"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      cust.crossJoin(avgPos) // scalar aggregate — sanctioned broadcast
+        .filter(col("bal") * col("n") > col("tot"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal")).cast(DoubleType).as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+
+    // TPC-H Q4 shape (order priority checking): orders where at least
+    // one line shipped more than 1400 days (~the p75 lateness tail of
+    // this synthetic data) after the order date, counted by priority —
+    // the EXISTS-as-LEFT-SEMI pattern. The semi join is equi-keyed on
+    // the order key with the date inequality as a residual; it never
+    // duplicates orders however many late lines an order has, and the
+    // build side carries only (orderkey, shipdate).
+    "q4_priority_exists" -> { (s, dir) =>
+      val late = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      t(s, dir, "orders")
+        .join(late,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 1400 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicate): an
+    // OR-of-ANDs across three brand/size/quantity windows. The planner
+    // must push the common-conjunct factorization down: each disjunct
+    // constrains p_brand + p_size (part side) and l_quantity (fact
+    // side), so the part scan prunes to 3 brands and the join build
+    // side is ~12% of part BEFORE the join — the gate exists to keep
+    // that pushdown observable. Revenue terms are rounded to the cent
+    // grain they carry, then decimal-summed (order-independent).
+    "q19_disjunctive" -> { (s, dir) =>
+      val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      t(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice",
+          "l_discount")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(10, 30)
+            && col("l_quantity").between(10, 35)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50)
+            && col("l_quantity").between(20, 50)))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("revenue"))
+        .orderBy("p_brand")
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -1465,5 +1565,59 @@ object Relational {
          |JOIN nation ON s_nationkey = n_nationkey
          |GROUP BY o_orderpriority, n_name
          |ORDER BY o_orderpriority, n_name""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH per AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q22_idle_rich" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+        |  FROM customer),
+        |a AS (
+        |  SELECT SUM(bal) AS tot, count(*) AS n
+        |  FROM c WHERE bal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        |FROM c, a
+        |WHERE bal * n > tot
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |      AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 1400 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+         |       AND l_quantity BETWEEN 10 AND 35)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+         |       AND l_quantity BETWEEN 20 AND 50)
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
   )
 }

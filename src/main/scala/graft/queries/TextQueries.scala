@@ -331,6 +331,36 @@ object TextQueries {
           "r2")
     },
 
+    // Lexical diversity per source — the vocabulary-health profile a
+    // corpus curator reads before mixing sources: token volume, type
+    // count (distinct tokens), hapax count (tokens seen exactly once in
+    // the source — the low-confidence tail that dominates embedding
+    // tables), and the type-token ratio. One explode feeds ONE
+    // (source, token) aggregate; types and hapaxes then reduce over the
+    // per-token counts, so shuffle volume is bounded by
+    // sources × vocabulary, never re-scanning the corpus. Distinct from
+    // q_doc_entropy (per-doc distributional) and q_zipf_fit
+    // (rank-frequency shape): this is the per-source inventory.
+    "q_lexical_diversity" -> { (s, dir) =>
+      val perTok = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      perTok.groupBy("source")
+        .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("cnt") === 1, 1).otherwise(0)).cast("long")
+            .as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          round(col("n_types").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 6).as("ttr"),
+          round(col("n_hapax").cast(DoubleType) /
+            col("n_types").cast(DoubleType), 6).as("hapax_ratio"))
+        .orderBy("source")
+    },
+
     // Quality scoring per source: docs, good docs, exact-summed score.
     "q_quality_score" -> { (s, dir) =>
       val toks = TextAnalysis.tokenCount(col("text")).cast("double")
@@ -1786,6 +1816,25 @@ object TextQueries {
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
         |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM tots, m""".stripMargin,
+
+    "q_lexical_diversity" ->
+      """WITH per_tok AS (
+        |  SELECT source, token, count(*) AS cnt FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE token <> '' GROUP BY source, token)
+        |SELECT source,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+        |    AS ttr,
+        |  round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+        |FROM per_tok
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_curation_funnel" ->
       s"""WITH ke AS (

@@ -362,6 +362,34 @@ object EventQueries {
         .orderBy("buy_event_id")
     },
 
+    // Time-to-convert distribution — the latency profile of the
+    // view→purchase funnel: each purchase attributed to its latest
+    // preceding view (the same AsOfJoin union-merge as q_asof_join, ONE
+    // user-keyed window instead of a pair join), then the exact
+    // interpolated quantiles of the gap. The corpus collapses to one
+    // row; percentile() and quantile_cont() interpolate identically
+    // (parity proven by q_percentiles), and the mean is an exact
+    // integer-sum division. Unattributed purchases (no prior view) are
+    // excluded on both engines alike.
+    "q_time_to_convert" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      graft.ops.AsOfJoin.asOf(buys, views, "user_id", "ts", "view_id", "v_")
+        .filter(col("v_ts").isNotNull)
+        .select((unix_micros(col("ts")) - unix_micros(col("v_ts")))
+          .as("gap_us"))
+        .agg(count(lit(1)).as("n_conversions"),
+          round(sum(col("gap_us")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 4).as("mean_gap_us"),
+          round(expr("percentile(gap_us, 0.25)"), 4).as("p25"),
+          round(expr("percentile(gap_us, 0.5)"), 4).as("p50"),
+          round(expr("percentile(gap_us, 0.9)"), 4).as("p90"),
+          round(expr("percentile(gap_us, 0.99)"), 4).as("p99"))
+    },
+
     // Structured Streaming end-to-end inside the correctness gate:
     // readStream over the events parquet → event-time hourly windowed
     // aggregation → complete-mode memory sink, drained with AvailableNow.
@@ -1320,6 +1348,35 @@ object EventQueries {
         |  view_event_id, view_us
         |FROM m WHERE side = 1
         |ORDER BY buy_event_id""".stripMargin,
+
+    // Same union-merge attribution as q_asof_join, reduced to the gap
+    // distribution.
+    "q_time_to_convert" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, 0 AS side,
+        |    event_id AS tie
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), 1,
+        |    CAST(NULL AS BIGINT)
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT side, t,
+        |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+        |      OVER w AS view_us
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, side, tie
+        |               ROWS UNBOUNDED PRECEDING)),
+        |g AS (
+        |  SELECT t - view_us AS gap_us FROM m
+        |  WHERE side = 1 AND view_us IS NOT NULL)
+        |SELECT count(*) AS n_conversions,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / count(*), 4) AS mean_gap_us,
+        |  round(quantile_cont(gap_us, 0.25), 4) AS p25,
+        |  round(quantile_cont(gap_us, 0.5), 4) AS p50,
+        |  round(quantile_cont(gap_us, 0.9), 4) AS p90,
+        |  round(quantile_cont(gap_us, 0.99), 4) AS p99
+        |FROM g""".stripMargin,
 
     "q_stream_hourly" ->
       s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))

@@ -467,6 +467,36 @@ object TemporalQueries {
           round(col("num").cast("double") / col("sum_dur_us"), 6)
             .as("tw_avg"))
         .orderBy("event_type")
+    },
+
+    // Week-over-week revenue growth — the trend report every revenue
+    // dashboard opens with: orders rolled up to ISO weeks
+    // (date_trunc('week') = Monday in BOTH engines), exact-decimal
+    // weekly totals, then the growth ratio against the previous week
+    // within the same calendar year. The lag window is PARTITIONED by
+    // the week-start's year (groups stay calendar-bounded — the
+    // unpartitioned-window shape the plan sweep rejects never appears);
+    // each year's first week has no predecessor and drops on both
+    // engines alike. The ratio divides two exact decimals as doubles
+    // once per week row, rounded to 6.
+    "q_wow_growth" -> { (s, dir) =>
+      val weekly = t(s, dir, "orders")
+        .groupBy(date_trunc("week", col("o_orderdate")).as("wk"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+        .withColumn("yr", year(col("wk")))
+      val w = Window.partitionBy("yr").orderBy("wk")
+      weekly
+        .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+        .filter(col("prev_rev").isNotNull)
+        .select(col("yr").cast("long").as("yr"),
+          unix_micros(col("wk")).as("week_us"),
+          col("n_orders"),
+          col("rev").cast("double").as("revenue"),
+          round((col("rev").cast("double") -
+            col("prev_rev").cast("double")) /
+            col("prev_rev").cast("double"), 6).as("wow_growth"))
+        .orderBy("week_us")
     })
 
   val oracles: Map[String, String] = Map(
@@ -753,5 +783,25 @@ object TemporalQueries {
          |  FROM iv WHERE dur IS NOT NULL GROUP BY event_type)
          |SELECT event_type, n_intervals, sum_dur_us,
          |  round(CAST(num AS DOUBLE) / sum_dur_us, 6) AS tw_avg
-         |FROM g ORDER BY event_type""".stripMargin)
+         |FROM g ORDER BY event_type""".stripMargin,
+
+    "q_wow_growth" ->
+      """WITH weekly AS (
+        |  SELECT CAST(date_trunc('week', CAST(o_orderdate AS TIMESTAMP))
+        |           AS TIMESTAMP) AS wk,
+        |    count(*) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1),
+        |lg AS (
+        |  SELECT CAST(EXTRACT(year FROM wk) AS BIGINT) AS yr,
+        |    epoch_us(wk) AS week_us, n_orders, rev,
+        |    lag(rev) OVER (PARTITION BY EXTRACT(year FROM wk)
+        |                   ORDER BY wk) AS prev_rev
+        |  FROM weekly)
+        |SELECT yr, week_us, n_orders,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  round((CAST(rev AS DOUBLE) - CAST(prev_rev AS DOUBLE))
+        |    / CAST(prev_rev AS DOUBLE), 6) AS wow_growth
+        |FROM lg WHERE prev_rev IS NOT NULL
+        |ORDER BY week_us""".stripMargin)
 }

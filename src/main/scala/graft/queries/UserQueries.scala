@@ -141,6 +141,44 @@ object UserQueries {
         .agg(count(lit(1)).as("n_users"),
           sum(col("ltv")).cast("double").as("sum_ltv"))
         .orderBy("decile")
+    },
+
+    // RFM segmentation — the classic marketing stratification: per
+    // purchasing user, Recency (last purchase time), Frequency
+    // (purchase count) and Monetary (exact-decimal revenue), each
+    // tercile-coded by exact integer rank (rank*3 div n — the
+    // q_ltv_deciles boundary arithmetic), then the 27-cell segment
+    // grid. Ranking is THREE passes of RowIndex's distributed
+    // zipWithIndex over the per-user frame (range-partitioned, full
+    // parallelism at any user count — never an unpartitioned ntile
+    // window); the per-user frame is derived once. Ties break on
+    // user_id everywhere, so the terciles are deterministic.
+    "q_rfm_segments" -> { (s, dir) =>
+      val per = graft.ops.Pin.pin(ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(col("us")).as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(col("value").cast("decimal(18,4)")).as("monetary"))
+        .withColumn("neg_last", -col("last_us"))
+        .withColumn("neg_freq", -col("freq"))
+        .withColumn("neg_mon", -col("monetary")))
+      val nTot = per.agg(count(lit(1)).as("nu"))
+      def tercile(df: DataFrame, sortCol: String, out: String): DataFrame =
+        graft.ops.RowIndex
+          .withContiguousIndex(df.select(col("user_id"), col(sortCol)),
+            Seq(sortCol, "user_id"))
+          .crossJoin(broadcast(nTot))
+          .select(col("user_id"),
+            expr("(row_idx * 3) div nu").as(out))
+      val r = tercile(per, "neg_last", "r_code")
+      val f = tercile(per, "neg_freq", "f_code")
+      val m = tercile(per, "neg_mon", "m_code")
+      per.join(r, "user_id").join(f, "user_id").join(m, "user_id")
+        .groupBy("r_code", "f_code", "m_code")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("monetary")).cast("double").as("sum_monetary"))
+        .orderBy("r_code", "f_code", "m_code")
     })
 
   val oracles: Map[String, String] = Map(
@@ -221,5 +259,28 @@ object UserQueries {
          |  count(*) AS n_users,
          |  CAST(SUM(ltv) AS DOUBLE) AS sum_ltv
          |FROM r, n
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rfm_segments" ->
+      s"""WITH $evSql,
+         |p AS (
+         |  SELECT user_id, max(us) AS last_us, count(*) AS freq,
+         |    SUM(CAST(value AS DECIMAL(18,4))) AS monetary
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+         |n AS (SELECT count(*) AS nu FROM p),
+         |r AS (
+         |  SELECT user_id, monetary,
+         |    row_number() OVER (ORDER BY last_us DESC, user_id) - 1
+         |      AS r_idx,
+         |    row_number() OVER (ORDER BY freq DESC, user_id) - 1 AS f_idx,
+         |    row_number() OVER (ORDER BY monetary DESC, user_id) - 1
+         |      AS m_idx
+         |  FROM p)
+         |SELECT CAST((r_idx * 3) // nu AS BIGINT) AS r_code,
+         |  CAST((f_idx * 3) // nu AS BIGINT) AS f_code,
+         |  CAST((m_idx * 3) // nu AS BIGINT) AS m_code,
+         |  count(*) AS n_users,
+         |  CAST(SUM(monetary) AS DOUBLE) AS sum_monetary
+         |FROM r, n
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
 }

@@ -362,6 +362,60 @@ object EventQueries {
         .orderBy("buy_event_id")
     },
 
+    // Strict-order 3-step funnel (first-touch): per user, the earliest
+    // view (t1), the earliest click at-or-after t1 (t2), the earliest
+    // purchase at-or-after t2 (t3) — then the step counts and the
+    // 1-hour completion count. Each step is ONE user-keyed aggregate
+    // joined to the previous step's frame (monotone shrinking), so the
+    // funnel is three equi-join + groupBy rounds with zero pair
+    // fan-out — the plan that survives a billion-event day. The final
+    // four counts are scalar aggregates combined by broadcast.
+    "q_funnel_steps" -> { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("us") >= col("t1"))
+        .groupBy("user_id", "t1").agg(min(col("us")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("us") >= col("t2"))
+        .groupBy("user_id", "t1", "t2").agg(min(col("us")).as("t3"))
+      val c1 = t1.agg(count(lit(1)).as("n_viewed"))
+      val c2 = t2.agg(count(lit(1)).as("n_clicked_after"))
+      val c3 = t3.agg(count(lit(1)).as("n_purchased_after"),
+        sum(when(col("t3") - col("t1") <= 3600L * 1000000L, 1)
+          .otherwise(0)).cast("long").as("n_completed_1h"))
+      c1.crossJoin(c2).crossJoin(c3) // scalar aggregates — sanctioned
+    },
+
+    // Error impact on conversion — the reliability-meets-revenue
+    // diagnostic: sessionize (the q_sessionize 30-min gap), flag each
+    // session for error presence and purchase presence, and compare
+    // conversion across the two populations. Two user-partitioned
+    // windows + one (user, sid) rollup; the 2×2 result is exact
+    // integers with one rounded rate per row.
+    "q_error_impact" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withBreaks(s, dir)
+        .withColumn("sid", sum(col("brk")).over(w))
+        .groupBy("user_id", "sid")
+        .agg(max(when(col("event_type") === "error", 1).otherwise(0))
+          .as("has_error"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("has_purchase"))
+        .groupBy(col("has_error").cast("long").as("has_error"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("has_purchase")).cast("long")
+            .as("n_purchase_sessions"))
+        .select(col("has_error"), col("n_sessions"),
+          col("n_purchase_sessions"),
+          round(col("n_purchase_sessions").cast(DoubleType) /
+            col("n_sessions").cast(DoubleType), 6).as("conv_rate"))
+        .orderBy("has_error")
+    },
+
     // Time-to-convert distribution — the latency profile of the
     // view→purchase funnel: each purchase attributed to its latest
     // preceding view (the same AsOfJoin union-merge as q_asof_join, ONE
@@ -1348,6 +1402,64 @@ object EventQueries {
         |  view_event_id, view_us
         |FROM m WHERE side = 1
         |ORDER BY buy_event_id""".stripMargin,
+
+    "q_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |t1 AS (
+        |  SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, t1.t1, min(e.us) AS t2
+        |  FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.us >= t1.t1
+        |  GROUP BY 1, 2),
+        |t3 AS (
+        |  SELECT e.user_id, t2.t1, t2.t2, min(e.us) AS t3
+        |  FROM e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= t2.t2
+        |  GROUP BY 1, 2, 3)
+        |SELECT
+        |  (SELECT count(*) FROM t1) AS n_viewed,
+        |  (SELECT count(*) FROM t2) AS n_clicked_after,
+        |  (SELECT count(*) FROM t3) AS n_purchased_after,
+        |  (SELECT CAST(COALESCE(SUM(
+        |     CASE WHEN t3 - t1 <= 3600000000 THEN 1 ELSE 0 END), 0)
+        |   AS BIGINT) FROM t3) AS n_completed_1h""".stripMargin,
+
+    "q_error_impact" ->
+      s"""WITH b AS (
+         |  SELECT user_id, event_type, brk,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM (
+         |    SELECT user_id, event_id, event_type,
+         |      epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |      CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+         |          PARTITION BY user_id
+         |          ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+         |        OR epoch_us(CAST(ts AS TIMESTAMP)) -
+         |           lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+         |          PARTITION BY user_id
+         |          ORDER BY CAST(ts AS TIMESTAMP), event_id) > $GapUs
+         |        THEN 1 ELSE 0 END AS brk
+         |    FROM events)),
+         |se AS (
+         |  SELECT user_id, sid,
+         |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      AS has_error,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS has_purchase
+         |  FROM b GROUP BY 1, 2)
+         |SELECT CAST(has_error AS BIGINT) AS has_error,
+         |  count(*) AS n_sessions,
+         |  CAST(SUM(has_purchase) AS BIGINT) AS n_purchase_sessions,
+         |  round(CAST(SUM(has_purchase) AS DOUBLE) / count(*), 6)
+         |    AS conv_rate
+         |FROM se
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same union-merge attribution as q_asof_join, reduced to the gap
     // distribution.

@@ -384,8 +384,11 @@ object EventQueries {
       val c1 = t1.agg(count(lit(1)).as("n_viewed"))
       val c2 = t2.agg(count(lit(1)).as("n_clicked_after"))
       val c3 = t3.agg(count(lit(1)).as("n_purchased_after"),
-        sum(when(col("t3") - col("t1") <= 3600L * 1000000L, 1)
-          .otherwise(0)).cast("long").as("n_completed_1h"))
+        // coalesce: an empty step-3 frame must emit 0, not NULL (the
+        // oracle's COALESCE) — EdgeCaseSmokeSpec runs gates on slices
+        // where a whole event type can be absent
+        coalesce(sum(when(col("t3") - col("t1") <= 3600L * 1000000L, 1)
+          .otherwise(0)), lit(0)).cast("long").as("n_completed_1h"))
       c1.crossJoin(c2).crossJoin(c3) // scalar aggregates — sanctioned
     },
 

@@ -342,10 +342,70 @@ object StatQueries {
       }
       graft.stats.Correlation.pairwiseCorr(
         ranked, cols.map("r_" + _), scale = 6, inputScale = 0)
+    },
+
+    // One-way ANOVA F — does event `value` differ ACROSS event types
+    // (the k-group generalization of q_ab_metric's two-arm Welch t)?
+    // One partially-aggregated pass reduces the corpus to k group-moment
+    // rows (k = |event types|, domain-bounded); the within/between
+    // decomposition then runs on that bounded frame. Group sums are
+    // exact decimals; the per-group quadratic terms (s1²/n) divide once
+    // each, round to 6 dp, and decimal-sum across groups (dsumPre), so
+    // the k-term totals are addition-order-proof; F is one fixed
+    // association of exact inputs at the end.
+    "q_anova_f" -> { (s, dir) =>
+      val v = col("value").cast("double")
+      val g = events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(v).as("s1"), dsum(v * v).as("s2"))
+        .select(col("n"), col("s1"), col("s2"),
+          round(col("s1") * col("s1") / col("n"), 6).as("tb"),
+          round(col("s2") - col("s1") * col("s1") / col("n"), 6)
+            .as("tw"))
+      g.agg(count(lit(1)).as("k"),
+          sum(col("n")).cast("long").as("n_total"),
+          sum(col("s1").cast(DecimalType(28, 4))).cast(DoubleType)
+            .as("grand_s1"),
+          dsumPre(col("tb"), 6).as("sb1"),
+          dsumPre(col("tw"), 6).as("ssw"))
+        .select(col("k"), col("n_total"),
+          round(col("sb1") -
+            col("grand_s1") * col("grand_s1") / col("n_total"), 4)
+            .as("ssb"),
+          round(col("ssw"), 4).as("ssw"),
+          round(((col("sb1") -
+            col("grand_s1") * col("grand_s1") / col("n_total")) /
+            (col("k") - 1)) /
+            (col("ssw") / (col("n_total") - col("k"))), 4).as("f_stat"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q_anova_f" ->
+      s"""WITH g AS (
+         |  SELECT event_type, count(*) AS n,
+         |    ${dsumSql("value")} AS s1,
+         |    ${dsumSql("value * value")} AS s2
+         |  FROM events GROUP BY event_type),
+         |t AS (
+         |  SELECT n, s1,
+         |    round(s1 * s1 / n, 6) AS tb,
+         |    round(s2 - s1 * s1 / n, 6) AS tw
+         |  FROM g),
+         |a AS (
+         |  SELECT count(*) AS k,
+         |    CAST(sum(n) AS BIGINT) AS n_total,
+         |    CAST(SUM(CAST(s1 AS DECIMAL(28,4))) AS DOUBLE) AS grand_s1,
+         |    CAST(SUM(CAST(tb AS DECIMAL(18,6))) AS DOUBLE) AS sb1,
+         |    CAST(SUM(CAST(tw AS DECIMAL(18,6))) AS DOUBLE) AS ssw
+         |  FROM t)
+         |SELECT k, n_total,
+         |  round(sb1 - grand_s1 * grand_s1 / n_total, 4) AS ssb,
+         |  round(ssw, 4) AS ssw,
+         |  round(((sb1 - grand_s1 * grand_s1 / n_total) / (k - 1)) /
+         |        (ssw / (n_total - k)), 4) AS f_stat
+         |FROM a""".stripMargin,
+
     "q_classifier_eval" ->
       s"""WITH $langPredSql,
          |cm AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),

@@ -179,6 +179,31 @@ object UserQueries {
         .agg(count(lit(1)).as("n_users"),
           sum(col("monetary")).cast("double").as("sum_monetary"))
         .orderBy("r_code", "f_code", "m_code")
+    },
+
+    // Gini coefficient of per-user purchase revenue — the inequality
+    // summary behind every "top X% of users drive Y% of revenue" claim
+    // (the scalar twin of q_ltv_deciles' concentration table). Users
+    // rank ascending by (ltv, user_id) through RowIndex's distributed
+    // zipWithIndex; Gini = (2·Σ rank·ltv − (n+1)·Σ ltv) / (n·Σ ltv)
+    // with Σ rank·ltv an exact decimal×integer sum — both numerator
+    // terms are exact, so the one double division at the end is
+    // bit-identical in both engines at any user count.
+    "q_gini_ltv" -> { (s, dir) =>
+      val ltv = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,4)")).as("ltv"))
+      graft.ops.RowIndex.withContiguousIndex(ltv, Seq("ltv", "user_id"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("ltv")).as("tot_dec"),
+          sum(col("ltv") * (col("row_idx") + 1)).as("wsum_dec"))
+        .select(col("n_users"),
+          col("tot_dec").cast("double").as("total_ltv"),
+          round((lit(2) * col("wsum_dec").cast("double") -
+            (col("n_users") + 1) * col("tot_dec").cast("double")) /
+            (col("n_users") * col("tot_dec").cast("double")), 6)
+            .as("gini"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -282,5 +307,21 @@ object UserQueries {
          |  count(*) AS n_users,
          |  CAST(SUM(monetary) AS DOUBLE) AS sum_monetary
          |FROM r, n
-         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_gini_ltv" ->
+      s"""WITH $evSql,
+         |l AS (
+         |  SELECT user_id, SUM(CAST(value AS DECIMAL(18,4))) AS ltv
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+         |r AS (
+         |  SELECT ltv,
+         |    row_number() OVER (ORDER BY ltv, user_id) AS rn
+         |  FROM l)
+         |SELECT count(*) AS n_users,
+         |  CAST(SUM(ltv) AS DOUBLE) AS total_ltv,
+         |  round((2 * CAST(SUM(ltv * rn) AS DOUBLE) -
+         |    (count(*) + 1) * CAST(SUM(ltv) AS DOUBLE)) /
+         |    (count(*) * CAST(SUM(ltv) AS DOUBLE)), 6) AS gini
+         |FROM r""".stripMargin)
 }

@@ -1011,6 +1011,45 @@ object Relational {
             .as("revenue"))
         .orderBy("p_brand")
     },
+
+    // Revenue bridge (price/volume decomposition) — the FP&A question
+    // behind every period-over-period revenue delta: per brand, how
+    // much of ΔR came from shipping MORE (volume at old prices,
+    // (q2−q1)·r1/q1) vs charging MORE (new volume at the price delta,
+    // q2·(r2/q2 − r1/q1))? Both periods aggregate in ONE partial-agg
+    // pass (conditional sums on the shipdate split — never two scans),
+    // joined to the brand dimension once; per-brand unit prices divide
+    // exact decimal totals once each, and the additive identity
+    // vol + price = ΔR is emitted as an integer-checked audit column.
+    "q_revenue_bridge" -> { (s, dir) =>
+      val split = to_timestamp(lit("1998-06-01"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val p1 = col("l_shipdate") < split
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(when(p1, col("l_quantity")).otherwise(lit(0))
+            .cast(DecimalType(18, 2))).as("q1"),
+          sum(when(!p1, col("l_quantity")).otherwise(lit(0))
+            .cast(DecimalType(18, 2))).as("q2"),
+          sum(when(p1, rev).otherwise(lit(0)).cast(DecimalType(18, 6)))
+            .as("r1"),
+          sum(when(!p1, rev).otherwise(lit(0)).cast(DecimalType(18, 6)))
+            .as("r2"))
+        .filter(col("q1") > 0 && col("q2") > 0)
+      val (q1d, q2d) = (col("q1").cast("double"), col("q2").cast("double"))
+      val (r1d, r2d) = (col("r1").cast("double"), col("r2").cast("double"))
+      per.select(col("p_brand"),
+          round(r1d, 2).as("rev_p1"), round(r2d, 2).as("rev_p2"),
+          round((q2d - q1d) * (r1d / q1d), 2).as("volume_effect"),
+          round(q2d * (r2d / q2d - r1d / q1d), 2).as("price_effect"),
+          (round((q2d - q1d) * (r1d / q1d) +
+            q2d * (r2d / q2d - r1d / q1d), 2) ===
+            round(r2d - r1d, 2)).as("bridge_closes"))
+        .orderBy("p_brand")
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -1619,5 +1658,35 @@ object Relational {
          |       AND l_quantity BETWEEN 20 AND 50)
          |GROUP BY p_brand
          |ORDER BY p_brand""".stripMargin,
+
+    "q_revenue_bridge" ->
+      """WITH per AS (
+        |  SELECT p_brand,
+        |    SUM(CAST(CASE WHEN l_shipdate < TIMESTAMP '1998-06-01'
+        |      THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS q1,
+        |    SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1998-06-01'
+        |      THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS q2,
+        |    SUM(CAST(CASE WHEN l_shipdate < TIMESTAMP '1998-06-01'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |      AS DECIMAL(18,6))) AS r1,
+        |    SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1998-06-01'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |      AS DECIMAL(18,6))) AS r2
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |d AS (
+        |  SELECT p_brand,
+        |    CAST(q1 AS DOUBLE) AS q1d, CAST(q2 AS DOUBLE) AS q2d,
+        |    CAST(r1 AS DOUBLE) AS r1d, CAST(r2 AS DOUBLE) AS r2d
+        |  FROM per WHERE q1 > 0 AND q2 > 0)
+        |SELECT p_brand,
+        |  round(r1d, 2) AS rev_p1, round(r2d, 2) AS rev_p2,
+        |  round((q2d - q1d) * (r1d / q1d), 2) AS volume_effect,
+        |  round(q2d * (r2d / q2d - r1d / q1d), 2) AS price_effect,
+        |  round((q2d - q1d) * (r1d / q1d) +
+        |        q2d * (r2d / q2d - r1d / q1d), 2)
+        |    = round(r2d - r1d, 2) AS bridge_closes
+        |FROM d
+        |ORDER BY p_brand""".stripMargin,
   )
 }

@@ -419,6 +419,41 @@ object EventQueries {
         .orderBy("has_error")
     },
 
+    // Peak session concurrency — the interval-stabbing sweep every
+    // capacity planner runs: sessions (the q_sessionize 30-min gap)
+    // become ±1 boundary events (end+1µs releases BEFORE a same-instant
+    // start claims: ORDER BY (us, delta) puts -1 first), the running
+    // occupancy is PrefixSum's two-phase distributed scan — never a
+    // single-partition `SUM OVER (ORDER BY …)` — and the result is the
+    // max concurrent sessions plus the first instant it is reached.
+    // Determinism under boundary ties: rows sharing (us, delta) carry
+    // identical deltas, so the multiset of running values in a tie
+    // block is order-free, and the block's max and its us are pinned.
+    "q_peak_concurrency" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = withBreaks(s, dir)
+        .withColumn("sid", sum(col("brk")).over(w))
+        .groupBy("user_id", "sid")
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+      val bounds = sess.select(col("t0").as("us"), lit(1).as("delta"))
+        .unionByName(
+          sess.select((col("t1") + 1).as("us"), lit(-1).as("delta")))
+      val conc = graft.ops.PrefixSum
+        .withExclusivePrefix(bounds, Seq("us", "delta"), "delta")
+        .withColumn("occ", col("prefix").cast("long") + col("delta"))
+      val nSess = sess.agg(count(lit(1)).as("n_sessions"))
+      val peak = conc.agg(max(col("occ")).as("max_concurrent"))
+      conc.crossJoin(broadcast(peak)) // scalar aggregate — sanctioned
+        .filter(col("occ") === col("max_concurrent"))
+        .agg(min(col("us")).as("first_peak_us"))
+        .crossJoin(broadcast(nSess))
+        .crossJoin(broadcast(peak))
+        .select(col("n_sessions"), col("max_concurrent"),
+          col("first_peak_us"))
+    },
+
     // Time-to-convert distribution — the latency profile of the
     // view→purchase funnel: each purchase attributed to its latest
     // preceding view (the same AsOfJoin union-merge as q_asof_join, ONE
@@ -1405,6 +1440,32 @@ object EventQueries {
         |  view_event_id, view_us
         |FROM m WHERE side = 1
         |ORDER BY buy_event_id""".stripMargin,
+
+    "q_peak_concurrency" ->
+      s"""WITH se AS (
+         |  SELECT user_id, sid, min(us) AS t0, max(us) AS t1
+         |  FROM (
+         |    SELECT user_id, us,
+         |      sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS sid
+         |    FROM ($breaksSql))
+         |  GROUP BY user_id, sid),
+         |b AS (
+         |  SELECT t0 AS us, 1 AS delta FROM se
+         |  UNION ALL
+         |  SELECT t1 + 1, -1 FROM se),
+         |c AS (
+         |  SELECT us,
+         |    sum(delta) OVER (ORDER BY us, delta
+         |                     ROWS UNBOUNDED PRECEDING) AS occ
+         |  FROM b),
+         |p AS (SELECT CAST(max(occ) AS BIGINT) AS max_concurrent FROM c)
+         |SELECT
+         |  (SELECT count(*) FROM se) AS n_sessions,
+         |  p.max_concurrent,
+         |  (SELECT min(us) FROM c, p WHERE c.occ = p.max_concurrent)
+         |    AS first_peak_us
+         |FROM p""".stripMargin,
 
     "q_funnel_steps" ->
       """WITH e AS (

@@ -1050,6 +1050,41 @@ object Relational {
             round(r2d - r1d, 2)).as("bridge_closes"))
         .orderBy("p_brand")
     },
+
+    // ABC (Pareto) classification — value-threshold classes, the
+    // complement of equal-count deciles: brands ranked by revenue
+    // descending, classified by CUMULATIVE share (A ≤ 80%, B ≤ 95%,
+    // C the tail). Revenue is summed in integer CENTS; the running
+    // total comes from PrefixSum's two-phase distributed scan (never a
+    // single-partition `SUM OVER (ORDER BY …)`), and the class cuts
+    // are integer CROSS-MULTIPLIED (5·cum ≤ 4·total), so the
+    // boundaries are exact at any scale. The per-class rollup is a
+    // 3-row result.
+    "q_abc_parts" -> { (s, dir) =>
+      // round(x*100, 0) — an exactly-integral double — then cast: the
+      // round(x,2)*100 spelling lands at N−1e-12 doubles, which Spark's
+      // long cast TRUNCATES and DuckDB's ROUNDS (off-by-one cents)
+      val cents = sum(round(col("l_extendedprice") *
+        (lit(1) - col("l_discount")) * 100, 0).cast("long"))
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(cents.as("rev_cents"))
+        .withColumn("neg_rev", -col("rev_cents"))
+      val tot = per.agg(sum(col("rev_cents")).cast("long").as("total"))
+      graft.ops.PrefixSum
+        .withExclusivePrefix(per, Seq("neg_rev", "p_brand"), "rev_cents")
+        .crossJoin(broadcast(tot)) // scalar aggregate — sanctioned
+        .withColumn("cum", col("prefix").cast("long") + col("rev_cents"))
+        .withColumn("abc_class",
+          when(col("cum") * 5 <= col("total") * 4, "A")
+            .when(col("cum") * 20 <= col("total") * 19, "B")
+            .otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_brands"),
+          (sum(col("rev_cents")).cast("double") / 100).as("revenue"))
+        .orderBy("abc_class")
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -1688,5 +1723,26 @@ object Relational {
         |    = round(r2d - r1d, 2) AS bridge_closes
         |FROM d
         |ORDER BY p_brand""".stripMargin,
+
+    "q_abc_parts" ->
+      """WITH per AS (
+        |  SELECT p_brand,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+        |      0) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |c AS (
+        |  SELECT p_brand, rev_cents,
+        |    sum(rev_cents) OVER (ORDER BY rev_cents DESC, p_brand
+        |                         ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (SELECT sum(rev_cents) FROM per) AS total
+        |  FROM per)
+        |SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+        |            WHEN cum * 20 <= total * 19 THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        |  count(*) AS n_brands,
+        |  CAST(sum(rev_cents) AS DOUBLE) / 100 AS revenue
+        |FROM c
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

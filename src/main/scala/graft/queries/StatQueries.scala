@@ -344,6 +344,43 @@ object StatQueries {
         ranked, cols.map("r_" + _), scale = 6, inputScale = 0)
     },
 
+    // Exact nearest-rank percentiles WITHOUT per-group buffers — the
+    // 100 TB-safe spelling of `percentile()`: Spark's exact percentile
+    // aggregate buffers each group's values in memory (fine at gate
+    // scale, lethal for a 25M-row group), while this plan reduces the
+    // corpus to a (group, value, count) frame first — bounded by the
+    // value DOMAIN (cent-grain prices), not by row count — then runs
+    // ONE global PrefixSum over (group, value) and rebases each group
+    // by its first row's prefix, so no task ever sorts more than its
+    // range-partition slice and no executor ever holds a group. Ranks
+    // are exact integers (nearest-rank: smallest value whose cumulative
+    // count reaches ⌈q·n⌉); the selected values are input values,
+    // bit-identical by construction.
+    "q_exact_percentile_dist" -> { (s, dir) =>
+      val frame = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val pre = graft.ops.PrefixSum
+        .withExclusivePrefix(frame, Seq("flag", "v"), "cnt")
+        .select(col("flag"), col("v"), col("cnt"),
+          col("prefix").cast("long").as("pre"))
+      val base = pre.groupBy("flag")
+        .agg(min(col("pre")).as("base"), sum(col("cnt")).cast("long")
+          .as("n"))
+      val cum = pre.join(base, "flag")
+        .select(col("flag"), col("v"), col("n"),
+          (col("pre") - col("base") + col("cnt")).as("cum"),
+          expr("(n + 1) div 2").as("r50"),
+          expr("(9 * n + 9) div 10").as("r90"))
+      cum.groupBy("flag", "n")
+        .agg(min(when(col("cum") >= col("r50"), col("v"))).as("p50_exact"),
+          min(when(col("cum") >= col("r90"), col("v"))).as("p90_exact"))
+        .select(col("flag").as("l_returnflag"), col("n"),
+          col("p50_exact"), col("p90_exact"))
+        .orderBy("l_returnflag")
+    },
+
     // One-way ANOVA F — does event `value` differ ACROSS event types
     // (the k-group generalization of q_ab_metric's two-arm Welch t)?
     // One partially-aggregated pass reduces the corpus to k group-moment
@@ -381,6 +418,26 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_exact_percentile_dist" ->
+      """WITH frame AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY flag ORDER BY v
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY flag) AS n
+        |  FROM frame)
+        |SELECT flag AS l_returnflag,
+        |  CAST(any_value(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50_exact,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END)
+        |    AS p90_exact
+        |FROM c
+        |GROUP BY flag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q_anova_f" ->
       s"""WITH g AS (
          |  SELECT event_type, count(*) AS n,

@@ -1085,6 +1085,33 @@ object Relational {
           (sum(col("rev_cents")).cast("double") / 100).as("revenue"))
         .orderBy("abc_class")
     },
+
+    // 2-D skyline (Pareto frontier) — the multi-objective shortlist
+    // query: parts where no other part is both cheaper AND larger. A
+    // (price, size) point survives iff its size strictly exceeds the
+    // running max of size over all strictly-cheaper prices — an
+    // EXCLUSIVE prefix-max in price order, computed by
+    // [[graft.ops.PrefixScan]]'s two-phase distributed scan (never the
+    // `MAX OVER (ORDER BY …)` single-partition window). The corpus
+    // first reduces to the per-price max-size frame (bounded by the
+    // price domain); duplicate parts at a surviving point ride along as
+    // a count. Integer-exact end to end.
+    "q_skyline" -> { (s, dir) =>
+      val ps = t(s, dir, "part")
+        .groupBy(col("p_retailprice").as("price"),
+          col("p_size").cast("long").as("size"))
+        .agg(count(lit(1)).as("n_parts"))
+      val pm = ps.groupBy("price").agg(max(col("size")).as("max_size"))
+      val cand = ps.join(pm, Seq("price"))
+        .filter(col("size") === col("max_size"))
+        .select("price", "size", "n_parts")
+      graft.ops.PrefixScan
+        .withExclusivePrefixMax(cand, Seq("price"), "size")
+        .filter(col("size") > col("prefix_max"))
+        .select(col("price").as("p_retailprice"),
+          col("size").as("p_size"), col("n_parts"))
+        .orderBy("p_retailprice")
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -1744,5 +1771,25 @@ object Relational {
         |  CAST(sum(rev_cents) AS DOUBLE) / 100 AS revenue
         |FROM c
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skyline" ->
+      """WITH ps AS (
+        |  SELECT p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+        |    count(*) AS n_parts
+        |  FROM part GROUP BY 1, 2),
+        |pm AS (SELECT price, max(size) AS max_size FROM ps GROUP BY 1),
+        |cand AS (
+        |  SELECT ps.price, ps.size, ps.n_parts
+        |  FROM ps JOIN pm ON ps.price = pm.price
+        |    AND ps.size = pm.max_size),
+        |sc AS (
+        |  SELECT price, size, n_parts,
+        |    max(size) OVER (ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM cand)
+        |SELECT price AS p_retailprice, size AS p_size, n_parts
+        |FROM sc
+        |WHERE pmax IS NULL OR size > pmax
+        |ORDER BY p_retailprice""".stripMargin,
   )
 }

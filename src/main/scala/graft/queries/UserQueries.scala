@@ -204,6 +204,27 @@ object UserQueries {
             (col("n_users") + 1) * col("tot_dec").cast("double")) /
             (col("n_users") * col("tot_dec").cast("double")), 6)
             .as("gini"))
+    },
+
+    // Engagement day-bitmaps — the bitset encoding of "which days was
+    // each user active" that engagement warehouses keep instead of raw
+    // event rows: one BIGINT per user per month (day d sets bit d−1),
+    // built by a `bit_or` aggregate (associative, partial-aggregated
+    // map-side — per-user state is ONE long at any event volume), then
+    // the activity histogram via `bit_count`. The same masks support
+    // streak/overlap queries as pure integer ops. Identical spelling in
+    // both engines; all integers.
+    "q_engagement_bitmap" -> { (s, dir) =>
+      events(s, dir)
+        .select(col("user_id"),
+          expr("shiftleft(CAST(1 AS BIGINT), " +
+            "EXTRACT(DAY FROM ts) - 1)").as("daybit"))
+        .groupBy("user_id")
+        .agg(expr("bit_or(daybit)").as("mask"))
+        .select(expr("CAST(bit_count(mask) AS BIGINT)").as("active_days"))
+        .groupBy("active_days")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("active_days")
     })
 
   val oracles: Map[String, String] = Map(
@@ -323,5 +344,16 @@ object UserQueries {
          |  round((2 * CAST(SUM(ltv * rn) AS DOUBLE) -
          |    (count(*) + 1) * CAST(SUM(ltv) AS DOUBLE)) /
          |    (count(*) * CAST(SUM(ltv) AS DOUBLE)), 6) AS gini
-         |FROM r""".stripMargin)
+         |FROM r""".stripMargin,
+
+    "q_engagement_bitmap" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    bit_or(CAST(1 AS BIGINT) <<
+        |      (EXTRACT(DAY FROM CAST(ts AS TIMESTAMP)) - 1)) AS mask
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(bit_count(mask) AS BIGINT) AS active_days,
+        |  count(*) AS n_users
+        |FROM m
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -225,6 +225,30 @@ object UserQueries {
         .groupBy("active_days")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("active_days")
+    },
+
+    // Longest activity streak per user — the gaps-and-islands pattern:
+    // distinct active days per user, then `day − row_number` is
+    // constant exactly within a consecutive run, so one user-partitioned
+    // window + one (user, island) count finds every streak without
+    // self-joins. Emits the longest-streak histogram. Every window is
+    // user-partitioned (no task holds more than one user's days ≤ 31
+    // rows here, ≤ span-days in general).
+    "q_activity_streaks" -> { (s, dir) =>
+      val days = events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(EXTRACT(DAY FROM ts) AS BIGINT)").as("d"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val streaks = days
+        .withColumn("grp", col("d") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("longest_streak"))
+      streaks.groupBy("longest_streak")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("longest_streak")
     })
 
   val oracles: Map[String, String] = Map(
@@ -355,5 +379,25 @@ object UserQueries {
         |SELECT CAST(bit_count(mask) AS BIGINT) AS active_days,
         |  count(*) AS n_users
         |FROM m
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_activity_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(EXTRACT(DAY FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS d
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, d,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS grp
+        |  FROM d),
+        |st AS (
+        |  SELECT user_id, count(*) AS len
+        |  FROM i GROUP BY user_id, grp),
+        |lg AS (
+        |  SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+        |  FROM st GROUP BY user_id)
+        |SELECT longest_streak, count(*) AS n_users
+        |FROM lg
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -497,6 +497,34 @@ object TemporalQueries {
             col("prev_rev").cast("double")) /
             col("prev_rev").cast("double"), 6).as("wow_growth"))
         .orderBy("week_us")
+    },
+
+    // Customer value-band migration — the churn/upsell transition
+    // matrix: each customer's total spend in the first and second half
+    // of the order history, banded by FIXED integer-cent cuts (none /
+    // low ≤ $900k / mid ≤ $1.5M / high), cross-tabulated. ONE
+    // conditional-sum pass computes both periods (never two scans);
+    // spend is summed in integer cents (round(x·100, 0) per order — an
+    // exactly-integral double before the long cast, see q_abc_parts),
+    // so the band boundaries are exact at any scale. ≤ 16-row result.
+    "q_band_migration" -> { (s, dir) =>
+      val split = to_timestamp(lit("1998-06-01"))
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      def band(c: org.apache.spark.sql.Column) =
+        when(c === 0, "0_none")
+          .when(c <= 90000000L, "1_low")
+          .when(c <= 150000000L, "2_mid")
+          .otherwise("3_high")
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(when(col("o_orderdate") < split, cents).otherwise(0L))
+          .as("s1"),
+          sum(when(col("o_orderdate") >= split, cents).otherwise(0L))
+            .as("s2"))
+        .groupBy(band(col("s1")).as("band_p1"),
+          band(col("s2")).as("band_p2"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("band_p1", "band_p2")
     })
 
   val oracles: Map[String, String] = Map(
@@ -803,5 +831,30 @@ object TemporalQueries {
         |  round((CAST(rev AS DOUBLE) - CAST(prev_rev AS DOUBLE))
         |    / CAST(prev_rev AS DOUBLE), 6) AS wow_growth
         |FROM lg WHERE prev_rev IS NOT NULL
-        |ORDER BY week_us""".stripMargin)
+        |ORDER BY week_us""".stripMargin,
+
+    "q_band_migration" ->
+      """WITH p AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-06-01'
+        |      THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-06-01'
+        |      THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS s2
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (
+        |  SELECT
+        |    CASE WHEN s1 = 0 THEN '0_none'
+        |         WHEN s1 <= 90000000 THEN '1_low'
+        |         WHEN s1 <= 150000000 THEN '2_mid'
+        |         ELSE '3_high' END AS band_p1,
+        |    CASE WHEN s2 = 0 THEN '0_none'
+        |         WHEN s2 <= 90000000 THEN '1_low'
+        |         WHEN s2 <= 150000000 THEN '2_mid'
+        |         ELSE '3_high' END AS band_p2
+        |  FROM p)
+        |SELECT band_p1, band_p2, count(*) AS n_customers
+        |FROM b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -249,6 +249,38 @@ object UserQueries {
       streaks.groupBy("longest_streak")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("longest_streak")
+    },
+
+    // Linear multi-touch attribution — the equal-credit counterpart of
+    // q_attribution's last-touch: every touchpoint in the hour BEFORE a
+    // purchase shares the purchase value equally. The (purchase, touch)
+    // pairs come from [[graft.ops.RangeJoin]]'s banded plan (equi-join
+    // on (user, time-band); pair volume bounded by per-user temporal
+    // locality, never per-user row products); the per-purchase touch
+    // count is a window PARTITIONED BY the purchase id (each partition
+    // = one purchase's touches). Credits divide once per pair as
+    // doubles (identical in both engines), round to 6, and decimal-sum
+    // per channel. Purchases with no preceding touch drop on both
+    // engines alike (q_attribution's 'none' bucket covers them).
+    "q_linear_attribution" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("bid"), col("user_id").as("bu"),
+          col("us").as("t_buy"), col("value"))
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("tu"), col("us").as("t_touch"),
+          col("event_type").as("touch_type"))
+      val pairs = graft.ops.RangeJoin.banded(buys, touches,
+        "bu", "tu", "t_buy", "t_touch", -3600L * 1000000L, -1L)
+      val wB = Window.partitionBy("bid")
+      pairs
+        .withColumn("n_touches", count(lit(1)).over(wB))
+        .withColumn("credit",
+          round(col("value") / col("n_touches"), 6))
+        .groupBy("touch_type")
+        .agg(count(lit(1)).as("n_credits"),
+          dsumPre(col("credit"), 6).as("credited_value"))
+        .orderBy("touch_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -399,5 +431,28 @@ object UserQueries {
         |  FROM st GROUP BY user_id)
         |SELECT longest_streak, count(*) AS n_users
         |FROM lg
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_linear_attribution" ->
+      s"""WITH $evSql,
+         |b AS (
+         |  SELECT event_id AS bid, user_id, us AS t_buy, value
+         |  FROM ev WHERE event_type = 'purchase'),
+         |t AS (
+         |  SELECT user_id, us AS t_touch, event_type AS touch_type
+         |  FROM ev WHERE event_type <> 'purchase'),
+         |p AS (
+         |  SELECT b.bid, b.value, t.touch_type
+         |  FROM b JOIN t ON b.user_id = t.user_id
+         |    AND t.t_touch >= b.t_buy - 3600000000
+         |    AND t.t_touch <= b.t_buy - 1),
+         |c AS (
+         |  SELECT touch_type, value,
+         |    count(*) OVER (PARTITION BY bid) AS n_touches
+         |  FROM p)
+         |SELECT touch_type, count(*) AS n_credits,
+         |  CAST(SUM(CAST(round(value / n_touches, 6) AS DECIMAL(18,6)))
+         |    AS DOUBLE) AS credited_value
+         |FROM c
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -525,6 +525,20 @@ object TemporalQueries {
           band(col("s2")).as("band_p2"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("band_p1", "band_p2")
+    },
+
+    // Day-of-week seasonality profile — the weekly-rhythm companion to
+    // q_autocorr_24h's daily rhythm. The weekday index is PURE INTEGER
+    // arithmetic ((epoch_days + 3) % 7, 0 = Monday: day 0 = 1970-01-01
+    // was a Thursday = 3), so both engines derive it from the same
+    // microsecond integers with zero calendar-function parity risk.
+    // One partial-aggregated pass; 7 × |event types| rows.
+    "q_dow_profile" -> { (s, dir) =>
+      ev(s, dir)
+        .withColumn("dow", (expr("us div 86400000000") + 3) % 7)
+        .groupBy("dow", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("dow", "event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -856,5 +870,13 @@ object TemporalQueries {
         |  FROM p)
         |SELECT band_p1, band_p2, count(*) AS n_customers
         |FROM b
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dow_profile" ->
+      s"""WITH $evSql
+         |SELECT (us // 86400000000 + 3) % 7 AS dow, event_type,
+         |  count(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM ev
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin)
 }

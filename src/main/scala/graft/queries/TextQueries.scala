@@ -361,6 +361,39 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Token burstiness — the variance-to-mean ratio of a token's
+    // per-document counts (zeros included): uniform function words sit
+    // near Poisson (VMR ≈ 1) while topical terms "burst" (VMR ≫ 1) —
+    // the signal behind DF-vs-CF weighting and stopword induction. One
+    // (token, doc) aggregate; per-token moments reduce over it
+    // (vocabulary-bounded shuffle); VMR = (N·Σc² − (Σc)²)/(N·Σc) with
+    // the cross products WIDENED TO DECIMAL(38,0) (N·Σc² overflows a
+    // long at web scale), divided once as doubles, rounded to 6. Top-20
+    // by VMR among tokens in ≥ 50 docs, fully tiebroken.
+    "q_burstiness" -> { (s, dir) =>
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val perDoc = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+      val nDocs = t(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      perDoc.groupBy("token")
+        .agg(count(lit(1)).as("df"),
+          sum(col("c")).cast("long").as("cf"),
+          sum(col("c") * col("c")).cast("long").as("cf2"))
+        .filter(col("df") >= 50)
+        .crossJoin(broadcast(nDocs)) // scalar aggregate — sanctioned
+        .select(col("token"), col("df"), col("cf"),
+          round((d38(col("n_docs")) * d38(col("cf2")) -
+            d38(col("cf")) * d38(col("cf"))).cast("double") /
+            (d38(col("n_docs")) * d38(col("cf"))).cast("double"), 6)
+            .as("vmr"))
+        .orderBy(desc("vmr"), col("token"))
+        .limit(20)
+    },
+
     // Quality scoring per source: docs, good docs, exact-summed score.
     "q_quality_score" -> { (s, dir) =>
       val toks = TextAnalysis.tokenCount(col("text")).cast("double")
@@ -1816,6 +1849,29 @@ object TextQueries {
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
         |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM tots, m""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH per_doc AS (
+        |  SELECT token, doc_id, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE token <> '' GROUP BY token, doc_id),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |m AS (
+        |  SELECT token, count(*) AS df,
+        |    CAST(sum(c) AS BIGINT) AS cf,
+        |    CAST(sum(c * c) AS BIGINT) AS cf2
+        |  FROM per_doc GROUP BY token
+        |  HAVING count(*) >= 50)
+        |SELECT token, df, cf,
+        |  round(CAST(CAST(n_docs AS DECIMAL(38,0)) *
+        |      CAST(cf2 AS DECIMAL(38,0)) -
+        |      CAST(cf AS DECIMAL(38,0)) * CAST(cf AS DECIMAL(38,0))
+        |    AS DOUBLE) /
+        |    CAST(CAST(n_docs AS DECIMAL(38,0)) *
+        |      CAST(cf AS DECIMAL(38,0)) AS DOUBLE), 6) AS vmr
+        |FROM m, n
+        |ORDER BY vmr DESC, token LIMIT 20""".stripMargin,
 
     "q_lexical_diversity" ->
       """WITH per_tok AS (

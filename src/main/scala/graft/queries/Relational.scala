@@ -1112,6 +1112,44 @@ object Relational {
           col("size").as("p_size"), col("n_parts"))
         .orderBy("p_retailprice")
     },
+
+    // Join fan-out profile — the histogram of lines per order: the
+    // number every orders⋈lineitem shuffle multiplies by, read BEFORE
+    // deciding whether the join needs salting (q_skew_report's
+    // companion on the fact-fact key). Two bounded aggregates; the
+    // histogram's group count is capped by max basket size.
+    "q_order_fanout" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
+        .groupBy("n_lines").agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_lines")
+    },
+
+    // Top movers — the period-over-period delta ranking behind every
+    // "biggest gainers/losers" report: brand revenue in the two
+    // shipdate halves from ONE conditional-sum pass (the
+    // q_revenue_bridge split), ranked by absolute delta. Exact-decimal
+    // sums; the top-10 is a distributed TakeOrdered with a full
+    // tiebreak, never a global sort.
+    "q_top_movers" -> { (s, dir) =>
+      val split = to_timestamp(lit("1998-06-01"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val p1 = col("l_shipdate") < split
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(when(p1, rev).otherwise(lit(0)).cast(DecimalType(18, 6)))
+          .as("r1"),
+          sum(when(!p1, rev).otherwise(lit(0)).cast(DecimalType(18, 6)))
+            .as("r2"))
+        .select(col("p_brand"),
+          round(col("r1").cast("double"), 2).as("rev_p1"),
+          round(col("r2").cast("double"), 2).as("rev_p2"),
+          round((col("r2") - col("r1")).cast("double"), 2).as("delta"))
+        .orderBy(abs(col("delta")).desc, col("p_brand"))
+        .limit(10)
+    },
   )
 
   def oracles: Map[String, String] = Map(
@@ -1791,5 +1829,32 @@ object Relational {
         |FROM sc
         |WHERE pmax IS NULL OR size > pmax
         |ORDER BY p_retailprice""".stripMargin,
+
+    "q_order_fanout" ->
+      """WITH per AS (
+        |  SELECT l_orderkey, count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT n_lines, count(*) AS n_orders
+        |FROM per
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_top_movers" ->
+      """WITH per AS (
+        |  SELECT p_brand,
+        |    SUM(CAST(CASE WHEN l_shipdate < TIMESTAMP '1998-06-01'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |      AS DECIMAL(18,6))) AS r1,
+        |    SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1998-06-01'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |      AS DECIMAL(18,6))) AS r2
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand)
+        |SELECT p_brand,
+        |  round(CAST(r1 AS DOUBLE), 2) AS rev_p1,
+        |  round(CAST(r2 AS DOUBLE), 2) AS rev_p2,
+        |  round(CAST(r2 - r1 AS DOUBLE), 2) AS delta
+        |FROM per
+        |ORDER BY abs(round(CAST(r2 - r1 AS DOUBLE), 2)) DESC, p_brand
+        |LIMIT 10""".stripMargin,
   )
 }

@@ -419,6 +419,29 @@ object EventQueries {
         .orderBy("has_error")
     },
 
+    // Repeat-purchase recurrence — the retention metric behind
+    // replenishment campaigns: per user, the gaps between CONSECUTIVE
+    // purchases (one user-partitioned lag window), then the corpus-wide
+    // gap distribution (exact interpolated quantiles, the
+    // q_percentiles-proven parity) plus the share of gaps under 24 h.
+    // Users with a single purchase contribute no gap on both engines
+    // alike.
+    "q_repeat_purchase" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select((col("us") - col("prev_us")).as("gap_us"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(when(col("gap_us") <= 86400L * 1000000L, 1).otherwise(0))
+            .cast("long").as("n_within_24h"),
+          round(expr("percentile(gap_us, 0.5)"), 4).as("p50_gap_us"),
+          round(expr("percentile(gap_us, 0.9)"), 4).as("p90_gap_us"))
+    },
+
     // Peak session concurrency — the interval-stabbing sweep every
     // capacity planner runs: sessions (the q_sessionize 30-min gap)
     // become ±1 boundary events (end+1µs releases BEFORE a same-instant
@@ -1440,6 +1463,22 @@ object EventQueries {
         |  view_event_id, view_us
         |FROM m WHERE side = 1
         |ORDER BY buy_event_id""".stripMargin,
+
+    "q_repeat_purchase" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT us - lag(us) OVER (PARTITION BY user_id
+        |                            ORDER BY us, event_id) AS gap_us
+        |  FROM p)
+        |SELECT count(*) AS n_gaps,
+        |  CAST(SUM(CASE WHEN gap_us <= 86400000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_within_24h,
+        |  round(quantile_cont(gap_us, 0.5), 4) AS p50_gap_us,
+        |  round(quantile_cont(gap_us, 0.9), 4) AS p90_gap_us
+        |FROM g WHERE gap_us IS NOT NULL""".stripMargin,
 
     "q_peak_concurrency" ->
       s"""WITH se AS (

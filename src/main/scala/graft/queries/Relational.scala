@@ -1125,6 +1125,43 @@ object Relational {
         .orderBy("n_lines")
     },
 
+    // XYZ demand-variability classification — q_abc_parts' canonical
+    // companion (ABC ranks by value, XYZ by PREDICTABILITY): per brand,
+    // the coefficient of variation of weekly demand, classed X
+    // (CV ≤ 0.25, steady), Y (≤ 0.5) or Z (erratic). Weekly quantities
+    // are exact integers; the class cuts are INTEGER CROSS-MULTIPLIED
+    // on CV² (16·(n·Σq²−(Σq)²) ≤ (Σq)² ⟺ CV ≤ ¼) with DECIMAL(38,0)
+    // cross products, so the classification is exact at any scale —
+    // the reported cv is the only floating value and is one sqrt of
+    // exact inputs.
+    "q_xyz_parts" -> { (s, dir) =>
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val weekly = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          date_trunc("week", col("l_shipdate")).as("wk"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      weekly.groupBy("p_brand")
+        .agg(count(lit(1)).as("n_weeks"),
+          sum(col("q")).cast("long").as("s1"),
+          sum(d38(col("q")) * d38(col("q"))).as("s2"))
+        .select(col("p_brand"), col("n_weeks"),
+          round(col("s1").cast("double") / col("n_weeks"), 4)
+            .as("mean_weekly"),
+          round(sqrt((d38(col("n_weeks")) * col("s2") -
+            d38(col("s1")) * d38(col("s1"))).cast("double")) /
+            col("s1").cast("double"), 6).as("cv"),
+          when((d38(col("n_weeks")) * col("s2") -
+            d38(col("s1")) * d38(col("s1"))) * 16 <=
+            d38(col("s1")) * d38(col("s1")), "X")
+            .when((d38(col("n_weeks")) * col("s2") -
+              d38(col("s1")) * d38(col("s1"))) * 4 <=
+              d38(col("s1")) * d38(col("s1")), "Y")
+            .otherwise("Z").as("xyz_class"))
+        .orderBy("p_brand")
+    },
+
     // Top movers — the period-over-period delta ranking behind every
     // "biggest gainers/losers" report: brand revenue in the two
     // shipdate halves from ONE conditional-sum pass (the
@@ -1837,6 +1874,37 @@ object Relational {
         |SELECT n_lines, count(*) AS n_orders
         |FROM per
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_xyz_parts" ->
+      """WITH weekly AS (
+        |  SELECT p_brand,
+        |    date_trunc('week', CAST(l_shipdate AS TIMESTAMP)) AS wk,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p_brand, count(*) AS n_weeks,
+        |    CAST(sum(q) AS BIGINT) AS s1,
+        |    sum(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)))
+        |      AS s2
+        |  FROM weekly GROUP BY 1)
+        |SELECT p_brand, n_weeks,
+        |  round(CAST(s1 AS DOUBLE) / n_weeks, 4) AS mean_weekly,
+        |  round(sqrt(CAST(CAST(n_weeks AS DECIMAL(38,0)) * s2 -
+        |      CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))
+        |    AS DOUBLE)) / CAST(s1 AS DOUBLE), 6) AS cv,
+        |  CASE WHEN (CAST(n_weeks AS DECIMAL(38,0)) * s2 -
+        |        CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))
+        |        * 16 <=
+        |        CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))
+        |      THEN 'X'
+        |      WHEN (CAST(n_weeks AS DECIMAL(38,0)) * s2 -
+        |        CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))
+        |        * 4 <=
+        |        CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))
+        |      THEN 'Y' ELSE 'Z' END AS xyz_class
+        |FROM m
+        |ORDER BY p_brand""".stripMargin,
 
     "q_top_movers" ->
       """WITH per AS (

@@ -394,6 +394,54 @@ object TextQueries {
         .limit(20)
     },
 
+    // Heaps'-law vocabulary growth — q_zipf_fit's companion: how fast
+    // does the vocabulary grow as the corpus grows? ONE corpus pass:
+    // each token's FIRST-OCCURRENCE decile (docs ordered by id, decile
+    // by exact integer arithmetic on the id range) is a min-aggregate;
+    // the growth curve is then a cumulative over the ≤10-row decile
+    // frame (bounded by an explicit limit — the q_zipf_fit sanctioned
+    // window shape), with the Heaps exponent from the same log-log
+    // regression spelling as Zipf. Never 10 separate distinct-counts.
+    "q_heaps_law" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val ids = docs.agg(min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx"))
+      val withB = docs.crossJoin(broadcast(ids)) // scalar — sanctioned
+        .select(col("doc_id"), col("text"),
+          expr("((doc_id - mn) * 10) div (mx - mn + 1)").as("b"))
+      val newTok = withB
+        .select(col("b"), explode(TextAnalysis.tokens(col("text")))
+          .as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(min(col("b")).as("min_b"))
+        .groupBy("min_b").agg(count(lit(1)).as("new_tokens"))
+      val newDoc = withB.groupBy("b").agg(count(lit(1)).as("new_docs"))
+      val perDecile = newDoc
+        .join(newTok, col("b") === col("min_b"), "left")
+        .select(col("b"),
+          coalesce(col("new_tokens"), lit(0L)).as("nt"), col("new_docs"))
+        .orderBy("b").limit(10) // bounds the window below (plan sweep)
+      val w = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = perDecile
+        .withColumn("docs_cum", sum(col("new_docs")).over(w))
+        .withColumn("vocab_cum", sum(col("nt")).over(w))
+        .select(col("b").as("decile"),
+          col("docs_cum").cast("long").as("docs_cum"),
+          col("vocab_cum").cast("long").as("vocab_cum"))
+      val m = curve.select(log(col("docs_cum").cast("double")).as("x"),
+          log(col("vocab_cum").cast("double")).as("y"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("heaps_beta"))
+      curve.crossJoin(broadcast(m)) // scalar — sanctioned
+        .orderBy("decile")
+    },
+
     // Quality scoring per source: docs, good docs, exact-summed score.
     "q_quality_score" -> { (s, dir) =>
       val toks = TextAnalysis.tokenCount(col("text")).cast("double")
@@ -1849,6 +1897,44 @@ object TextQueries {
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
         |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM tots, m""".stripMargin,
+
+    "q_heaps_law" ->
+      """WITH ids AS (
+        |  SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+        |wb AS (
+        |  SELECT doc_id, text,
+        |    ((doc_id - mn) * 10) // (mx - mn + 1) AS b
+        |  FROM documents, ids),
+        |nt AS (
+        |  SELECT min_b, count(*) AS nt FROM (
+        |    SELECT token, min(b) AS min_b FROM (
+        |      SELECT b, unnest(string_split(text, ' ')) AS token
+        |      FROM wb)
+        |    WHERE token <> '' GROUP BY token)
+        |  GROUP BY min_b),
+        |nd AS (SELECT b, count(*) AS new_docs FROM wb GROUP BY b),
+        |pd AS (
+        |  SELECT nd.b, COALESCE(nt.nt, 0) AS nt, nd.new_docs
+        |  FROM nd LEFT JOIN nt ON nd.b = nt.min_b),
+        |curve AS (
+        |  SELECT b AS decile,
+        |    CAST(sum(new_docs) OVER (ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_cum,
+        |    CAST(sum(nt) OVER (ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+        |  FROM pd),
+        |m AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM (
+        |    SELECT ln(CAST(docs_cum AS DOUBLE)) AS x,
+        |      ln(CAST(vocab_cum AS DOUBLE)) AS y
+        |    FROM curve))
+        |SELECT decile, docs_cum, vocab_cum,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    AS heaps_beta
+        |FROM curve, m
+        |ORDER BY decile""".stripMargin,
 
     "q_burstiness" ->
       """WITH per_doc AS (

@@ -251,6 +251,29 @@ object UserQueries {
         .orderBy("longest_streak")
     },
 
+    // First-touch entry-point distribution — which door do users come
+    // in through? Each user's FIRST event (argmin by (time, event_id)
+    // as ONE struct-min aggregate — no window, no self-join, partial-
+    // aggregated map-side) rolled up by type, with the cold-start share
+    // (users whose very first event is already a purchase — the
+    // attribution blind spot every funnel report footnotes). One
+    // shuffle on the user key; |event types| rows.
+    "q_entry_points" -> { (s, dir) =>
+      val first = ev(s, dir)
+        .groupBy("user_id")
+        .agg(min(struct(col("us"), col("event_id"), col("event_type")))
+          .as("f"))
+        .select(col("f.event_type").as("first_type"))
+      val tot = first.agg(count(lit(1)).as("n_users_total"))
+      first.groupBy("first_type")
+        .agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(tot)) // scalar aggregate — sanctioned
+        .select(col("first_type"), col("n_users"),
+          round(col("n_users").cast("double") /
+            col("n_users_total").cast("double"), 6).as("share"))
+        .orderBy("first_type")
+    },
+
     // Linear multi-touch attribution — the equal-credit counterpart of
     // q_attribution's last-touch: every touchpoint in the hour BEFORE a
     // purchase shares the purchase value equally. The (purchase, touch)
@@ -432,6 +455,21 @@ object UserQueries {
         |SELECT longest_streak, count(*) AS n_users
         |FROM lg
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_entry_points" ->
+      s"""WITH $evSql,
+         |f AS (
+         |  SELECT user_id,
+         |    (min({'us': us, 'eid': event_id, 'et': event_type})).et
+         |      AS first_type
+         |  FROM ev GROUP BY user_id),
+         |t AS (SELECT count(*) AS n_users_total FROM f)
+         |SELECT first_type, count(*) AS n_users,
+         |  round(CAST(count(*) AS DOUBLE) /
+         |    (SELECT n_users_total FROM t), 6) AS share
+         |FROM f
+         |GROUP BY first_type
+         |ORDER BY first_type""".stripMargin,
 
     "q_linear_attribution" ->
       s"""WITH $evSql,

@@ -527,6 +527,36 @@ object TemporalQueries {
         .orderBy("band_p1", "band_p2")
     },
 
+    // Maximum drawdown of the daily revenue series — the running-peak
+    // metric every finance/SLO dashboard computes: the largest drop of
+    // a day's revenue below the best day seen so far. The running peak
+    // is [[graft.ops.PrefixScan]]'s two-phase distributed prefix-max
+    // over the date-ordered daily frame (never a global-sort window);
+    // revenue is integer cents (the q_abc_parts spelling), so peak,
+    // drawdown and the argmax day are exact; ties resolve to the
+    // earliest day by a min over the scalar-broadcast maximum.
+    "q_drawdown" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(unix_micros(date_trunc("day", col("o_orderdate")))
+          .as("day_us"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("rev_cents"))
+      val scanned = graft.ops.PrefixScan
+        .withExclusivePrefixMax(daily, Seq("day_us"), "rev_cents")
+        .select(col("day_us"), col("rev_cents"),
+          greatest(col("prefix_max"), col("rev_cents")).as("peak"))
+        .withColumn("dd", col("peak") - col("rev_cents"))
+      val mx = scanned.agg(max(col("dd")).as("max_dd"),
+        count(lit(1)).as("n_days"))
+      scanned.crossJoin(broadcast(mx)) // scalar — sanctioned
+        .filter(col("dd") === col("max_dd"))
+        .agg(min(col("day_us")).as("dd_day_us"))
+        .crossJoin(broadcast(mx))
+        .select(col("n_days"),
+          (col("max_dd").cast("double") / 100).as("max_drawdown"),
+          col("dd_day_us"))
+    },
+
     // Day-of-week seasonality profile — the weekly-rhythm companion to
     // q_autocorr_24h's daily rhythm. The weekday index is PURE INTEGER
     // arithmetic ((epoch_days + 3) % 7, 0 = Monday: day 0 = 1970-01-01
@@ -871,6 +901,29 @@ object TemporalQueries {
         |SELECT band_p1, band_p2, count(*) AS n_customers
         |FROM b
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_drawdown" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(date_trunc('day', CAST(o_orderdate
+        |      AS TIMESTAMP))) AS day_us,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |sc AS (
+        |  SELECT day_us, rev_cents,
+        |    CAST(max(rev_cents) OVER (ORDER BY day_us
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+        |  FROM daily),
+        |d AS (
+        |  SELECT day_us, peak - rev_cents AS dd FROM sc),
+        |m AS (
+        |  SELECT CAST(max(dd) AS BIGINT) AS max_dd,
+        |    count(*) AS n_days FROM d)
+        |SELECT m.n_days,
+        |  CAST(m.max_dd AS DOUBLE) / 100 AS max_drawdown,
+        |  (SELECT min(day_us) FROM d, m WHERE d.dd = m.max_dd)
+        |    AS dd_day_us
+        |FROM m""".stripMargin,
 
     "q_dow_profile" ->
       s"""WITH $evSql

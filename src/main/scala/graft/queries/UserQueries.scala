@@ -251,6 +251,45 @@ object UserQueries {
         .orderBy("longest_streak")
     },
 
+    // Growth accounting — the DAU decomposition every growth team
+    // reports: per day, active users split into NEW (first-ever day),
+    // RETAINED (also active yesterday) and RESURRECTED (active before,
+    // but not yesterday), plus CHURNED (active yesterday, gone today) =
+    // yesterday's actives − today's retained. Everything is distinct
+    // (user, day) rows + equi-joins — the yesterday test is a self-join
+    // on (user, day−1), churn closes via a day-frame self-join on
+    // (day−1): NO windows, no driver state, shuffles keyed on user/day
+    // only. The identity active = new + retained + resurrected holds
+    // exactly by construction.
+    "q_growth_accounting" -> { (s, dir) =>
+      val ud = graft.ops.Pin.pin(ev(s, dir)
+        .select(col("user_id"), expr("us div 86400000000").as("d"))
+        .distinct())
+      val firstD = ud.groupBy("user_id").agg(min(col("d")).as("fd"))
+      val yd = ud.select(col("user_id").as("yu"), (col("d") + 1).as("yd"))
+      val flags = ud
+        .join(firstD, "user_id")
+        .join(yd, col("user_id") === col("yu") && col("d") === col("yd"),
+          "left")
+        .select(col("d"),
+          when(col("fd") === col("d"), 1).otherwise(0).as("is_new"),
+          when(col("yu").isNotNull, 1).otherwise(0).as("is_ret"))
+      val daily = flags.groupBy("d")
+        .agg(count(lit(1)).as("active"),
+          sum(col("is_new")).cast("long").as("new_users"),
+          sum(col("is_ret")).cast("long").as("retained"))
+        .withColumn("resurrected",
+          col("active") - col("new_users") - col("retained"))
+      val prev = daily.select((col("d") + 1).as("pd"),
+        col("active").as("prev_active"))
+      daily.join(prev, col("d") === col("pd"), "left")
+        .select(col("d").as("epoch_day"), col("active"),
+          col("new_users"), col("retained"), col("resurrected"),
+          coalesce(col("prev_active") - col("retained"), lit(0L))
+            .cast("long").as("churned"))
+        .orderBy("epoch_day")
+    },
+
     // First-touch entry-point distribution — which door do users come
     // in through? Each user's FIRST event (argmin by (time, event_id)
     // as ONE struct-min aggregate — no window, no self-join, partial-
@@ -455,6 +494,31 @@ object UserQueries {
         |SELECT longest_streak, count(*) AS n_users
         |FROM lg
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_growth_accounting" ->
+      s"""WITH $evSql,
+         |ud AS (
+         |  SELECT DISTINCT user_id, us // 86400000000 AS d FROM ev),
+         |fd AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY 1),
+         |fl AS (
+         |  SELECT ud.d,
+         |    CASE WHEN fd.fd = ud.d THEN 1 ELSE 0 END AS is_new,
+         |    CASE WHEN y.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_ret
+         |  FROM ud
+         |  JOIN fd ON ud.user_id = fd.user_id
+         |  LEFT JOIN ud y ON ud.user_id = y.user_id
+         |    AND y.d = ud.d - 1),
+         |daily AS (
+         |  SELECT d, count(*) AS active,
+         |    CAST(SUM(is_new) AS BIGINT) AS new_users,
+         |    CAST(SUM(is_ret) AS BIGINT) AS retained
+         |  FROM fl GROUP BY d)
+         |SELECT a.d AS epoch_day, a.active, a.new_users, a.retained,
+         |  a.active - a.new_users - a.retained AS resurrected,
+         |  CAST(COALESCE(p.active - a.retained, 0) AS BIGINT) AS churned
+         |FROM daily a
+         |LEFT JOIN daily p ON a.d = p.d + 1
+         |ORDER BY epoch_day""".stripMargin,
 
     "q_entry_points" ->
       s"""WITH $evSql,

@@ -419,6 +419,23 @@ object EventQueries {
         .orderBy("has_error")
     },
 
+    // Session-depth histogram — events-per-session distribution, the
+    // engagement shape q_session_stats' averages hide (a mean of 4 can
+    // be "all 4s" or "mostly 1s plus whales"): sessionize (the
+    // q_sessionize 30-min gap), count per session, histogram. Group
+    // count capped by max session length.
+    "q_session_depth" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withBreaks(s, dir)
+        .withColumn("sid", sum(col("brk")).over(w))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("depth"))
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("depth")
+    },
+
     // Repeat-purchase recurrence — the retention metric behind
     // replenishment campaigns: per user, the gaps between CONSECUTIVE
     // purchases (one user-partitioned lag window), then the corpus-wide
@@ -1463,6 +1480,20 @@ object EventQueries {
         |  view_event_id, view_us
         |FROM m WHERE side = 1
         |ORDER BY buy_event_id""".stripMargin,
+
+    "q_session_depth" ->
+      s"""WITH se AS (
+         |  SELECT user_id, sid, count(*) AS depth
+         |  FROM (
+         |    SELECT user_id, us,
+         |      sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS sid
+         |    FROM ($breaksSql))
+         |  GROUP BY user_id, sid)
+         |SELECT CAST(depth AS BIGINT) AS depth,
+         |  count(*) AS n_sessions
+         |FROM se
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_repeat_purchase" ->
       """WITH p AS (

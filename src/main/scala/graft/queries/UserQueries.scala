@@ -290,6 +290,26 @@ object UserQueries {
         .orderBy("epoch_day")
     },
 
+    // Stickiness (DAU/MAU) — the engagement-intensity scalar: average
+    // daily actives over the span divided by span-wide distinct
+    // actives. Both terms reduce to integers (Σ per-day actives, one
+    // distinct count); the single division happens once at the end.
+    "q_stickiness" -> { (s, dir) =>
+      val ud = graft.ops.Pin.pin(ev(s, dir)
+        .select(col("user_id"), expr("us div 86400000000").as("d"))
+        .distinct())
+      val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("dau")).cast("long").as("sum_dau"))
+      val mau = ud.select("user_id").distinct()
+        .agg(count(lit(1)).as("mau"))
+      dau.crossJoin(broadcast(mau)) // scalar aggregates — sanctioned
+        .select(col("n_days"), col("sum_dau"), col("mau"),
+          round(col("sum_dau").cast("double") /
+            (col("n_days") * col("mau")).cast("double"), 6)
+            .as("stickiness"))
+    },
+
     // First-touch entry-point distribution — which door do users come
     // in through? Each user's FIRST event (argmin by (time, event_id)
     // as ONE struct-min aggregate — no window, no self-join, partial-
@@ -519,6 +539,22 @@ object UserQueries {
          |FROM daily a
          |LEFT JOIN daily p ON a.d = p.d + 1
          |ORDER BY epoch_day""".stripMargin,
+
+    "q_stickiness" ->
+      s"""WITH $evSql,
+         |ud AS (
+         |  SELECT DISTINCT user_id, us // 86400000000 AS d FROM ev),
+         |dau AS (
+         |  SELECT count(*) AS n_days,
+         |    CAST(SUM(dau) AS BIGINT) AS sum_dau FROM (
+         |    SELECT d, count(*) AS dau FROM ud GROUP BY d)),
+         |mau AS (
+         |  SELECT count(*) AS mau FROM (
+         |    SELECT DISTINCT user_id FROM ud))
+         |SELECT n_days, sum_dau, mau,
+         |  round(CAST(sum_dau AS DOUBLE) /
+         |    CAST(n_days * mau AS DOUBLE), 6) AS stickiness
+         |FROM dau, mau""".stripMargin,
 
     "q_entry_points" ->
       s"""WITH $evSql,

@@ -1125,6 +1125,32 @@ object Relational {
         .orderBy("n_lines")
     },
 
+    // SLA attainment by priority — the compliance report an ops desk
+    // reads daily: per order priority, the share of orders whose FIRST
+    // shipment left within 30/90 days of the order date. First-ship is
+    // a per-order min (partial-aggregated); day gaps are exact integer
+    // date arithmetic; each rate divides two integers once, rounded 6.
+    "q_sla_attainment" -> { (s, dir) =>
+      val firstShip = t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(min(col("l_shipdate")).as("fs"))
+      t(s, dir, "orders")
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("fs"), col("o_orderdate")).as("gap_days"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("gap_days") <= 30, 1).otherwise(0)).cast("long")
+            .as("n_within_30d"),
+          sum(when(col("gap_days") <= 90, 1).otherwise(0)).cast("long")
+            .as("n_within_90d"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          round(col("n_within_30d").cast("double") / col("n_orders"), 6)
+            .as("sla_30d"),
+          round(col("n_within_90d").cast("double") / col("n_orders"), 6)
+            .as("sla_90d"))
+        .orderBy("o_orderpriority")
+    },
+
     // XYZ demand-variability classification — q_abc_parts' canonical
     // companion (ABC ranks by value, XYZ by PREDICTABILITY): per brand,
     // the coefficient of variation of weekly demand, classed X
@@ -1873,6 +1899,22 @@ object Relational {
         |  FROM lineitem GROUP BY 1)
         |SELECT n_lines, count(*) AS n_orders
         |FROM per
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sla_attainment" ->
+      """WITH fs AS (
+        |  SELECT l_orderkey, min(l_shipdate) AS fs
+        |  FROM lineitem GROUP BY 1),
+        |g AS (
+        |  SELECT o_orderpriority,
+        |    datediff('day', o_orderdate, fs) AS gap_days
+        |  FROM orders JOIN fs ON o_orderkey = l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(CAST(SUM(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS sla_30d,
+        |  round(CAST(SUM(CASE WHEN gap_days <= 90 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS sla_90d
+        |FROM g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_xyz_parts" ->

@@ -290,6 +290,35 @@ object UserQueries {
         .orderBy("epoch_day")
     },
 
+    // User-activity power law — q_zipf_fit's machinery pointed at the
+    // user dimension: is activity heavy-tailed, and how steep? Top-100
+    // users by event count (TakeOrdered BEFORE the rank window — the
+    // sanctioned bounded-window shape), log-log least squares. The
+    // slope is the whale-concentration summary capacity planning and
+    // abuse detection both read.
+    "q_user_power_law" -> { (s, dir) =>
+      val R = 100
+      val cnt = ev(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val ranked = cnt
+        .orderBy(col("cnt").desc, col("user_id")).limit(R)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("user_id"))))
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+      val tots = cnt.agg(count(lit(1)).as("n_users"),
+        sum(col("cnt")).cast("long").as("n_events"))
+      val m = ranked.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      tots.crossJoin(broadcast( // scalar aggregates — sanctioned
+        m.select(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("power_slope"))))
+    },
+
     // Stickiness (DAU/MAU) — the engagement-intensity scalar: average
     // daily actives over the span divided by span-wide distinct
     // actives. Both terms reduce to integers (Σ per-day actives, one
@@ -539,6 +568,27 @@ object UserQueries {
          |FROM daily a
          |LEFT JOIN daily p ON a.d = p.d + 1
          |ORDER BY epoch_day""".stripMargin,
+
+    "q_user_power_law" ->
+      s"""WITH $evSql,
+         |cnt AS (
+         |  SELECT user_id, count(*) AS cnt FROM ev GROUP BY user_id),
+         |tots AS (
+         |  SELECT count(*) AS n_users,
+         |    CAST(sum(cnt) AS BIGINT) AS n_events FROM cnt),
+         |rk AS (
+         |  SELECT ln(CAST(row_number() OVER
+         |      (ORDER BY cnt DESC, user_id) AS DOUBLE)) AS x,
+         |    ln(CAST(cnt AS DOUBLE)) AS y
+         |  FROM cnt ORDER BY cnt DESC, user_id LIMIT 100),
+         |m AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+         |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+         |  FROM rk)
+         |SELECT tots.n_users, tots.n_events,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         |    AS power_slope
+         |FROM tots, m""".stripMargin,
 
     "q_stickiness" ->
       s"""WITH $evSql,

@@ -1125,6 +1125,24 @@ object Relational {
         .orderBy("n_lines")
     },
 
+    // Assortment sell-through — what share of each brand's catalog has
+    // EVER sold: distinct sold parts per brand (one distinct-aggregate
+    // over the fact, keyed on the part) against the catalog count. The
+    // dead-stock diagnostic; rates divide two integers once.
+    "q_sell_through" -> { (s, dir) =>
+      val p = t(s, dir, "part").select("p_partkey", "p_brand")
+      val sold = t(s, dir, "lineitem").select("l_partkey").distinct()
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n_sold"))
+      val catalog = p.groupBy("p_brand").agg(count(lit(1)).as("n_catalog"))
+      catalog.join(sold, Seq("p_brand"), "left")
+        .select(col("p_brand"), col("n_catalog"),
+          coalesce(col("n_sold"), lit(0L)).as("n_sold"),
+          round(coalesce(col("n_sold"), lit(0L)).cast("double") /
+            col("n_catalog"), 6).as("sell_through"))
+        .orderBy("p_brand")
+    },
+
     // SLA attainment by priority — the compliance report an ops desk
     // reads daily: per order priority, the share of orders whose FIRST
     // shipment left within 30/90 days of the order date. First-ship is
@@ -1900,6 +1918,22 @@ object Relational {
         |SELECT n_lines, count(*) AS n_orders
         |FROM per
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sell_through" ->
+      """WITH sold AS (
+        |  SELECT p_brand, count(*) AS n_sold FROM (
+        |    SELECT DISTINCT l_partkey FROM lineitem) s
+        |  JOIN part ON s.l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |cat AS (
+        |  SELECT p_brand, count(*) AS n_catalog
+        |  FROM part GROUP BY p_brand)
+        |SELECT cat.p_brand, cat.n_catalog,
+        |  CAST(COALESCE(sold.n_sold, 0) AS BIGINT) AS n_sold,
+        |  round(CAST(COALESCE(sold.n_sold, 0) AS DOUBLE) /
+        |    cat.n_catalog, 6) AS sell_through
+        |FROM cat LEFT JOIN sold ON cat.p_brand = sold.p_brand
+        |ORDER BY cat.p_brand""".stripMargin,
 
     "q_sla_attainment" ->
       """WITH fs AS (

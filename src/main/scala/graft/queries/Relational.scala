@@ -1125,6 +1125,54 @@ object Relational {
         .orderBy("n_lines")
     },
 
+    // Discount effectiveness — does discounting move volume? Line
+    // items banded by discount percent (exact integer cents-of-percent
+    // cuts: round(disc·100) ∈ {0, 1-3, 4-6, 7+}), per band the line
+    // count and mean quantity. One partial-aggregated pass; 4 rows.
+    "q_discount_bands" -> { (s, dir) =>
+      val dpct = round(col("l_discount") * 100, 0).cast("long")
+      t(s, dir, "lineitem")
+        .select(
+          when(dpct === 0, "0_none")
+            .when(dpct <= 3, "1_low")
+            .when(dpct <= 6, "2_mid")
+            .otherwise("3_deep").as("band"),
+          col("l_quantity"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(col("band"), col("n_lines"),
+          round(col("sum_qty").cast("double") / col("n_lines"), 6)
+            .as("avg_qty"))
+        .orderBy("band")
+    },
+
+    // Supplier concentration (Herfindahl–Hirschman index) per nation —
+    // the antitrust-style concentration scalar: HHI = Σ share², with
+    // shares of supplier revenue within the nation. Revenue is integer
+    // cents; HHI = Σr² / (Σr)² with DECIMAL(38,0) cross products, so
+    // both terms are exact and the single division happens once,
+    // rounded 6 (1/n_suppliers ≤ HHI ≤ 1).
+    "q_supplier_hhi" -> { (s, dir) =>
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val perSup = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * 100, 0).cast("long"))
+          .as("r"))
+      perSup.groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("r")).cast("long").as("tot"),
+          sum(d38(col("r")) * d38(col("r"))).as("ss"))
+        .select(col("s_nationkey"), col("n_suppliers"),
+          round(col("ss").cast("double") /
+            (d38(col("tot")) * d38(col("tot"))).cast("double"), 6)
+            .as("hhi"))
+        .orderBy("s_nationkey")
+    },
+
     // Assortment sell-through — what share of each brand's catalog has
     // EVER sold: distinct sold parts per brand (one distinct-aggregate
     // over the fact, keyed on the part) against the catalog count. The
@@ -1916,6 +1964,40 @@ object Relational {
         |  SELECT l_orderkey, count(*) AS n_lines
         |  FROM lineitem GROUP BY 1)
         |SELECT n_lines, count(*) AS n_orders
+        |FROM per
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_discount_bands" ->
+      """WITH b AS (
+        |  SELECT CASE
+        |      WHEN CAST(round(l_discount * 100, 0) AS BIGINT) = 0
+        |        THEN '0_none'
+        |      WHEN CAST(round(l_discount * 100, 0) AS BIGINT) <= 3
+        |        THEN '1_low'
+        |      WHEN CAST(round(l_discount * 100, 0) AS BIGINT) <= 6
+        |        THEN '2_mid'
+        |      ELSE '3_deep' END AS band,
+        |    l_quantity
+        |  FROM lineitem)
+        |SELECT band, count(*) AS n_lines,
+        |  round(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / count(*), 6) AS avg_qty
+        |FROM b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_supplier_hhi" ->
+      """WITH per AS (
+        |  SELECT s_nationkey, l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+        |      * 100, 0) AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT s_nationkey, count(*) AS n_suppliers,
+        |  round(CAST(SUM(CAST(r AS DECIMAL(38,0)) *
+        |      CAST(r AS DECIMAL(38,0))) AS DOUBLE) /
+        |    CAST(CAST(CAST(SUM(r) AS BIGINT) AS DECIMAL(38,0)) *
+        |      CAST(CAST(SUM(r) AS BIGINT) AS DECIMAL(38,0)) AS DOUBLE),
+        |    6) AS hhi
         |FROM per
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -1125,6 +1125,39 @@ object Relational {
         .orderBy("n_lines")
     },
 
+    // TPC-H Q7 shape (volume shipping): revenue flowing between two
+    // specific nations in either direction, by supplier-nation /
+    // customer-nation / ship year. The two constant nation dimensions
+    // broadcast; customer and supplier (scaling) shuffle under AQE;
+    // the disjunctive nation-pair predicate prunes BEFORE the fact
+    // joins. Exact-decimal revenue.
+    "q7_trade_volume" -> { (s, dir) =>
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter(
+          (col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
     // Discount effectiveness — does discounting move volume? Line
     // items banded by discount percent (exact integer cents-of-percent
     // cuts: round(disc·100) ∈ {0, 1-3, 4-6, 7+}), per band the line
@@ -1966,6 +1999,23 @@ object Relational {
         |SELECT n_lines, count(*) AS n_orders
         |FROM per
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q7_trade_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)", 6)}
+         |    AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_discount_bands" ->
       """WITH b AS (

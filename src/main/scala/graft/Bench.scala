@@ -94,6 +94,65 @@ object Bench {
       // paid here (untimed) so the gate measures the exchange-free join.
       queries.Relational.setupBucketedTables(spark, sfDir)
     }
+    warm("streaming machinery") {
+      // One tiny parquet-source streaming query per stateful shape the
+      // 17 q_stream_* gates use (windowed agg, dropDuplicates state,
+      // flatMapGroupsWithState typed state, checkpointed file sink) — the
+      // StreamExecution/state-store/memory-sink infrastructure JIT is
+      // ~0.5-1.5s PER SHAPE on a cold JVM and otherwise lands on
+      // whichever streaming gate runs first. Synthetic input (200 rows),
+      // so no gate's actual scan gets pre-warmed beyond its siblings'.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bench_stream").toString
+      val tiny = spark.range(200).select(
+        timestamp_micros(lit(1700000000000000L) + col("id") * 60000000L)
+          .as("ts"),
+        (col("id") % 7).as("k"), col("id").cast("double").as("v"))
+      tiny.write.mode("overwrite").parquet(s"$base/in")
+      val src = spark.readStream.schema(tiny.schema).parquet(s"$base/in")
+      val oldSp = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        def drain(
+            q: org.apache.spark.sql.streaming.DataStreamWriter[_]): Unit = {
+          val st = q.trigger(Trigger.AvailableNow()).start()
+          st.awaitTermination(); ()
+        }
+        drain(src.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"), col("k"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName("warm_stream_agg"))
+        drain(src.select(col("k"), col("v"))
+          .dropDuplicates("k")
+          .writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName("warm_stream_dedup"))
+        drain(graft.streaming.Sessionize
+          .sessionStream(src.select(col("ts"),
+            col("k").cast("string").as("user_id"),
+            col("k").as("event_id")), "30 minutes", "0 seconds")
+          .writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName("warm_stream_session"))
+        drain(src.writeStream.outputMode(OutputMode.Append())
+          .format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt"))
+        locally {
+          import spark.implicits._
+          drain(graft.streaming.Stateful.statefulSessions(
+            src.select(col("k").as("user_id"), col("ts"))
+              .as[graft.streaming.UserEvent],
+            30L * 60 * 1000, "0 seconds")
+            .writeStream.outputMode(OutputMode.Append())
+            .format("memory").queryName("warm_stream_fmgws"))
+        }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", oldSp)
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(base)); ()
+      }
+    }
     warm("knn machinery") {
       // DotProduct codegen + unitVectors encoder path on synthetic vectors
       import org.apache.spark.sql.functions._
@@ -136,7 +195,30 @@ object Bench {
       resetState(spark)
       name -> (if (ok) dt else -1.0)
     }
+    // Solo re-time tail: a heavy gate's in-run duration can be inflated
+    // ~2x by neighbor pressure in the shared JVM (BENCH_SF1.md records
+    // q_source_overlap 18.2s in-run vs 8.5s solo), which makes
+    // round-over-round regression detection on in-run rows false-positive.
+    // Re-run the slowest successes after a full resetState+GC barrier and
+    // publish the solo times on their own line; the headline total stays
+    // the in-run sum so cross-round totals remain comparable.
+    val SoloN = 8
+    val soloHeavies = results.filter(_._2 >= 0).sortBy(-_._2).take(SoloN)
+      .map { case (name, _) =>
+        resetState(spark)
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case NonFatal(e) =>
+            System.err.println(s"[bench] solo $name FAILED: $e"); false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) dt else -1.0)
+      }
+    resetState(spark)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val soloJson = soloHeavies.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -144,6 +226,7 @@ object Bench {
     // map on its own line first and the short headline line LAST, so a
     // truncated capture always retains a parseable total.
     println(s"""{"metric":"queries","unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"solo_heavies","unit":"sec","queries":$soloJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -21,9 +21,12 @@ object PrefixScan {
 
   /** Adds `prefix_max` (exclusive running max of `valueCol` — the max
     * over all STRICTLY PRECEDING rows in the total order of `sortCols`,
-    * which must be a unique key). `valueCol` is read as a long; the
-    * first row's prefix is the identity `Long.MinValue`, so a strict
-    * `value > prefix_max` filter admits it naturally.
+    * which must be a unique key). `valueCol` is read as a long and MUST
+    * be non-null on every row (callers feed aggregate outputs; a
+    * nullable input fails fast below rather than surfacing as an opaque
+    * NPE inside a task). The first row's prefix is the identity
+    * `Long.MinValue`, so a strict `value > prefix_max` filter admits it
+    * naturally.
     */
   def withExclusivePrefixMax(df: DataFrame, sortCols: Seq[String],
                              valueCol: String): DataFrame = {
@@ -33,6 +36,13 @@ object PrefixScan {
         sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
     val vIdx = sorted.schema.fieldIndex(valueCol)
+    def readValue(r: Row): Long = {
+      val raw = r.get(vIdx)
+      if (raw == null) throw new IllegalArgumentException(
+        s"PrefixScan.withExclusivePrefixMax: NULL in value column " +
+          s"'$valueCol' — prefix-max is defined over non-null values only")
+      raw.asInstanceOf[Number].longValue()
+    }
     // Cached so the partition-reduce job and the output pass share one
     // sort execution; released in finally (see PrefixSum for rationale).
     val rdd = sorted.rdd.cache()
@@ -41,7 +51,7 @@ object PrefixScan {
         .mapPartitionsWithIndex { (pi, it) =>
           var m = Long.MinValue
           it.foreach { r =>
-            val v = r.get(vIdx).asInstanceOf[Number].longValue()
+            val v = readValue(r)
             if (v > m) m = v
           }
           Iterator.single(pi -> m)
@@ -52,7 +62,7 @@ object PrefixScan {
       val out = rdd.mapPartitionsWithIndex { (pi, it) =>
         var run = bOffsets.value(pi)
         it.map { r =>
-          val v = r.get(vIdx).asInstanceOf[Number].longValue()
+          val v = readValue(r)
           val row = Row.fromSeq(run +: r.toSeq)
           if (v > run) run = v
           row

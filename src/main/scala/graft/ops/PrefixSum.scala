@@ -20,8 +20,17 @@ import org.apache.spark.sql.{DataFrame, Row}
 object PrefixSum {
 
   /** Adds `prefix` (exclusive running total of `valueCol` — the sum of
-    * all STRICTLY PRECEDING rows in the total order of `sortCols`, which
-    * must be a unique key). Values are read as doubles; for
+    * all STRICTLY PRECEDING rows in the total order of `sortCols`).
+    * `sortCols` must either be a unique key, OR ties must be
+    * value-homogeneous: every row sharing a `sortCols` tuple carries the
+    * same `valueCol`. Under that weaker contract each row's prefix is
+    * still only defined up to the arbitrary order WITHIN its tie block,
+    * but the multiset of (prefix, value) pairs across a tie block — and
+    * every prefix outside it — is deterministic, which is exactly what
+    * consumers that reduce tie blocks with order-free aggregates (max,
+    * min, sum; e.g. q_peak_concurrency's sweep) rely on. Consumers that
+    * read an individual tied row's prefix need the unique-key form.
+    * Values are read as doubles; for
     * INTEGER-VALUED inputs (token counts, byte sizes — the packing use
     * cases) every partial sum is exact, so results are bit-identical
     * regardless of where range-partition boundaries fall. Fractional

@@ -218,9 +218,13 @@ object SourceQueries {
     // Order-independent table fingerprint — the cheap way to prove two
     // copies of a 100 TB table identical without sorting either: each
     // row serializes (unit separator chr(31), null marker chr(30)),
-    // hashes to a 60-bit integer (15 md5 hex digits), and the SUM of
-    // row hashes — exact, associative, partition-order-free — plus the
-    // row count is the table's content fingerprint. Emitted per source
+    // hashes, and the SUM of row hashes — exact, associative,
+    // partition-order-free — plus the row count is the table's content
+    // fingerprint. The hash is carried as TWO independent small-width
+    // integers (md5 hex digits 1-7 = 28 bits, digits 8-15 = 32 bits):
+    // every sum stays far inside BIGINT at any gate scale, so neither
+    // engine ever routes through a wide-decimal intermediate whose
+    // canonicalization could differ across builds. Emitted per source
     // so a mismatch localizes. One scan, one aggregate; compare
     // fingerprints across replicas/engines/migrations byte-for-byte.
     "q_table_fingerprint" -> { (s, dir) =>
@@ -229,12 +233,14 @@ object SourceQueries {
           coalesce(col(c).cast("string"), lit("\u001e")))
         .reduce((a, b) => concat(a, lit("\u001f"), b))
       t(s, dir, "documents")
+        .select(col("source"), md5(ser).as("m"))
         .select(col("source"),
-          conv(substring(md5(ser), 1, 15), 16, 10).cast("long").as("h"))
+          conv(substring(col("m"), 1, 7), 16, 10).cast("long").as("h1"),
+          conv(substring(col("m"), 8, 8), 16, 10).cast("long").as("h2"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .as("fingerprint"))
+          sum(col("h1")).cast("long").as("fp_hi"),
+          sum(col("h2")).cast("long").as("fp_lo"))
         .orderBy("source")
     },
 
@@ -386,19 +392,24 @@ object SourceQueries {
         |    FROM o)
         |SELECT * FROM u ORDER BY table_name, rule_name""".stripMargin,
 
-    // Identical serialization (chr(31) separators, chr(30) nulls) and
-    // 60-bit md5-prefix row hash; HUGEINT sum cast to DECIMAL(38,0) to
-    // match the engine's exact decimal sum type.
+    // Identical serialization (chr(31) separators, chr(30) nulls); two
+    // independent small-width hash halves (hex digits 1-7 and 8-15)
+    // summed as plain BIGINTs — no wide-decimal intermediate whose
+    // canonicalization could vary across builds.
     "q_table_fingerprint" ->
-      """SELECT source, count(*) AS n_rows,
-        |  CAST(sum(CAST(('0x' || substr(md5(
+      """WITH h AS (SELECT source, md5(
         |    COALESCE(CAST(doc_id AS VARCHAR), chr(30)) || chr(31) ||
         |    COALESCE(text, chr(30)) || chr(31) ||
         |    COALESCE(lang, chr(30)) || chr(31) ||
         |    COALESCE(source, chr(30)) || chr(31) ||
-        |    COALESCE(CAST(n_chars AS VARCHAR), chr(30))), 1, 15))
-        |    AS BIGINT)) AS DECIMAL(38,0)) AS fingerprint
-        |FROM documents
+        |    COALESCE(CAST(n_chars AS VARCHAR), chr(30))) AS m
+        |  FROM documents)
+        |SELECT source, count(*) AS n_rows,
+        |  CAST(sum(CAST(('0x' || substr(m, 1, 7)) AS BIGINT))
+        |    AS BIGINT) AS fp_hi,
+        |  CAST(sum(CAST(('0x' || substr(m, 8, 8)) AS BIGINT))
+        |    AS BIGINT) AS fp_lo
+        |FROM h
         |GROUP BY source
         |ORDER BY source""".stripMargin,
 

@@ -429,7 +429,12 @@ object TextQueries {
         .select(col("b").as("decile"),
           col("docs_cum").cast("long").as("docs_cum"),
           col("vocab_cum").cast("long").as("vocab_cum"))
-      val m = curve.select(log(col("docs_cum").cast("double")).as("x"),
+      // Degenerate-slice guard: a decile whose cumulative vocab (or
+      // docs) is 0 has no defined log point — drop it on BOTH sides
+      // (DuckDB's ln(0) errors where Spark's log() yields NULL).
+      val m = curve
+        .filter(col("docs_cum") > 0 && col("vocab_cum") > 0)
+        .select(log(col("docs_cum").cast("double")).as("x"),
           log(col("vocab_cum").cast("double")).as("y"))
         .agg(count(lit(1)).cast("double").as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -1929,7 +1934,8 @@ object TextQueries {
         |  FROM (
         |    SELECT ln(CAST(docs_cum AS DOUBLE)) AS x,
         |      ln(CAST(vocab_cum AS DOUBLE)) AS y
-        |    FROM curve))
+        |    FROM curve
+        |    WHERE docs_cum > 0 AND vocab_cum > 0))
         |SELECT decile, docs_cum, vocab_cum,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
         |    AS heaps_beta

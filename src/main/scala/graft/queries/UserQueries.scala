@@ -208,20 +208,25 @@ object UserQueries {
 
     // Engagement day-bitmaps — the bitset encoding of "which days was
     // each user active" that engagement warehouses keep instead of raw
-    // event rows: one BIGINT per user per month (day d sets bit d−1),
-    // built by a `bit_or` aggregate (associative, partial-aggregated
-    // map-side — per-user state is ONE long at any event volume), then
-    // the activity histogram via `bit_count`. The same masks support
+    // event rows: one BIGINT per user per 64-day epoch page (epoch day
+    // d sets bit d mod 64 of page d div 64 — calendar-free, so data
+    // spanning any month/year boundary never aliases), built by a
+    // `bit_or` aggregate (associative, partial-aggregated map-side —
+    // per-user-page state is ONE long at any event volume), then the
+    // activity histogram via summed `bit_count`. The same masks support
     // streak/overlap queries as pure integer ops. Identical spelling in
     // both engines; all integers.
     "q_engagement_bitmap" -> { (s, dir) =>
-      events(s, dir)
-        .select(col("user_id"),
-          expr("shiftleft(CAST(1 AS BIGINT), " +
-            "EXTRACT(DAY FROM ts) - 1)").as("daybit"))
-        .groupBy("user_id")
+      ev(s, dir)
+        .select(col("user_id"), expr("us div 86400000000").as("d"))
+        .select(col("user_id"), expr("d div 64").as("page"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(d % 64 AS INT))")
+            .as("daybit"))
+        .groupBy("user_id", "page")
         .agg(expr("bit_or(daybit)").as("mask"))
-        .select(expr("CAST(bit_count(mask) AS BIGINT)").as("active_days"))
+        .groupBy("user_id")
+        .agg(expr("CAST(sum(bit_count(mask)) AS BIGINT)")
+          .as("active_days"))
         .groupBy("active_days")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("active_days")
@@ -235,9 +240,8 @@ object UserQueries {
     // user-partitioned (no task holds more than one user's days ≤ 31
     // rows here, ≤ span-days in general).
     "q_activity_streaks" -> { (s, dir) =>
-      val days = events(s, dir)
-        .select(col("user_id"),
-          expr("CAST(EXTRACT(DAY FROM ts) AS BIGINT)").as("d"))
+      val days = ev(s, dir)
+        .select(col("user_id"), expr("us div 86400000000").as("d"))
         .distinct()
       val w = Window.partitionBy("user_id").orderBy("d")
       val streaks = days
@@ -514,21 +518,24 @@ object UserQueries {
          |FROM r""".stripMargin,
 
     "q_engagement_bitmap" ->
-      """WITH m AS (
-        |  SELECT user_id,
-        |    bit_or(CAST(1 AS BIGINT) <<
-        |      (EXTRACT(DAY FROM CAST(ts AS TIMESTAMP)) - 1)) AS mask
-        |  FROM events GROUP BY user_id)
-        |SELECT CAST(bit_count(mask) AS BIGINT) AS active_days,
-        |  count(*) AS n_users
-        |FROM m
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $evSql,
+         |dd AS (SELECT user_id, us // 86400000000 AS d FROM ev),
+         |m AS (
+         |  SELECT user_id,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(d % 64 AS INT)) AS mask
+         |  FROM dd GROUP BY user_id, d // 64),
+         |a AS (
+         |  SELECT user_id,
+         |    CAST(sum(bit_count(mask)) AS BIGINT) AS active_days
+         |  FROM m GROUP BY user_id)
+         |SELECT active_days, count(*) AS n_users
+         |FROM a
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_activity_streaks" ->
-      """WITH d AS (
-        |  SELECT DISTINCT user_id,
-        |    CAST(EXTRACT(DAY FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS d
-        |  FROM events),
+      s"""WITH $evSql,
+         |d AS (
+         |  SELECT DISTINCT user_id, us // 86400000000 AS d FROM ev),
         |i AS (
         |  SELECT user_id, d,
         |    d - row_number() OVER (PARTITION BY user_id ORDER BY d)

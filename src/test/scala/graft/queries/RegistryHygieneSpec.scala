@@ -55,4 +55,32 @@ class RegistryHygieneSpec extends AnyFlatSpec with Matchers {
       graft.SparkEntry.queries.keySet
     withClue(s"oracles without gates: $orphans: ") { orphans shouldBe empty }
   }
+
+  it should "never alias a wide-typed cast as an oracle output column" in {
+    // The r8 q_table_fingerprint lesson: an output column whose VALUE
+    // rides a HUGEINT/DECIMAL(38,·) cast has cross-build
+    // canonicalization surface in the driver's typed hash. Wide types
+    // are fine as intermediates (always re-cast to BIGINT/DOUBLE before
+    // aliasing); this tripwire catches the cast-then-alias shape
+    // textually, and tools/check_oracle.py enforces the authoritative
+    // DESCRIBE-level allowlist (BIGINT/DOUBLE/VARCHAR/BOOLEAN/
+    // TIMESTAMP/DATE/INTEGER) on every oracle's actual result relation.
+    // Scoped to the FINAL select clause — wide casts aliased inside CTEs
+    // are sanctioned intermediates (consumers re-cast before output).
+    // `AS DOUBLE`/`AS BIGINT` after the close-paren is an ENCLOSING cast
+    // narrowing the wide value — the sanctioned spelling, not an alias.
+    val wideAliased =
+      ("""(?is)AS\s+(?:DECIMAL\s*\(\s*3[0-9][^)]*\)|HUGEINT)\s*\)\s*""" +
+        """AS\s+(?!DOUBLE\b|BIGINT\b)\w+""").r
+    graft.SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val finalSelect = sql.lastIndexOf("SELECT") match {
+        case -1 => sql
+        case i  => sql.substring(i)
+      }
+      withClue(s"$name: wide-typed cast aliased directly as an output " +
+        "column (re-cast to BIGINT/DOUBLE first): ") {
+        wideAliased.findFirstIn(finalSelect) shouldBe None
+      }
+    }
+  }
 }

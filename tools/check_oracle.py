@@ -18,6 +18,13 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# The build-portable output-type set: types whose DuckDB value
+# canonicalization is identical across builds and matches what the
+# engine emits via parquet. Oracles may use wider types internally but
+# must cast every OUTPUT column into this set.
+SAFE_TYPES = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "TIMESTAMP",
+              "DATE", "INTEGER"}
+
 
 def col_types(con, sql):
     """Column-name -> DuckDB type name for an arbitrary query."""
@@ -91,6 +98,17 @@ def main():
         if type_bad:
             print(f"FAIL  {name}: column type divergence "
                   f"(engine vs oracle): {type_bad}")
+            n_fail += 1
+            continue
+        # Allowlist gate: every oracle output type must come from the
+        # build-portable set. Wide types (HUGEINT, DECIMAL(38,...)) have
+        # cross-build canonicalization surface in the driver's typed
+        # hash (the r8 q_table_fingerprint lesson) — intermediates may
+        # use them, output columns may not.
+        unsafe = {c: t for c, t in want_t.items() if t not in SAFE_TYPES}
+        if unsafe:
+            print(f"FAIL  {name}: non-portable oracle output types "
+                  f"{unsafe} (allowed: {sorted(SAFE_TYPES)})")
             n_fail += 1
             continue
         if len(g) != len(w):

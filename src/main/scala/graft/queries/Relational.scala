@@ -1012,6 +1012,97 @@ object Relational {
         .orderBy("p_brand")
     },
 
+    // TPC-H Q2 shape (min-cost supplier): the correlated MIN subquery
+    // ("cost = (SELECT min(ps_supplycost) WHERE ps_partkey =
+    // p_partkey)") decorrelated the Spark-first way: build the
+    // partsupp-equivalent relation ONCE from lineitem (min decimal
+    // price a supplier ever charged per part — min is exact and
+    // order-free), derive the per-part floor with a second groupBy,
+    // and equi-join the two on (part, cost) — zero correlated
+    // execution. Both aggregates shuffle on the part key and partial-
+    // aggregate map-side; the p_type/p_size filters prune the part
+    // scan BEFORE the join, so the offered relation carries only the
+    // filtered parts at any SF. Ties (several suppliers at the floor
+    // price) all emit, ordered deterministically.
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast(DecimalType(18, 6)))
+          .as("supplycost"))
+      val parts = t(s, dir, "part")
+        .filter(col("p_type") === "PROMO" && col("p_size") <= 25)
+        .select("p_partkey")
+      val offered = ps.join(parts, col("l_partkey") === col("p_partkey"))
+      val floor = offered.groupBy("p_partkey")
+        .agg(min(col("supplycost")).as("min_cost"))
+      offered
+        .join(floor, Seq("p_partkey"))
+        .filter(col("supplycost") === col("min_cost"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("n_name"),
+          col("supplycost").cast(DoubleType).as("supplycost"))
+        .orderBy("p_partkey", "s_suppkey")
+    },
+
+    // TPC-H Q15 shape (top supplier via revenue view): the CREATE VIEW
+    // + correlated "revenue = (SELECT max(...))" pattern as one
+    // aggregate + a one-row broadcast: quarterly revenue per supplier
+    // (exact decimal sum, shipdate filter pushed into the scan), the
+    // global max as a scalar aggregate, and an EXACT decimal equality
+    // back onto the view — ties all emit, and the compare can never
+    // flip between engines because both sides carry the identical
+    // decimal sum, not a divided/rounded double.
+    "q15_top_supplier" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("rev_dec"))
+      val top = rev.agg(max(col("rev_dec")).as("max_rev"))
+      rev.crossJoin(broadcast(top)) // scalar aggregate — sanctioned
+        .filter(col("rev_dec") === col("max_rev"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast(DoubleType).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q20 shape (excess-inventory suppliers, nested subquery
+    // chain): "suppliers who supply a named part AND moved more than
+    // half their lifetime volume of it in one year" — three nested
+    // IN/correlated subqueries in the reference SQL, decorrelated into
+    // a left-semi chain: ONE pass over lineitem computes lifetime and
+    // in-window quantity per (part, supplier) simultaneously
+    // (conditional decimal sums — never two scans), a semi join
+    // against the name-filtered part list prunes pairs, the
+    // cross-multiplied exact compare (2·q_win > q_all, no division)
+    // selects pairs, and a second semi join lifts to suppliers.
+    // Semi joins never duplicate and carry only the key column.
+    "q20_excess_shippers" -> { (s, dir) =>
+      val parts = t(s, dir, "part")
+        .filter(col("p_name").startsWith("large"))
+        .select("p_partkey")
+      val shipped = t(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("q_all"),
+          sum(when(year(col("l_shipdate")) === 1996, col("l_quantity"))
+            .otherwise(0).cast(DecimalType(18, 4))).as("q_win"))
+      val eligible = shipped
+        .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .filter(col("q_win") * 2 > col("q_all"))
+        .select("l_suppkey").distinct()
+      t(s, dir, "supplier")
+        .join(eligible, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_suppkey")
+    },
+
     // Revenue bridge (price/volume decomposition) — the FP&A question
     // behind every period-over-period revenue delta: per brand, how
     // much of ΔR came from shipping MORE (volume at old prices,
@@ -1468,6 +1559,63 @@ object Relational {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,6))) AS supplycost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |pf AS (
+        |  SELECT p_partkey FROM part
+        |  WHERE p_type = 'PROMO' AND p_size <= 25),
+        |off AS (
+        |  SELECT p_partkey, l_suppkey, supplycost
+        |  FROM ps JOIN pf ON l_partkey = p_partkey),
+        |mc AS (
+        |  SELECT p_partkey AS mk, min(supplycost) AS min_cost
+        |  FROM off GROUP BY p_partkey)
+        |SELECT p_partkey, s_suppkey, s_name, n_name,
+        |  CAST(supplycost AS DOUBLE) AS supplycost
+        |FROM off
+        |JOIN mc ON p_partkey = mk AND supplycost = min_cost
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT max(rev_dec) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev CROSS JOIN mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = max_rev
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q20_excess_shippers" ->
+      """WITH pf AS (
+        |  SELECT p_partkey FROM part WHERE p_name LIKE 'large%'),
+        |sh AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS q_all,
+        |    SUM(CAST(CASE WHEN EXTRACT(YEAR FROM l_shipdate) = 1996
+        |      THEN l_quantity ELSE 0 END AS DECIMAL(18,4))) AS q_win
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |el AS (
+        |  SELECT DISTINCT l_suppkey FROM sh
+        |  WHERE l_partkey IN (SELECT p_partkey FROM pf)
+        |    AND q_win * 2 > q_all)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM el)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q11_brand_share" ->
       """WITH per AS (

@@ -1103,6 +1103,114 @@ object Relational {
         .orderBy("s_suppkey")
     },
 
+    // TPC-H Q6 shape (forecast revenue change): the canonical
+    // single-table band filter-aggregate — year, discount band,
+    // quantity cap, all pushed into the parquet scan (PushedFilters
+    // carries the shipdate bounds and quantity cap; the discount band
+    // compares the SAME stored doubles in both engines, so the cut is
+    // identical). One partial-aggregated scan, one output row: what
+    // revenue would have been gained by eliminating these discounts.
+    "q6_forecast_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * col("l_discount"), 6)
+            .as("revenue"))
+    },
+
+    // TPC-H Q9 shape (product-type profit by nation and year): the
+    // 5-table join tree with a computed profit expression. partsupp's
+    // supplycost doesn't exist in this schema, so unit cost is the
+    // part's retail price (same expression shape: revenue minus
+    // quantity-scaled cost). The p_name filter prunes part BEFORE the
+    // join (the Q9 pattern the planner must preserve); nation is a
+    // constant broadcast; profit terms are cast to decimal per-row so
+    // the sum is exact and order-free in both engines.
+    "q9_product_profit" -> { (s, dir) =>
+      val parts = t(s, dir, "part")
+        .filter(col("p_name").contains("bolt"))
+        .select("p_partkey", "p_retailprice")
+      t(s, dir, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity"), 6).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q10 shape (returned-item losers): which customers sent the
+    // most revenue back last quarter. lineitem pre-filtered to
+    // returnflag='R', orders pre-filtered to the quarter — both filters
+    // reach their scans before the fact-fact shuffle join; customer
+    // joins on the order's key, nation broadcasts. Top 20 with a full
+    // deterministic tie-break (revenue desc, then custkey).
+    "q10_returned_items" -> { (s, dir) =>
+      val ret = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      ret.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q14 shape (promo revenue share): what fraction of one
+    // month's revenue came from promo parts. ONE conditional-sum pass
+    // (never two scans), exact decimal terms, one double division at
+    // the end rounded to the same grain in both engines.
+    "q14_promo_share" -> { (s, dir) =>
+      val parts = t(s, dir, "part").select("p_partkey", "p_type")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(0), 6).as("promo_revenue"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(lit(100) * col("promo_revenue") / col("total_revenue"), 6)
+            .as("promo_share_pct"))
+    },
+
+    // TPC-H Q16 shape (supplier-count distribution per part attribute):
+    // how many distinct suppliers ship each (brand, type, size) — the
+    // assortment-breadth question. The partsupp-equivalent is the
+    // distinct (part, supplier) pair set from lineitem (one
+    // pre-aggregation, shuffles on the part key once); the brand/type
+    // exclusions prune part before the join. Group count is bounded by
+    // the attribute-combination space (|brands|x|types|x|sizes|), not
+    // by rows, at any SF.
+    "q16_part_suppliers" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      pairs.join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
     // Revenue bridge (price/volume decomposition) — the FP&A question
     // behind every period-over-period revenue delta: per brand, how
     // much of ΔR came from shipping MORE (volume at old prices,
@@ -1616,6 +1724,72 @@ object Relational {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM el)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) -
+        |    p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH m AS (
+        |  SELECT
+        |    SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |      AS DECIMAL(18,6))) AS promo_dec,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,6))) AS total_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT CAST(promo_dec AS DOUBLE) AS promo_revenue,
+        |  CAST(total_dec AS DOUBLE) AS total_revenue,
+        |  round(100 * CAST(promo_dec AS DOUBLE) /
+        |    CAST(total_dec AS DOUBLE), 6) AS promo_share_pct
+        |FROM m""".stripMargin,
+
+    "q16_part_suppliers" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "q11_brand_share" ->
       """WITH per AS (

@@ -344,6 +344,86 @@ object StatQueries {
         ranked, cols.map("r_" + _), scale = 6, inputScale = 0)
     },
 
+    // Kendall tau-b — the OTHER rank correlation, computed WITHOUT ever
+    // pairing rows: the corpus reduces to its joint contingency grid
+    // (|quantity domain| x |discount domain| cells, a few hundred at any
+    // SF) in one partial-agg pass, and concordant / discordant pair
+    // counts come from the grid's self-product — a broadcast
+    // nested-loop over the bounded grid, never a row-level pair
+    // shuffle. C, D and the tie terms are exact BIGINTs (largest term
+    // n(n-1)/2 ~ 2e15 at sf1, far inside BIGINT); tau_b divides them
+    // once in doubles, as two sqrt factors so the (N0-Tx)(N0-Ty)
+    // product never materializes.
+    "q_kendall_tau" -> { (s, dir) =>
+      val cells = t(s, dir, "lineitem")
+        .groupBy(col("l_quantity").as("x"), col("l_discount").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val c2 = cells.select(col("x").as("x2"), col("y").as("y2"),
+        col("c").as("c2"))
+      val cd = cells.join(broadcast(c2), col("x2") > col("x")) // bounded grid
+        .agg(
+          coalesce(sum(when(col("y2") > col("y"), col("c") * col("c2"))),
+            lit(0L)).cast("long").as("n_conc"),
+          coalesce(sum(when(col("y2") < col("y"), col("c") * col("c2"))),
+            lit(0L)).cast("long").as("n_disc"))
+      val tot = cells.agg(sum(col("c")).cast("long").as("n"))
+      val tx = cells.groupBy("x")
+        .agg(sum(col("c")).cast("long").as("cx"))
+        .agg(sum(expr("cx * (cx - 1) div 2")).cast("long").as("tie_x"))
+      val ty = cells.groupBy("y")
+        .agg(sum(col("c")).cast("long").as("cy"))
+        .agg(sum(expr("cy * (cy - 1) div 2")).cast("long").as("tie_y"))
+      cd.crossJoin(broadcast(tot)) // scalar aggregates — sanctioned
+        .crossJoin(broadcast(tx))
+        .crossJoin(broadcast(ty))
+        .select(col("n"), col("n_conc"), col("n_disc"),
+          col("tie_x"), col("tie_y"),
+          round((col("n_conc") - col("n_disc")).cast("double") /
+            (sqrt(expr("n * (n - 1) div 2 - tie_x").cast("double")) *
+             sqrt(expr("n * (n - 1) div 2 - tie_y").cast("double"))), 6)
+            .as("tau_b"))
+    },
+
+    // Mann-Whitney U (Wilcoxon rank-sum) between returned ('R') and
+    // accepted ('A') line items on extended price — the nonparametric
+    // two-sample test. No global sort and no per-row rank join: one
+    // pass reduces the corpus to the (value, count_R, count_A) frame
+    // (bounded by the price DOMAIN, not rows), one distributed
+    // PrefixSum in value order yields each value's count of smaller
+    // A-rows, and 2U_R = sum cr*(2*prefix_A + ca) is exact-integer
+    // (the x2 keeps tie half-credits integral). AUC effect size and
+    // the tie-corrected normal z divide the same exact integers once,
+    // spelled identically in both engines.
+    "q_mann_whitney" -> { (s, dir) =>
+      val frame = t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .groupBy(col("l_extendedprice").as("v"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .cast("long").as("cr"),
+          sum(when(col("l_returnflag") === "A", 1L).otherwise(0L))
+            .cast("long").as("ca"))
+      val pre = PrefixSum.withExclusivePrefix(frame, Seq("v"), "ca")
+        .select(col("cr"), col("ca"), col("prefix").cast("long").as("pa"))
+      pre.agg(
+          sum(col("cr")).cast("long").as("n_r"),
+          sum(col("ca")).cast("long").as("n_a"),
+          sum(col("cr") * (lit(2L) * col("pa") + col("ca"))).cast("long")
+            .as("u2_r"),
+          sum((col("cr") + col("ca")) * (col("cr") + col("ca")) *
+            (col("cr") + col("ca")) - (col("cr") + col("ca")))
+            .cast("long").as("tie_term"))
+        .select(col("n_r"), col("n_a"), col("u2_r"),
+          round(col("u2_r").cast("double") /
+            (lit(2.0) * col("n_r") * col("n_a")), 6).as("auc"),
+          round((col("u2_r") / lit(2) -
+            col("n_r") * col("n_a") / lit(2)) /
+            sqrt(col("n_r") * col("n_a") / lit(12.0) *
+              ((col("n_r") + col("n_a") + 1) -
+                col("tie_term") / (lit(1.0) * (col("n_r") + col("n_a")) *
+                  (col("n_r") + col("n_a") - 1)))), 6).as("z"))
+    },
+
     // Exact nearest-rank percentiles WITHOUT per-group buffers — the
     // 100 TB-safe spelling of `percentile()`: Spark's exact percentile
     // aggregate buffers each group's values in memory (fine at gate
@@ -651,6 +731,62 @@ object StatQueries {
       graft.stats.Correlation.pairwiseCorrSql(sub,
         Seq("r_l_quantity", "r_l_discount", "r_l_tax"),
         scale = 6, inputScale = 0)
-    }
+    },
+
+    "q_kendall_tau" ->
+      """WITH cells AS (
+        |  SELECT l_quantity AS x, l_discount AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT
+        |    CAST(COALESCE(sum(CASE WHEN b.y > a.y THEN a.c * b.c END), 0)
+        |      AS BIGINT) AS n_conc,
+        |    CAST(COALESCE(sum(CASE WHEN b.y < a.y THEN a.c * b.c END), 0)
+        |      AS BIGINT) AS n_disc
+        |  FROM cells a JOIN cells b ON b.x > a.x),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |tx AS (
+        |  SELECT CAST(sum(cx * (cx - 1) // 2) AS BIGINT) AS tie_x
+        |  FROM (SELECT CAST(sum(c) AS BIGINT) AS cx
+        |        FROM cells GROUP BY x)),
+        |ty AS (
+        |  SELECT CAST(sum(cy * (cy - 1) // 2) AS BIGINT) AS tie_y
+        |  FROM (SELECT CAST(sum(c) AS BIGINT) AS cy
+        |        FROM cells GROUP BY y))
+        |SELECT n, n_conc, n_disc, tie_x, tie_y,
+        |  round((n_conc - n_disc) /
+        |    (sqrt(CAST(n * (n - 1) // 2 - tie_x AS DOUBLE)) *
+        |     sqrt(CAST(n * (n - 1) // 2 - tie_y AS DOUBLE))), 6) AS tau_b
+        |FROM cd, tot, tx, ty""".stripMargin,
+
+    "q_mann_whitney" ->
+      """WITH f AS (
+        |  SELECT l_extendedprice AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT cr, ca,
+        |    CAST(COALESCE(sum(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pa
+        |  FROM f),
+        |m AS (
+        |  SELECT CAST(sum(cr) AS BIGINT) AS n_r,
+        |    CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cr * (2 * pa + ca)) AS BIGINT) AS u2_r,
+        |    CAST(sum((cr + ca) * (cr + ca) * (cr + ca) - (cr + ca))
+        |      AS BIGINT) AS tie_term
+        |  FROM p)
+        |SELECT n_r, n_a, u2_r,
+        |  round(u2_r / (2.0 * n_r * n_a), 6) AS auc,
+        |  round((u2_r / 2 - n_r * n_a / 2) /
+        |    sqrt(n_r * n_a / 12.0 * ((n_r + n_a + 1) -
+        |      tie_term / (1.0 * (n_r + n_a) * (n_r + n_a - 1)))), 6) AS z
+        |FROM m""".stripMargin
   )
 }

@@ -824,6 +824,39 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // Hour-of-day seasonal profile + residual variance — the additive
+    // decomposition every traffic dashboard runs: gap-fill the hourly
+    // count series over the observed span (slot grid bounded by TIME
+    // SPAN, not data volume — one sequence explode from a scalar
+    // bounds row), key each slot by epoch-hour mod 24 (calendar-free;
+    // no month/DST aliasing), then per hour-of-day the seasonal mean
+    // and the residual variance around it. Every sum is an exact
+    // integer (counts and squared counts); the two divisions per
+    // 24-row output happen once, identically spelled in both engines.
+    "q_seasonal_profile" -> { (s, dir) =>
+      val counts = ev2(s, dir)
+        .groupBy(col("hb").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val bounds = counts.agg(min(col("hr")).as("mn"),
+        max(col("hr")).as("mx"))
+      val slots = bounds
+        .select(explode(sequence(col("mn"), col("mx"))).as("hr"))
+      slots.join(counts, Seq("hr"), "left")
+        .select(expr("hr % 24").as("hod"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .groupBy("hod")
+        .agg(count(lit(1)).as("n_slots"),
+          sum(col("c")).cast("long").as("total_events"),
+          sum(col("c") * col("c")).cast("long").as("ss"))
+        .select(col("hod"), col("n_slots"), col("total_events"),
+          round(col("total_events") / (lit(1.0) * col("n_slots")), 6)
+            .as("seasonal_mean"),
+          round((col("ss") - lit(1.0) * col("total_events") *
+            col("total_events") / col("n_slots")) / col("n_slots"), 6)
+            .as("resid_var"))
+        .orderBy("hod")
+    },
+
     "q_funnel_1h" -> { (s, dir) =>
       val ev = events(s, dir)
       val views = ev.filter(col("event_type") === "view")
@@ -1806,6 +1839,28 @@ object EventQueries {
          |FROM f
          |GROUP BY 1
          |ORDER BY user_id""".stripMargin,
+
+    "q_seasonal_profile" ->
+      """WITH c AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM c),
+        |grid AS (SELECT unnest(range(mn, mx + 1)) AS hr FROM b),
+        |f AS (
+        |  SELECT g.hr % 24 AS hod, COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN c ON g.hr = c.hr),
+        |m AS (
+        |  SELECT hod, count(*) AS n_slots,
+        |    CAST(sum(c) AS BIGINT) AS total_events,
+        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM f GROUP BY hod)
+        |SELECT hod, n_slots, total_events,
+        |  round(total_events / (1.0 * n_slots), 6) AS seasonal_mean,
+        |  round((ss - 1.0 * total_events * total_events / n_slots) /
+        |    n_slots, 6) AS resid_var
+        |FROM m
+        |ORDER BY hod""".stripMargin,
 
     "q_funnel_1h" ->
       """SELECT count(DISTINCT v.user_id) AS n_users,

@@ -424,6 +424,108 @@ object StatQueries {
                   (col("n_r") + col("n_a") - 1)))), 6).as("z"))
     },
 
+    // Kruskal-Wallis H — the k-group generalization of q_mann_whitney
+    // (rank ANOVA across ALL THREE return flags at once). Same
+    // 100 TB shape: one pass to the (value, per-group counts) domain
+    // frame, ONE distributed PrefixSum for doubled midranks (2r keeps
+    // tie averages integral), per-group doubled rank sums as exact
+    // BIGINTs. H and its tie correction then evaluate in ONE double
+    // formula over those exact integers — spelled identically in both
+    // engines, so every intermediate double is bit-equal.
+    "q_kruskal_wallis" -> { (s, dir) =>
+      val frame = t(s, dir, "lineitem")
+        .groupBy(col("l_extendedprice").as("v"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .cast("long").as("cr"),
+          sum(when(col("l_returnflag") === "A", 1L).otherwise(0L))
+            .cast("long").as("ca"),
+          sum(when(col("l_returnflag") === "N", 1L).otherwise(0L))
+            .cast("long").as("cn"))
+        .withColumn("ct", col("cr") + col("ca") + col("cn"))
+      val pre = PrefixSum.withExclusivePrefix(frame, Seq("v"), "ct")
+        .select(col("cr"), col("ca"), col("cn"), col("ct"),
+          (lit(2L) * col("prefix").cast("long") + col("ct") + lit(1L))
+            .as("r2"))
+      pre.agg(
+          sum(col("ct")).cast("long").as("n"),
+          sum(col("cr")).cast("long").as("n_r"),
+          sum(col("ca")).cast("long").as("n_a"),
+          sum(col("cn")).cast("long").as("n_n"),
+          sum(col("cr") * col("r2")).cast("long").as("r2_r"),
+          sum(col("ca") * col("r2")).cast("long").as("r2_a"),
+          sum(col("cn") * col("r2")).cast("long").as("r2_n"),
+          sum(col("ct") * col("ct") * col("ct") - col("ct")).cast("long")
+            .as("tie_term"))
+        .select(col("n"), col("n_r"), col("n_a"), col("n_n"),
+          expr("""round((12.0 / (n * (n + 1.0)) *
+            ((r2_r / 2) * (r2_r / 2) / n_r +
+             (r2_a / 2) * (r2_a / 2) / n_a +
+             (r2_n / 2) * (r2_n / 2) / n_n) - 3.0 * (n + 1)) /
+            (1.0 - tie_term / (1.0 * n * n * n - n)), 6)""")
+            .as("h_stat"))
+    },
+
+    // Robust location/scale per return flag — median, MAD (median
+    // absolute deviation) and the 10% trimmed mean, the outlier-proof
+    // summary trio. 100 TB shape: every statistic reads the (group,
+    // value, count) DOMAIN frame (never per-group value buffers);
+    // medians are nearest-rank via the rebased-PrefixSum cumulative
+    // frame (the q_exact_percentile_dist machinery — PrefixSum's
+    // localCheckpoint materializes the frame once for both the median
+    // and the trim pass); MAD re-runs the same machinery over
+    // |v − median| (deviations from a 3-row broadcast); the trimmed
+    // mean gives each value partial credit clamp(min(cum,hi) −
+    // max(pre,lo), 0..cnt) — exact integer credits, exact decimal
+    // value-weighted sum, ONE double division at the end.
+    "q_robust_stats" -> { (s, dir) =>
+      def cumFrame(df: DataFrame): DataFrame = {
+        val pre = PrefixSum.withExclusivePrefix(df, Seq("flag", "v"), "cnt")
+          .select(col("flag"), col("v"), col("cnt"),
+            col("prefix").cast("long").as("gpre"))
+        val base = pre.groupBy("flag")
+          .agg(min(col("gpre")).as("base"),
+            sum(col("cnt")).cast("long").as("n"))
+        pre.join(broadcast(base), "flag")
+          .select(col("flag"), col("v"), col("cnt"), col("n"),
+            (col("gpre") - col("base")).as("pre"),
+            (col("gpre") - col("base") + col("cnt")).as("cum"))
+      }
+      val li = t(s, dir, "lineitem")
+      val frame = li.groupBy(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum1 = cumFrame(frame)
+      val med = cum1.groupBy("flag", "n")
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
+          .as("median"))
+      val devs = li.select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("p"))
+        .join(broadcast(med.select(col("flag"), col("median"))), "flag")
+        .select(col("flag"), abs(col("p") - col("median")).as("v"))
+        .groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
+      val mad = cumFrame(devs).groupBy("flag", "n")
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
+          .as("mad"))
+        .select(col("flag").as("f2"), col("mad"))
+      val trimmed = cum1
+        .select(col("flag"), col("v"), col("n"),
+          greatest(lit(0L),
+            least(col("cum"), expr("n - n div 10")) -
+              greatest(col("pre"), expr("n div 10"))).as("inc"))
+        .groupBy("flag", "n")
+        .agg(sum(col("v").cast(DecimalType(18, 6)) * col("inc"))
+          .as("tsum"))
+        .select(col("flag").as("f3"),
+          round(col("tsum").cast(DoubleType) /
+            (col("n") - lit(2) * expr("n div 10")), 6).as("trimmed_mean"))
+      med.select(col("flag").as("l_returnflag"), col("n"), col("median"))
+        .join(broadcast(mad), col("l_returnflag") === col("f2")).drop("f2")
+        .join(broadcast(trimmed), col("l_returnflag") === col("f3"))
+        .drop("f3")
+        .orderBy("l_returnflag")
+    },
+
     // Exact nearest-rank percentiles WITHOUT per-group buffers — the
     // 100 TB-safe spelling of `percentile()`: Spark's exact percentile
     // aggregate buffers each group's values in memory (fine at gate
@@ -787,6 +889,90 @@ object StatQueries {
         |  round((u2_r / 2 - n_r * n_a / 2) /
         |    sqrt(n_r * n_a / 12.0 * ((n_r + n_a + 1) -
         |      tie_term / (1.0 * (n_r + n_a) * (n_r + n_a - 1)))), 6) AS z
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q_kruskal_wallis" ->
+      """WITH f AS (
+        |  SELECT l_extendedprice AS v,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cn
+        |  FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT cr, ca, cn, cr + ca + cn AS ct,
+        |    2 * CAST(COALESCE(sum(cr + ca + cn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) + (cr + ca + cn) + 1 AS r2
+        |  FROM f),
+        |m AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS n,
+        |    CAST(sum(cr) AS BIGINT) AS n_r,
+        |    CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cn) AS BIGINT) AS n_n,
+        |    CAST(sum(cr * r2) AS BIGINT) AS r2_r,
+        |    CAST(sum(ca * r2) AS BIGINT) AS r2_a,
+        |    CAST(sum(cn * r2) AS BIGINT) AS r2_n,
+        |    CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tie_term
+        |  FROM p)
+        |SELECT n, n_r, n_a, n_n,
+        |  round((12.0 / (n * (n + 1.0)) *
+        |    ((r2_r / 2) * (r2_r / 2) / n_r +
+        |     (r2_a / 2) * (r2_a / 2) / n_a +
+        |     (r2_n / 2) * (r2_n / 2) / n_n) - 3.0 * (n + 1)) /
+        |    (1.0 - tie_term / (1.0 * n * n * n - n)), 6) AS h_stat
+        |FROM m""".stripMargin,
+
+    "q_robust_stats" ->
+      """WITH f AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT flag, v, cnt,
+        |    CAST(COALESCE(sum(cnt) OVER (PARTITION BY flag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pre,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM f),
+        |med AS (
+        |  SELECT flag, n,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median
+        |  FROM c1 GROUP BY flag, n),
+        |d AS (
+        |  SELECT l.l_returnflag AS flag,
+        |    abs(l.l_extendedprice - m.median) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem l JOIN med m ON l.l_returnflag = m.flag
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT flag, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT flag, min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+        |    AS mad
+        |  FROM c2 GROUP BY flag, n),
+        |tr AS (
+        |  SELECT flag,
+        |    round(CAST(sum(CAST(v AS DECIMAL(18,6)) *
+        |      GREATEST(0, LEAST(cum, n - n // 10) -
+        |        GREATEST(pre, n // 10))) AS DOUBLE) /
+        |      (n - 2 * (n // 10)), 6) AS trimmed_mean
+        |  FROM c1 GROUP BY flag, n)
+        |SELECT med.flag AS l_returnflag, med.n, med.median, mad.mad,
+        |  tr.trimmed_mean
+        |FROM med
+        |JOIN mad ON med.flag = mad.flag
+        |JOIN tr ON med.flag = tr.flag
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -29,6 +29,13 @@ object EventQueries {
 
   private val GapUs: Long = 1800L * 1000000L // 30 min session gap
 
+  /** Oracle-side twin of [[ev2]] (exact integer micros). */
+  private val ev2Sql =
+    """ev2 AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events)""".stripMargin
+
   /** events projected to exact integer time + hour bucket. */
   private def ev2(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(col("user_id"), col("event_id"),
@@ -855,6 +862,62 @@ object EventQueries {
             col("total_events") / col("n_slots")) / col("n_slots"), 6)
             .as("resid_var"))
         .orderBy("hod")
+    },
+
+    // Transition entropy per source event type — how predictable is the
+    // NEXT action after each event type? One user-partitioned window
+    // builds consecutive (src, dst) transitions (single shuffle on
+    // user_id), the transition matrix is domain-bounded (|types|^2),
+    // and H(src) = ln(N) - (1/N) sum n_ij ln n_ij. The n ln n terms are
+    // rounded to 9 dp and summed through scaled longs (exact,
+    // order-free); ln and the one division run once per bounded output
+    // row, identically in both engines.
+    "q_transition_entropy" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val tr = ev2(s, dir)
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("nij"))
+      tr.groupBy("src")
+        .agg(sum(col("nij")).cast("long").as("n_total"),
+          count(lit(1)).as("n_dst"),
+          dsumPre(round(col("nij").cast("double") *
+            log(col("nij").cast("double")), 9), 9).as("nlogn"))
+        .select(col("src"), col("n_total"), col("n_dst"),
+          round(log(col("n_total").cast("double")) -
+            col("nlogn") / col("n_total"), 6).as("entropy_nats"))
+        .orderBy("src")
+    },
+
+    // Hour-of-day anomaly sweep — q_seasonal_profile's decomposition
+    // turned into a detector with an EXACT integer decision rule: slot
+    // hr is anomalous iff (m*c - T)^2 > 9*(m*SS - T^2) — the 3-sigma
+    // cut cross-multiplied by m^2 so no division, sqrt, or float ever
+    // touches the boundary (a borderline slot classifies identically
+    // in both engines by construction). Frame sizes: slot grid bounded
+    // by time span, per-hod aggregate 24 rows broadcast back.
+    "q_hourly_anomaly" -> { (s, dir) =>
+      val counts = ev2(s, dir)
+        .groupBy(col("hb").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val bounds = counts.agg(min(col("hr")).as("mn"),
+        max(col("hr")).as("mx"))
+      val slots = bounds
+        .select(explode(sequence(col("mn"), col("mx"))).as("hr"))
+      val filled = slots.join(counts, Seq("hr"), "left")
+        .select(col("hr"), expr("hr % 24").as("hod"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val byHod = filled.groupBy("hod")
+        .agg(count(lit(1)).as("m"),
+          sum(col("c")).cast("long").as("tt"),
+          sum(col("c") * col("c")).cast("long").as("ss"))
+      filled.join(broadcast(byHod), Seq("hod"))
+        .filter(expr("""(m * c - tt) * (m * c - tt) >
+          9 * (m * ss - tt * tt)"""))
+        .select(col("hr"), col("hod"), col("c"),
+          round(col("tt") / (lit(1.0) * col("m")), 6).as("expected"))
+        .orderBy("hr")
     },
 
     "q_funnel_1h" -> { (s, dir) =>
@@ -1861,6 +1924,49 @@ object EventQueries {
         |    n_slots, 6) AS resid_var
         |FROM m
         |ORDER BY hod""".stripMargin,
+
+    "q_transition_entropy" ->
+      s"""WITH $ev2Sql,
+         |tr AS (
+         |  SELECT event_type AS src,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id) AS dst
+         |  FROM ev2),
+         |c AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS nij
+         |  FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |m AS (
+         |  SELECT src, CAST(sum(nij) AS BIGINT) AS n_total,
+         |    count(*) AS n_dst,
+         |    CAST(sum(CAST(round(nij * ln(nij), 9) AS DECIMAL(18,9)))
+         |      AS DOUBLE) AS nlogn
+         |  FROM c GROUP BY src)
+         |SELECT src, n_total, n_dst,
+         |  round(ln(CAST(n_total AS DOUBLE)) - nlogn / n_total, 6)
+         |    AS entropy_nats
+         |FROM m
+         |ORDER BY src""".stripMargin,
+
+    "q_hourly_anomaly" ->
+      """WITH c AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM c),
+        |grid AS (SELECT unnest(range(mn, mx + 1)) AS hr FROM b),
+        |f AS (
+        |  SELECT g.hr, g.hr % 24 AS hod, COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN c ON g.hr = c.hr),
+        |m AS (
+        |  SELECT hod, count(*) AS m, CAST(sum(c) AS BIGINT) AS tt,
+        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM f GROUP BY hod)
+        |SELECT f.hr, f.hod, f.c,
+        |  round(tt / (1.0 * m.m), 6) AS expected
+        |FROM f JOIN m ON f.hod = m.hod
+        |WHERE (m.m * f.c - tt) * (m.m * f.c - tt) >
+        |  9 * (m.m * ss - tt * tt)
+        |ORDER BY f.hr""".stripMargin,
 
     "q_funnel_1h" ->
       """SELECT count(DISTINCT v.user_id) AS n_users,

@@ -1,13 +1,15 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
-import org.apache.spark.sql.{DataFrame, Row}
 
 /** Distributed prefix scans for associative ops beyond addition —
-  * [[PrefixSum]]'s two-phase shape (range-repartition + in-partition
-  * sort, one tiny per-partition reduction job, driver scan over P
-  * partials, map-side emission) generalized to MAX.
+  * [[PrefixSum]]'s two-phase shape (range-repartition pinned once,
+  * partitioned window within each range bucket, per-bucket partials
+  * combined and broadcast back) generalized to MAX. Like PrefixSum this
+  * is pure DataFrame operators over a single materialized bucketing:
+  * one shuffle of the input, whole-stage codegen, no Row decode.
   *
   * The motivating operator is the 2-D skyline / Pareto frontier: a point
   * survives iff its y strictly exceeds the running maximum of y over all
@@ -22,57 +24,52 @@ object PrefixScan {
   /** Adds `prefix_max` (exclusive running max of `valueCol` — the max
     * over all STRICTLY PRECEDING rows in the total order of `sortCols`,
     * which must be a unique key). `valueCol` is read as a long and MUST
-    * be non-null on every row (callers feed aggregate outputs; a
-    * nullable input fails fast below rather than surfacing as an opaque
-    * NPE inside a task). The first row's prefix is the identity
+    * be non-null on every row (callers feed aggregate outputs; a NULL
+    * fails the job fast with a clear message rather than being silently
+    * skipped by the window max). The first row's prefix is the identity
     * `Long.MinValue`, so a strict `value > prefix_max` filter admits it
     * naturally.
     */
   def withExclusivePrefixMax(df: DataFrame, sortCols: Seq[String],
                              valueCol: String): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df
-      .repartitionByRange(spark.sparkContext.defaultParallelism,
-        sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-    val vIdx = sorted.schema.fieldIndex(valueCol)
-    def readValue(r: Row): Long = {
-      val raw = r.get(vIdx)
-      if (raw == null) throw new IllegalArgumentException(
-        s"PrefixScan.withExclusivePrefixMax: NULL in value column " +
-          s"'$valueCol' — prefix-max is defined over non-null values only")
-      raw.asInstanceOf[Number].longValue()
-    }
-    // Cached so the partition-reduce job and the output pass share one
-    // sort execution; released in finally (see PrefixSum for rationale).
-    val rdd = sorted.rdd.cache()
-    try {
-      val partMaxes = rdd
-        .mapPartitionsWithIndex { (pi, it) =>
-          var m = Long.MinValue
-          it.foreach { r =>
-            val v = readValue(r)
-            if (v > m) m = v
-          }
-          Iterator.single(pi -> m)
-        }
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = partMaxes.scanLeft(Long.MinValue)(math.max)
-      val bOffsets = spark.sparkContext.broadcast(offsets)
-      val out = rdd.mapPartitionsWithIndex { (pi, it) =>
-        var run = bOffsets.value(pi)
-        it.map { r =>
-          val v = readValue(r)
-          val row = Row.fromSeq(run +: r.toSeq)
-          if (v > run) run = v
-          row
-        }
-      }
-      spark.createDataFrame(out,
-          StructType(
-            StructField("prefix_max", LongType, nullable = false) +:
-              sorted.schema.fields))
-        .localCheckpoint(eager = true)
-    } finally { rdd.unpersist(blocking = false); () }
+    val numParts = spark.sparkContext.defaultParallelism
+    val checkedValue = when(col(valueCol).isNull,
+      raise_error(lit(s"PrefixScan.withExclusivePrefixMax: NULL in " +
+        s"value column '$valueCol' — prefix-max is defined over " +
+        "non-null values only")).cast("long"))
+      .otherwise(col(valueCol).cast("long"))
+    val bucketed = df
+      .repartitionByRange(numParts, sortCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      // Pinned ONCE: the window subplan and the totals subplan both read
+      // this materialized RDD, so the sampled range boundaries and pid
+      // assignment are a single fact — never re-derived per subplan
+      // (column pruning can make the two subplans canonically different,
+      // defeating exchange reuse; re-sampling then yields INCONSISTENT
+      // boundaries because aggregate output order is not stable).
+      .localCheckpoint(eager = true)
+      .withColumn("__v", checkedValue)
+    val w = Window.partitionBy("__pid")
+      .orderBy(sortCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("__local",
+      coalesce(max(col("__v")).over(w), lit(Long.MinValue)))
+    // ≤ numParts rows; the limit states the bound explicitly (the plan
+    // contract for an unpartitioned window: bounded input only).
+    val totals = bucketed.groupBy("__pid")
+      .agg(max(col("__v")).as("__tot"))
+      .limit(numParts)
+    val wo = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off",
+        coalesce(max(col("__tot")).over(wo), lit(Long.MinValue)))
+      .select(col("__pid"), col("__off"))
+    // Checkpointed — see PrefixSum for the fan-out rationale.
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("prefix_max", greatest(col("__off"), col("__local")))
+      .drop("__pid", "__v", "__local", "__off")
+      .localCheckpoint(eager = true)
   }
 }

@@ -1,8 +1,8 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-import org.apache.spark.sql.{DataFrame, Row}
 
 /** Distributed running totals in a global sort order — the primitive under
   * sequence packing (cut a corpus into fixed-token-budget bins), byte
@@ -10,12 +10,26 @@ import org.apache.spark.sql.{DataFrame, Row}
   *
   * The SQL spelling `SUM(v) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)`
   * plans a single-partition global sort at any scale. This is the
-  * classic two-phase scan instead: range-repartition + in-partition sort
-  * gives global order across partitions; one tiny job sums each
-  * partition; the driver prefix-sums those P values (P numbers, not
-  * rows); a map-side pass then emits each row's exclusive prefix =
-  * partition offset + running local sum. Two jobs, nothing heavier than
-  * a per-partition double on the driver.
+  * classic two-phase scan instead, expressed ENTIRELY in DataFrame
+  * operators so the whole pipeline stays in Tungsten/whole-stage codegen
+  * (the earlier RDD spelling paid a Row decode + re-encode of every row,
+  * ~half the op's wall-clock at sf0.1):
+  *
+  *   1. range-repartition on the sort key — global order ACROSS
+  *      partitions; each row learns its partition via
+  *      `spark_partition_id()`;
+  *   2. a PARTITIONED window (partition = the range bucket, never a
+  *      single-partition global sort) computes each row's running total
+  *      WITHIN its bucket;
+  *   3. per-bucket totals (≤ P rows, explicitly `limit`-bounded for the
+  *      plan contract) get their own exclusive running sum — the
+  *      per-partition offsets — and broadcast-join back.
+  *
+  * The bucketed frame is eagerly pinned so the range shuffle and pid
+  * assignment execute ONCE and both consuming subplans read the same
+  * materialized fact (`PrefixOpsSpec` asserts no range exchange remains
+  * in the consuming plan); the whole op is one shuffle of the input,
+  * one window pass, and a P-row side computation.
   */
 object PrefixSum {
 
@@ -30,55 +44,53 @@ object PrefixSum {
     * consumers that reduce tie blocks with order-free aggregates (max,
     * min, sum; e.g. q_peak_concurrency's sweep) rely on. Consumers that
     * read an individual tied row's prefix need the unique-key form.
-    * Values are read as doubles; for
-    * INTEGER-VALUED inputs (token counts, byte sizes — the packing use
-    * cases) every partial sum is exact, so results are bit-identical
-    * regardless of where range-partition boundaries fall. Fractional
-    * inputs inherit the usual FP grouping sensitivity — pre-scale to
-    * integers if exactness matters.
+    * Values are read as doubles; for INTEGER-VALUED inputs (token
+    * counts, byte sizes — the packing use cases) every partial sum is
+    * exact, so results are bit-identical regardless of where
+    * range-partition boundaries fall. Fractional inputs inherit the
+    * usual FP grouping sensitivity — pre-scale to integers if exactness
+    * matters.
+    *
+    * The result is eagerly `localCheckpoint`ed: callers fan out from it
+    * repeatedly (median + trim passes, bin assignment + audit), and the
+    * checkpoint pins ONE copy of the output instead of re-running the
+    * shuffle per action.
     */
   def withExclusivePrefix(df: DataFrame, sortCols: Seq[String],
                           valueCol: String): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df
-      .repartitionByRange(spark.sparkContext.defaultParallelism,
-        sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-    val vIdx = sorted.schema.fieldIndex(valueCol)
-    // Cached so the partition-sum job and the output pass share one sort
-    // execution; released below once the result is materialized — this is
-    // a public framework op, so it cannot delegate cache hygiene to the
-    // caller (a long-running service invoking it per request would
-    // otherwise accumulate one persisted RDD per call).
-    val rdd = sorted.rdd.cache()
-    try {
-      val partSums = rdd
-        .mapPartitionsWithIndex { (pi, it) =>
-          var s = 0.0
-          it.foreach(r => s += r.get(vIdx).asInstanceOf[Number].doubleValue())
-          Iterator.single(pi -> s)
-        }
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = partSums.scanLeft(0.0)(_ + _)
-      val bOffsets = spark.sparkContext.broadcast(offsets)
-      val out = rdd.mapPartitionsWithIndex { (pi, it) =>
-        var run = bOffsets.value(pi)
-        it.map { r =>
-          val v = r.get(vIdx).asInstanceOf[Number].doubleValue()
-          val row = Row.fromSeq(run +: r.toSeq)
-          run += v
-          row
-        }
-      }
-      // Eagerly materialize the RESULT (lineage truncated), then drop the
-      // intermediate sorted cache — net pinned storage is one copy of the
-      // output, released by the ContextCleaner when the returned frame is
-      // no longer referenced, instead of an intermediate block that leaks
-      // until a global sweep.
-      spark.createDataFrame(out,
-          StructType(StructField("prefix", DoubleType, nullable = false) +:
-            sorted.schema.fields))
-        .localCheckpoint(eager = true)
-    } finally { rdd.unpersist(blocking = false); () }
+    val numParts = spark.sparkContext.defaultParallelism
+    val bucketed = df
+      .repartitionByRange(numParts, sortCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      // Pinned ONCE: the window subplan and the totals subplan both read
+      // this materialized RDD, so the sampled range boundaries and pid
+      // assignment are a single fact — never re-derived per subplan
+      // (column pruning can make the two subplans canonically different,
+      // defeating exchange reuse; re-sampling then yields INCONSISTENT
+      // boundaries because aggregate output order is not stable).
+      .localCheckpoint(eager = true)
+    val w = Window.partitionBy("__pid")
+      .orderBy(sortCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("__local",
+      coalesce(sum(col(valueCol).cast("double")).over(w), lit(0.0)))
+    // ≤ numParts rows; the limit states the bound explicitly (the plan
+    // contract for an unpartitioned window: bounded input only).
+    val totals = bucketed.groupBy("__pid")
+      .agg(sum(col(valueCol).cast("double")).as("__tot"))
+      .limit(numParts)
+    val wo = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wo), lit(0.0)))
+      .select(col("__pid"), col("__off"))
+    // Checkpointed: callers fan out from the result repeatedly (median +
+    // trim passes, bin assignment + audit); one pinned output copy beats
+    // re-running the window shuffle per consuming action (measured).
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("prefix", col("__off") + col("__local"))
+      .drop("__pid", "__local", "__off")
+      .localCheckpoint(eager = true)
   }
 }

@@ -244,6 +244,25 @@ object SourceQueries {
         .orderBy("source")
     },
 
+    // Deterministic collection aggregates — collect_set/collect_list
+    // surface with a DETERMINISM contract: raw collect_* output order is
+    // partition-dependent, so the gate pins it with array_sort before
+    // anything reads it (the only safe way to emit a collected column
+    // from a distributed engine). Per source: the sorted distinct lang
+    // set as one delimited string, its size, and the md5 of the string
+    // (proving byte-stable serialization end to end). Group state is
+    // bounded by |langs| per source — scale-safe.
+    "q_sorted_collect" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(array_join(array_sort(collect_set(col("lang"))), ",")
+          .as("langs"))
+        .select(col("source"), col("langs"),
+          size(split(col("langs"), ",")).cast("long").as("n_langs"),
+          md5(col("langs")).as("langs_md5"))
+        .orderBy("source")
+    },
+
     // ORC round trip — the other columnar lake format (a migration
     // target/source in mixed Hive estates). Same fidelity contract as
     // q_jsonl_roundtrip: write documents as ORC, read back with the
@@ -411,6 +430,17 @@ object SourceQueries {
         |    AS BIGINT) AS fp_lo
         |FROM h
         |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_sorted_collect" ->
+      """WITH l AS (
+        |  SELECT source,
+        |    string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+        |  FROM documents GROUP BY source)
+        |SELECT source, langs,
+        |  CAST(len(string_split(langs, ',')) AS BIGINT) AS n_langs,
+        |  md5(langs) AS langs_md5
+        |FROM l
         |ORDER BY source""".stripMargin,
 
     // Same fidelity aggregate as the JSONL/CSV round trips, against the

@@ -491,19 +491,23 @@ object StatQueries {
             (col("gpre") - col("base")).as("pre"),
             (col("gpre") - col("base") + col("cnt")).as("cum"))
       }
-      val li = t(s, dir, "lineitem")
-      val frame = li.groupBy(col("l_returnflag").as("flag"),
+      val frame = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
           col("l_extendedprice").as("v"))
         .agg(count(lit(1)).as("cnt"))
       val cum1 = cumFrame(frame)
       val med = cum1.groupBy("flag", "n")
         .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
           .as("median"))
-      val devs = li.select(col("l_returnflag").as("flag"),
-          col("l_extendedprice").as("p"))
+      // MAD's deviation frame derives from the CHECKPOINTED domain
+      // frame, not a second raw scan: |domain| <= rows always, and at
+      // 100 TB it is orders of magnitude smaller — the raw table is
+      // touched exactly once by this gate.
+      val devs = cum1
         .join(broadcast(med.select(col("flag"), col("median"))), "flag")
-        .select(col("flag"), abs(col("p") - col("median")).as("v"))
-        .groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
+        .select(col("flag"), abs(col("v") - col("median")).as("v"),
+          col("cnt"))
+        .groupBy("flag", "v").agg(sum(col("cnt")).cast("long").as("cnt"))
       val mad = cumFrame(devs).groupBy("flag", "n")
         .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
           .as("mad"))
@@ -524,6 +528,35 @@ object StatQueries {
         .join(broadcast(trimmed), col("l_returnflag") === col("f3"))
         .drop("f3")
         .orderBy("l_returnflag")
+    },
+
+    // WEIGHTED median + quartiles — the quantity-weighted price
+    // distribution ("half the UNITS shipped cost less than X", not
+    // "half the line items"). Same domain-frame machinery as
+    // q_exact_percentile_dist but the cumulated mass is the WEIGHT sum
+    // (integer-valued quantities, exact), so the rank cuts are
+    // ceil(q*W) over total weight W. One pass to the (value, weight)
+    // frame, one distributed PrefixSum, nearest-rank selection — no
+    // per-group buffers at any scale.
+    "q_weighted_median" -> { (s, dir) =>
+      val frame = t(s, dir, "lineitem")
+        .groupBy(col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast("long")).as("wt"))
+      val pre = PrefixSum.withExclusivePrefix(frame, Seq("v"), "wt")
+        .select(col("v"), col("wt"),
+          (col("prefix").cast("long") + col("wt")).as("cum"))
+      val tot = pre.agg(sum(col("wt")).cast("long").as("w"))
+      pre.crossJoin(broadcast(tot)) // scalar aggregate — sanctioned
+        .groupBy("w")
+        .agg(
+          min(when(col("cum") >= expr("(w + 3) div 4"), col("v")))
+            .as("p25_weighted"),
+          min(when(col("cum") >= expr("(w + 1) div 2"), col("v")))
+            .as("p50_weighted"),
+          min(when(col("cum") >= expr("(3 * w + 3) div 4"), col("v")))
+            .as("p75_weighted"))
+        .select(col("w").as("total_weight"), col("p25_weighted"),
+          col("p50_weighted"), col("p75_weighted"))
     },
 
     // Exact nearest-rank percentiles WITHOUT per-group buffers — the
@@ -945,10 +978,9 @@ object StatQueries {
         |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median
         |  FROM c1 GROUP BY flag, n),
         |d AS (
-        |  SELECT l.l_returnflag AS flag,
-        |    abs(l.l_extendedprice - m.median) AS v,
-        |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM lineitem l JOIN med m ON l.l_returnflag = m.flag
+        |  SELECT f.flag, abs(f.v - m.median) AS v,
+        |    CAST(sum(f.cnt) AS BIGINT) AS cnt
+        |  FROM f JOIN med m ON f.flag = m.flag
         |  GROUP BY 1, 2),
         |c2 AS (
         |  SELECT flag, v, cnt,
@@ -973,6 +1005,26 @@ object StatQueries {
         |FROM med
         |JOIN mad ON med.flag = mad.flag
         |JOIN tr ON med.flag = tr.flag
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH f AS (
+        |  SELECT l_extendedprice AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT v, wt,
+        |    CAST(sum(wt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM f),
+        |t AS (SELECT CAST(sum(wt) AS BIGINT) AS w FROM f)
+        |SELECT w AS total_weight,
+        |  min(CASE WHEN cum >= (w + 3) // 4 THEN v END) AS p25_weighted,
+        |  min(CASE WHEN cum >= (w + 1) // 2 THEN v END) AS p50_weighted,
+        |  min(CASE WHEN cum >= (3 * w + 3) // 4 THEN v END)
+        |    AS p75_weighted
+        |FROM c, t
+        |GROUP BY w""".stripMargin
   )
 }

@@ -1028,6 +1028,44 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // The HLL sketch on a STREAM: distinct users per (6h window, type)
+    // as a streaming aggregation in complete mode — the state per group
+    // is the SKETCH (a few KB), not the user-id set, which is what
+    // makes unbounded-cardinality distinct counting streamable at all.
+    // Same hash-checkable contract as q_hll_users: exact count (batch
+    // side) + hll_ok = estimate within 5% — constant TRUE while the
+    // sketch honors its bound, red in the driver compare if it drifts.
+    "q_stream_hll" -> { (s, dir) =>
+      val stream = eventsStream(s, dir)
+      val agg = stream
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val name = "q_stream_hll_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        val q = agg.writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val est = s.table(name)
+        .select(unix_micros(col("w.start")).as("win_us"),
+          col("event_type"),
+          round(hll_sketch_estimate(col("sk")), 0).cast("long")
+            .as("approx_users"))
+      val exact = events(s, dir)
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+        .select(unix_micros(col("w.start")).as("wu2"),
+          col("event_type").as("et2"), col("exact_users"))
+      est.join(exact,
+          col("win_us") === col("wu2") && col("event_type") === col("et2"))
+        .select(col("win_us"), col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) * 100 <=
+            col("exact_users") * 5).as("hll_ok"))
+        .orderBy("win_us", "event_type")
+    },
+
     // Sketch ALGEBRA: pairwise audience intersection between event
     // types by inclusion-exclusion over mergeable HLL sketches —
     // est(A∩B) = est(A) + est(B) − est(A∪B) — the way overlap is
@@ -1330,6 +1368,16 @@ object EventQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_stream_hll" ->
+      s"""WITH $ev2Sql,
+         |w AS (
+         |  SELECT (us // 21600000000) * 21600000000 AS win_us,
+         |    event_type, count(DISTINCT user_id) AS exact_users
+         |  FROM ev2 GROUP BY 1, 2)
+         |SELECT win_us, event_type, exact_users, TRUE AS hll_ok
+         |FROM w
+         |ORDER BY win_us, event_type""".stripMargin,
 
     "q_hll_overlap" ->
       """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -1103,6 +1103,58 @@ object Relational {
         .orderBy("s_suppkey")
     },
 
+    // k-anonymity / l-diversity audit — the data-governance check a
+    // release pipeline runs before publishing a quasi-identifier
+    // projection: per QI combination (nation x market segment), the
+    // group size (k) and the count of distinct sensitive values
+    // (balance band → l). Emits the table-level summary: anonymity
+    // level (min k), diversity level (min l), and how many QI groups /
+    // rows violate k<5 or l<3. One partial-aggregated pass; group space
+    // bounded by the QI domain product, never rows.
+    "q_k_anonymity" -> { (s, dir) =>
+      val groups = t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          // sensitive attribute banded to thousands (the published grain)
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("k"),
+          count_distinct(col("bal_band")).as("l"))
+      groups.agg(
+          count(lit(1)).as("n_qi_groups"),
+          min(col("k")).as("k_anonymity"),
+          min(col("l")).as("l_diversity"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).cast("long")
+            .as("groups_k_lt5"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).cast("long")
+            .as("rows_k_lt5"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).cast("long")
+            .as("groups_l_lt3"))
+    },
+
+    // Sample-ratio-mismatch (SRM) check — the first gate an
+    // experimentation platform runs on every experiment: users assigned
+    // to arms by a DETERMINISTIC hash (md5 LSB — reproducible across
+    // engines, sessions and reruns; never rand()), arm counts compared
+    // to the expected 50/50 with a one-df chi-square. All counting is
+    // exact integers; the chi2 statistic divides exact integers once,
+    // spelled identically in both engines.
+    "q_srm_check" -> { (s, dir) =>
+      val arms = t(s, dir, "customer")
+        .select((conv(substring(md5(col("c_custkey").cast("string")),
+          16, 1), 16, 10).cast("long") % 2).as("arm"))
+        .groupBy("arm").agg(count(lit(1)).as("n"))
+      arms.agg(
+          sum(when(col("arm") === 0, col("n")).otherwise(0L)).cast("long")
+            .as("n_control"),
+          sum(when(col("arm") === 1, col("n")).otherwise(0L)).cast("long")
+            .as("n_treat"))
+        .select(col("n_control"), col("n_treat"),
+          round(expr("""(n_control - n_treat) * (n_control - n_treat) /
+            (1.0D * (n_control + n_treat))"""), 6).as("chi2"),
+          expr("""(n_control - n_treat) * (n_control - n_treat) * 100 <=
+            384 * (n_control + n_treat)""").as("srm_pass"))
+    },
+
     // TPC-H Q6 shape (forecast revenue change): the canonical
     // single-table band filter-aggregate — year, discount band,
     // quantity cap, all pushed into the parquet scan (PushedFilters
@@ -1724,6 +1776,43 @@ object Relational {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM el)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+        |  FROM customer
+        |  GROUP BY 1, 2)
+        |SELECT count(*) AS n_qi_groups,
+        |  min(k) AS k_anonymity,
+        |  min(l) AS l_diversity,
+        |  CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_k_lt5,
+        |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_k_lt5,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_l_lt3
+        |FROM g""".stripMargin,
+
+    "q_srm_check" ->
+      """WITH a AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+        |    16, 1)) AS BIGINT) % 2 AS arm
+        |  FROM customer),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_control,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treat
+        |  FROM a)
+        |SELECT n_control, n_treat,
+        |  round((n_control - n_treat) * (n_control - n_treat) /
+        |    (1.0 * (n_control + n_treat)), 6) AS chi2,
+        |  (n_control - n_treat) * (n_control - n_treat) * 100 <=
+        |    384 * (n_control + n_treat) AS srm_pass
+        |FROM c""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT count(*) AS n_items,

@@ -111,6 +111,62 @@ class MultimodalSpec extends AnyFlatSpec with Matchers with SparkTestBase {
 
   behavior of "sampleFrames"
 
+  it should "REALLY decode MJPEG frames from a genuine AVI container" in {
+    // Build a real 3-frame MJPEG AVI: handcrafted RIFF chunks around
+    // JPEG frames written by ImageIO — the same layout probeVideo reads.
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16)
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(jpeg(40), jpeg(128), jpeg(220))
+    val bb = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def s(x: String): Array[Byte] = x.getBytes("US-ASCII")
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(16), 0, avih, 32, 4) // dwWidth
+    System.arraycopy(le32(12), 0, avih, 36, 4) // dwHeight
+    val hdrl = s("hdrl") ++ s("avih") ++ le32(56) ++ avih
+    val movi = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(s("movi"))
+      frames.foreach { f =>
+        b.write(s("00dc")); b.write(le32(f.length)); b.write(f)
+        if (f.length % 2 == 1) b.write(0)
+      }
+      b.toByteArray
+    }
+    bb.write(s("RIFF"))
+    val body = s("AVI ") ++ s("LIST") ++ le32(hdrl.length) ++ hdrl ++
+      s("LIST") ++ le32(movi.length) ++ movi
+    bb.write(le32(body.length)); bb.write(body)
+    val avi = bb.toByteArray
+
+    // container probe still reads the header dims
+    Multimodal.probeVideo(avi) shouldBe Some(("avi", 16, 12))
+    // and the frames REALLY decode
+    val decoded = Multimodal.decodeMjpegFrames(avi)
+    decoded.map(_._1) shouldBe Seq(0, 1, 2)
+    all(decoded.map(_._2)) shouldBe 16
+    all(decoded.map(_._3)) shouldBe 12
+    // luminance orders with the painted shades (JPEG is lossy; order
+    // and rough magnitude survive)
+    val lumas = decoded.map(_._4)
+    lumas(0) should be < lumas(1)
+    lumas(1) should be < lumas(2)
+    val px = 16L * 12 * 3
+    lumas(0) should (be > px * 20 and be < px * 60)
+    lumas(2) should (be > px * 200 and be < px * 240)
+    // non-AVI bytes → empty, never a throw
+    Multimodal.decodeMjpegFrames("not a video".getBytes) shouldBe empty
+  }
+
   it should "emit k evenly spaced frames and skip empty blobs" in {
     val frames = Multimodal.sampleFrames(media, k = 4, frameSize = 8)
       .collect()

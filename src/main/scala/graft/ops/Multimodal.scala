@@ -118,6 +118,59 @@ object Multimodal {
     }
   }
 
+  /** Build a genuine 16-bit LE mono WAV of a square wave: amplitude
+    * `amp`, half-period `halfPeriod` samples, `n` samples at
+    * `sampleRate` Hz — written by javax.sound, so the bytes are a real
+    * WAV file, and PCM is lossless, so every sample survives the round
+    * trip exactly (unlike the JPEG path, the oracle can pin EXACT
+    * integer features).
+    */
+  def buildSquareWav(n: Int, halfPeriod: Int, amp: Int,
+                     sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if ((i / halfPeriod) % 2 == 0) amp else -amp
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio sample decode: read the full PCM stream via
+    * javax.sound, return 16-bit LE mono samples. Empty for undecodable
+    * bytes (same honest-fallback contract as [[decodeAudio]]).
+    */
+  def decodeAudioSamples(bytes: Array[Byte]): Array[Short] = {
+    import javax.sound.sampled._
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.BufferedInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (in == null) return Array.emptyShortArray
+    try {
+      val f = in.getFormat
+      if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+        f.isBigEndian) return Array.emptyShortArray
+      val raw = in.readAllBytes()
+      val out = new Array[Short]((raw.length / 2))
+      var i = 0
+      while (i < out.length) {
+        out(i) = (((raw(i * 2 + 1) & 0xff) << 8) |
+          (raw(i * 2) & 0xff)).toShort
+        i += 1
+      }
+      out
+    } finally in.close()
+  }
+
   /** Audio metadata extraction, partition-wise like [[extractMeta]]. */
   def extractAudioMeta(media: Dataset[MediaFile]): Dataset[AudioMeta] = {
     val spark = media.sparkSession

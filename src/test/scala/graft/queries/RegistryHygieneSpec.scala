@@ -45,7 +45,8 @@ class RegistryHygieneSpec extends AnyFlatSpec with Matchers {
     val modules = Seq(
       Relational.queries, IfsQueries.queries, EventQueries.queries,
       TextQueries.queries, EmbeddingQueries.queries, GraphQueries.queries,
-      SourceQueries.queries, TemporalQueries.queries, UserQueries.queries)
+      SourceQueries.queries, TemporalQueries.queries, UserQueries.queries,
+      StatQueries.queries)
     val union = modules.map(_.keySet).reduce(_ ++ _)
     withClue("module key sets overlap (Map ++ silently last-wins): ") {
       union.size shouldBe modules.map(_.size).sum

@@ -269,6 +269,62 @@ object SourceQueries {
     // explicit schema, prove counts / exact char sums / distinct text
     // md5s survive per source. ORC is a first-class Spark source:
     // predicate pushdown and column pruning work the same as parquet.
+    // XML round trip over Spark 4's NATIVE xml source (spark-xml moved
+    // into core) — the format mixed estates still exchange with legacy
+    // systems. Free text can contain XML-illegal control characters, so
+    // the document CONTENT travels as its md5 hex (XML-safe by
+    // construction) next to the raw scalar columns; the fidelity
+    // aggregate proves ids, langs, char counts and the content
+    // fingerprints all survive the hop per source.
+    "q_xml_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+      withTempDir("graft_xml") { base =>
+        docs.write.mode("overwrite").format("xml")
+          .option("rootTag", "docs").option("rowTag", "doc")
+          .save(s"$base/out")
+        Pin.pin(s.read.format("xml").option("rowTag", "doc")
+          .schema(docs.schema).load(s"$base/out")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            count_distinct(col("text_md5")).as("n_distinct_texts"))
+          .orderBy("source"))
+      }
+    },
+
+    // Raw-bytes ingestion via the binaryFile source — the path every
+    // multimodal corpus takes into the lake (images/audio land as
+    // files, not rows). A bounded doc sample is written one FILE per
+    // doc (the real layout), read back through binaryFile, and the
+    // aggregate proves count, total bytes, and distinct content
+    // fingerprints survive — i.e. the file hop is lossless and nothing
+    // was dropped or merged. Sample bounded (doc_id % 100 == 0) because
+    // file-per-row is exactly the small-files antipattern the
+    // compaction gate exists to fix; at scale this source reads
+    // pre-bundled media directories instead.
+    "q_binary_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val sample = t(s, dir, "documents")
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("text"))
+      withTempDir("graft_bin") { base =>
+        val dirPath = s"$base/files"
+        new java.io.File(dirPath).mkdirs()
+        sample.as[(Long, String)].collect().foreach { case (id, text) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dirPath, s"doc_$id.bin"),
+            Option(text).getOrElse("").getBytes("UTF-8"))
+        }
+        Pin.pin(s.read.format("binaryFile").load(dirPath)
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("length")).cast("long").as("total_bytes"),
+            count_distinct(md5(col("content"))).as("n_distinct"))
+          .select(col("n_files"), col("total_bytes"), col("n_distinct")))
+      }
+    },
+
     "q_orc_roundtrip" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       withTempDir("graft_orc") { base =>
@@ -442,6 +498,22 @@ object SourceQueries {
         |  md5(langs) AS langs_md5
         |FROM l
         |ORDER BY source""".stripMargin,
+
+    "q_xml_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_distinct_texts
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_binary_ingest" ->
+      """SELECT count(*) AS n_files,
+        |  CAST(sum(octet_length(CAST(COALESCE(text, '') AS BLOB)))
+        |    AS BIGINT) AS total_bytes,
+        |  count(DISTINCT md5(COALESCE(text, ''))) AS n_distinct
+        |FROM documents
+        |WHERE doc_id % 100 = 0""".stripMargin,
 
     // Same fidelity aggregate as the JSONL/CSV round trips, against the
     // ORIGINAL table — a pass proves the ORC hop lossless.

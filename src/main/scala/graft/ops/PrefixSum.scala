@@ -51,13 +51,16 @@ object PrefixSum {
     * usual FP grouping sensitivity — pre-scale to integers if exactness
     * matters.
     *
-    * The result is eagerly `localCheckpoint`ed: callers fan out from it
-    * repeatedly (median + trim passes, bin assignment + audit), and the
-    * checkpoint pins ONE copy of the output instead of re-running the
-    * shuffle per action.
+    * With `pin = true` (default) the result is eagerly
+    * `localCheckpoint`ed: callers that fan out from it repeatedly
+    * (median + trim passes, bin assignment + audit) get ONE pinned
+    * output copy instead of re-running the window per action.
+    * Single-consumer callers pass `pin = false` to skip that second
+    * materialization — the bucketing itself stays pinned either way,
+    * so correctness is unaffected.
     */
   def withExclusivePrefix(df: DataFrame, sortCols: Seq[String],
-                          valueCol: String): DataFrame = {
+                          valueCol: String, pin: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val numParts = spark.sparkContext.defaultParallelism
     val bucketed = df
@@ -88,9 +91,9 @@ object PrefixSum {
     // Checkpointed: callers fan out from the result repeatedly (median +
     // trim passes, bin assignment + audit); one pinned output copy beats
     // re-running the window shuffle per consuming action (measured).
-    local.join(broadcast(offsets), "__pid")
+    val out = local.join(broadcast(offsets), "__pid")
       .withColumn("prefix", col("__off") + col("__local"))
       .drop("__pid", "__local", "__off")
-      .localCheckpoint(eager = true)
+    if (pin) out.localCheckpoint(eager = true) else out
   }
 }

@@ -403,7 +403,8 @@ object StatQueries {
             .cast("long").as("cr"),
           sum(when(col("l_returnflag") === "A", 1L).otherwise(0L))
             .cast("long").as("ca"))
-      val pre = PrefixSum.withExclusivePrefix(frame, Seq("v"), "ca")
+      val pre = PrefixSum
+        .withExclusivePrefix(frame, Seq("v"), "ca", pin = false)
         .select(col("cr"), col("ca"), col("prefix").cast("long").as("pa"))
       pre.agg(
           sum(col("cr")).cast("long").as("n_r"),
@@ -443,7 +444,8 @@ object StatQueries {
           sum(when(col("l_returnflag") === "N", 1L).otherwise(0L))
             .cast("long").as("cn"))
         .withColumn("ct", col("cr") + col("ca") + col("cn"))
-      val pre = PrefixSum.withExclusivePrefix(frame, Seq("v"), "ct")
+      val pre = PrefixSum
+        .withExclusivePrefix(frame, Seq("v"), "ct", pin = false)
         .select(col("cr"), col("ca"), col("cn"), col("ct"),
           (lit(2L) * col("prefix").cast("long") + col("ct") + lit(1L))
             .as("r2"))
@@ -542,6 +544,7 @@ object StatQueries {
       val frame = t(s, dir, "lineitem")
         .groupBy(col("l_extendedprice").as("v"))
         .agg(sum(col("l_quantity").cast("long")).as("wt"))
+      // pre feeds BOTH the total and the rank cuts -> keep pinned
       val pre = PrefixSum.withExclusivePrefix(frame, Seq("v"), "wt")
         .select(col("v"), col("wt"),
           (col("prefix").cast("long") + col("wt")).as("cum"))

@@ -532,6 +532,46 @@ object StatQueries {
         .orderBy("l_returnflag")
     },
 
+    // PERCENTILE_CONT parity — the linear-INTERPOLATED quantiles every
+    // BI tool reports, distributed the same way as the nearest-rank
+    // gate: (group, value, count) domain frame, one PrefixSum, then the
+    // interpolation h = (n-1)q lands between ranks floor(h) and
+    // floor(h)+1 with an EXACT rational fraction (quarters for
+    // q=.25/.75, halves for .5 — integer mod arithmetic), so the one
+    // double formula per output row is identical in both engines and
+    // the rank selections never touch floats at all.
+    "q_percentile_cont" -> { (s, dir) =>
+      val frame = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val pre = PrefixSum.withExclusivePrefix(frame, Seq("flag", "v"),
+        "cnt")
+        .select(col("flag"), col("v"), col("cnt"),
+          col("prefix").cast("long").as("gpre"))
+      val base = pre.groupBy("flag")
+        .agg(min(col("gpre")).as("b"), sum(col("cnt")).cast("long").as("n"))
+      val cum = pre.join(broadcast(base), "flag")
+        .select(col("flag"), col("v"), col("n"),
+          (col("gpre") - col("b") + col("cnt")).as("cum"))
+      def interp(loExpr: String, fracExpr: String, name: String) = {
+        val lo = expr(loExpr)
+        val vLo = min(when(col("cum") >= lo + 1, col("v")))
+        val vHi = min(when(col("cum") >= lo + 2, col("v")))
+        round(vLo + expr(fracExpr) *
+          (coalesce(vHi, vLo) - vLo), 6).as(name)
+      }
+      cum.groupBy("flag", "n")
+        .agg(
+          interp("(n - 1) div 4", "((n - 1) % 4) / 4.0D", "p25_cont"),
+          interp("(n - 1) div 2", "((n - 1) % 2) / 2.0D", "p50_cont"),
+          interp("(3 * (n - 1)) div 4", "((3 * (n - 1)) % 4) / 4.0D",
+            "p75_cont"))
+        .select(col("flag").as("l_returnflag"), col("n"),
+          col("p25_cont"), col("p50_cont"), col("p75_cont"))
+        .orderBy("l_returnflag")
+    },
+
     // WEIGHTED median + quartiles — the quantity-weighted price
     // distribution ("half the UNITS shipped cost less than X", not
     // "half the line items"). Same domain-frame machinery as
@@ -1008,6 +1048,39 @@ object StatQueries {
         |FROM med
         |JOIN mad ON med.flag = mad.flag
         |JOIN tr ON med.flag = tr.flag
+        |ORDER BY 1""".stripMargin,
+
+    "q_percentile_cont" ->
+      """WITH f AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, v,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM f),
+        |m AS (
+        |  SELECT flag, n,
+        |    min(CASE WHEN cum >= (n - 1) // 4 + 1 THEN v END) AS v25l,
+        |    min(CASE WHEN cum >= (n - 1) // 4 + 2 THEN v END) AS v25h,
+        |    min(CASE WHEN cum >= (n - 1) // 2 + 1 THEN v END) AS v50l,
+        |    min(CASE WHEN cum >= (n - 1) // 2 + 2 THEN v END) AS v50h,
+        |    min(CASE WHEN cum >= (3 * (n - 1)) // 4 + 1 THEN v END)
+        |      AS v75l,
+        |    min(CASE WHEN cum >= (3 * (n - 1)) // 4 + 2 THEN v END)
+        |      AS v75h
+        |  FROM c GROUP BY flag, n)
+        |SELECT flag AS l_returnflag, n,
+        |  round(v25l + ((n - 1) % 4) / 4.0 *
+        |    (COALESCE(v25h, v25l) - v25l), 6) AS p25_cont,
+        |  round(v50l + ((n - 1) % 2) / 2.0 *
+        |    (COALESCE(v50h, v50l) - v50l), 6) AS p50_cont,
+        |  round(v75l + ((3 * (n - 1)) % 4) / 4.0 *
+        |    (COALESCE(v75h, v75l) - v75l), 6) AS p75_cont
+        |FROM m
         |ORDER BY 1""".stripMargin,
 
     "q_weighted_median" ->

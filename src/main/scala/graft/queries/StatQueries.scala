@@ -672,6 +672,150 @@ object StatQueries {
             col("grand_s1") * col("grand_s1") / col("n_total")) /
             (col("k") - 1)) /
             (col("ssw") / (col("n_total") - col("k"))), 4).as("f_stat"))
+    },
+
+    // Cramér's V — the normalized effect size behind every "are these
+    // two categorical columns associated?" question (chi2 alone grows
+    // with n, so at 100 TB everything is "significant"; V ∈ [0,1] is the
+    // scale-free answer). Two pairs audited: lineitem's returnflag ×
+    // linestatus and orders' status × priority. Same exact-integer chi2
+    // machinery as q_chi2_cohort (cells → broadcast marginals →
+    // decimal(38,0) cross products → 9-dp-rounded decimal-summed terms);
+    // the ONE new double formula is sqrt(chi2 / (n·min(r-1,c-1))), fed
+    // the identical exact chi2 on both engines. Cell frame is bounded by
+    // the category domains (≤ dozens) — one partial-agg pass per table.
+    "q_cramers_v" -> { (s, dir) =>
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      def assoc(df: DataFrame, aCol: String, bCol: String,
+                label: String): DataFrame = {
+        val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+          .agg(count(lit(1)).as("o"))
+        val marg = cells.agg(sum(col("o")).as("n"),
+          count_distinct(col("a")).as("r"),
+          count_distinct(col("b")).as("c"))
+        val rt = cells.groupBy("a").agg(sum("o").as("rt"))
+        val ct = cells.groupBy("b").agg(sum("o").as("ct"))
+        cells.join(broadcast(rt), "a").join(broadcast(ct), "b")
+          .crossJoin(broadcast(marg))
+          .withColumn("num",
+            (d(col("o")) * col("n") - d(col("rt")) * col("ct"))
+              .cast("double"))
+          .withColumn("den",
+            (d(col("rt")) * col("ct") * col("n")).cast("double"))
+          .withColumn("term",
+            round(col("num") * col("num") / col("den"), 9)
+              .cast(DecimalType(28, 9)))
+          .agg(max(col("n")).cast("long").as("n"),
+            max(col("r")).cast("long").as("r"),
+            max(col("c")).cast("long").as("c"),
+            sum(col("term")).cast("double").as("chi2raw"))
+          .select(lit(label).as("pair"), col("n"), col("r"), col("c"),
+            round(col("chi2raw"), 6).as("chi2"),
+            round(sqrt(col("chi2raw") /
+              (col("n") * least(col("r") - 1, col("c") - 1))), 6)
+              .as("cramers_v"))
+      }
+      assoc(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus",
+          "flag_x_status")
+        .unionByName(assoc(t(s, dir, "orders"), "o_orderstatus",
+          "o_orderpriority", "ostatus_x_priority"))
+        .orderBy("pair")
+    },
+
+    // Brown–Forsythe (median-centered Levene) — variance-homogeneity
+    // across l_returnflag groups, the pre-test ANOVA's equal-variance
+    // assumption rests on. Median-centering keeps everything integral:
+    // l_quantity is integer-valued, the per-group exact median comes off
+    // the (flag, value, count) domain frame via the same rank cuts as
+    // q_percentiles, and z = |2·v − (v_lo+v_hi)| (DOUBLED deviations —
+    // the ×2 keeps half-integer medians integral) gives BIGINT per-group
+    // sums Σz, Σz². The W statistic is then a fixed formula over six
+    // exact integers per group, with each group's between/within term
+    // rounded to 9 dp and decimal-summed — both engines divide the same
+    // numbers. One corpus pass + bounded-frame arithmetic.
+    "q_levene_bf" -> { (s, dir) =>
+      val frame = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val pre = PrefixSum.withExclusivePrefix(frame, Seq("flag", "v"),
+          "cnt", pin = false)
+        .select(col("flag"), col("v"), col("cnt"),
+          col("prefix").cast("long").as("gpre"))
+      val base = pre.groupBy("flag")
+        .agg(min(col("gpre")).as("b"),
+          sum(col("cnt")).cast("long").as("n"))
+      val med = pre.join(broadcast(base), "flag")
+        .withColumn("cum", col("gpre") - col("b") + col("cnt"))
+        .groupBy("flag", "n")
+        .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))) +
+          min(when(col("cum") >= expr("(n + 2) div 2"), col("v"))))
+          .as("med2"))
+      val g = frame.join(broadcast(med), "flag")
+        .withColumn("z", abs(lit(2) * col("v") - col("med2")))
+        .groupBy("flag")
+        .agg(sum(col("cnt")).cast("long").as("ni"),
+          sum(col("cnt") * col("z")).cast("long").as("sz"),
+          sum(col("cnt") * col("z") * col("z")).cast("long").as("sz2"))
+      val tot = g.agg(sum(col("ni")).cast("long").as("nn"),
+        sum(col("sz")).cast("long").as("tt"),
+        count(lit(1)).cast("long").as("k"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("db", round((col("sz").cast("double") / col("ni") -
+          col("tt").cast("double") / col("nn")) *
+          (col("sz").cast("double") / col("ni") -
+            col("tt").cast("double") / col("nn")) * col("ni"), 9)
+          .cast(DecimalType(28, 9)))
+        .withColumn("dw", round(col("sz2").cast("double") -
+          col("sz").cast("double") * col("sz").cast("double") /
+            col("ni"), 9)
+          .cast(DecimalType(28, 9)))
+        .agg(max(col("nn")).as("n_total"), max(col("k")).as("k"),
+          sum(col("db")).cast("double").as("ssb"),
+          sum(col("dw")).cast("double").as("ssw"))
+        .select(col("n_total"), col("k"),
+          round(col("ssb"), 4).as("spread_between"),
+          round(col("ssw"), 4).as("spread_within"),
+          round((col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("n_total") - col("k"))), 6).as("w_bf"))
+    },
+
+    // 7-day rolling median of daily revenue — the robust trend line a
+    // revenue dashboard plots (rolling MEAN chases one flash-sale day;
+    // the median doesn't). The corpus reduces to a DAY-domain frame
+    // (one exact-integer cents row per ship date) in one partial-agg
+    // pass; the rolling window is an explode(0..6)-shifted EQUI-join of
+    // that bounded frame with itself (never a non-equi range join), and
+    // each day's ≤7-element window is sorted in place — median selection
+    // is integer throughout, with one division per output row at the
+    // end. Frame size grows with calendar time, not data volume.
+    "q_rolling_median" -> { (s, dir) =>
+      val daily = t(s, dir, "lineitem")
+        .groupBy(datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01")).as("d"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))) *
+          100).cast("long").as("rev_c"))
+      val contrib = daily
+        .select(explode(sequence(lit(0), lit(6))).as("off"),
+          col("d"), col("rev_c"))
+        .select((col("d") + col("off")).as("d"), col("rev_c"))
+      contrib.join(broadcast(daily.select(col("d"))), "d")
+        .groupBy("d")
+        .agg(sort_array(collect_list(col("rev_c"))).as("a"),
+          count(lit(1)).cast("long").as("n_win"))
+        .select(date_add(lit("1970-01-01").cast("date"),
+            col("d").cast("int")).as("day"),
+          col("n_win"),
+          // No round(): the raw IEEE division of an exact integer by
+          // 200.0 is bit-identical on both engines, while round(x, 2)
+          // of a ….xx5 double is NOT (Spark rounds the shortest decimal
+          // rendering, DuckDB the raw binary value — observed 1-cent
+          // split at sf0.01).
+          ((element_at(col("a"),
+              expr("(n_win + 1) div 2").cast("int")) +
+            element_at(col("a"), expr("(n_win + 2) div 2").cast("int")))
+            / 200.0).as("rolling_med"))
+        .orderBy("day")
     }
   )
 
@@ -1101,6 +1245,119 @@ object StatQueries {
         |  min(CASE WHEN cum >= (3 * w + 3) // 4 THEN v END)
         |    AS p75_weighted
         |FROM c, t
-        |GROUP BY w""".stripMargin
+        |GROUP BY w""".stripMargin,
+
+    "q_cramers_v" -> {
+      // One association block per pair; identical exact-chi2 machinery,
+      // one sqrt at the end.
+      def block(src: String, ac: String, bc: String, tag: String) =
+        s"""c$tag AS (
+           |  SELECT $ac AS a, $bc AS b, count(*) AS o
+           |  FROM $src GROUP BY 1, 2),
+           |rt$tag AS (SELECT a, CAST(sum(o) AS HUGEINT) AS rt
+           |           FROM c$tag GROUP BY 1),
+           |ct$tag AS (SELECT b, CAST(sum(o) AS HUGEINT) AS ct
+           |           FROM c$tag GROUP BY 1),
+           |t$tag AS (SELECT CAST(sum(o) AS HUGEINT) AS n,
+           |            count(DISTINCT a) AS r, count(DISTINCT b) AS c
+           |          FROM c$tag),
+           |x$tag AS (
+           |  SELECT round(
+           |    CAST(o * n - rt * ct AS DOUBLE) *
+           |    CAST(o * n - rt * ct AS DOUBLE) /
+           |    CAST(rt * ct * n AS DOUBLE), 9) AS term, n, r, c
+           |  FROM c$tag
+           |  JOIN rt$tag USING (a) JOIN ct$tag USING (b)
+           |  CROSS JOIN t$tag),
+           |s$tag AS (
+           |  SELECT CAST(max(n) AS BIGINT) AS n,
+           |    CAST(max(r) AS BIGINT) AS r, CAST(max(c) AS BIGINT) AS c,
+           |    CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE)
+           |      AS chi2raw
+           |  FROM x$tag)""".stripMargin
+      s"""WITH ${block("lineitem", "l_returnflag", "l_linestatus", "1")},
+         |${block("orders", "o_orderstatus", "o_orderpriority", "2")}
+         |SELECT 'flag_x_status' AS pair, n, r, c,
+         |  round(chi2raw, 6) AS chi2,
+         |  round(sqrt(chi2raw / (n * least(r - 1, c - 1))), 6)
+         |    AS cramers_v
+         |FROM s1
+         |UNION ALL
+         |SELECT 'ostatus_x_priority', n, r, c, round(chi2raw, 6),
+         |  round(sqrt(chi2raw / (n * least(r - 1, c - 1))), 6)
+         |FROM s2
+         |ORDER BY pair""".stripMargin
+    },
+
+    "q_levene_bf" ->
+      """WITH f AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM f),
+        |med AS (
+        |  SELECT flag,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) +
+        |    min(CASE WHEN cum >= (n + 2) // 2 THEN v END) AS med2
+        |  FROM c GROUP BY flag),
+        |g AS (
+        |  SELECT f.flag,
+        |    CAST(sum(cnt) AS BIGINT) AS ni,
+        |    CAST(sum(cnt * abs(2 * v - med2)) AS BIGINT) AS sz,
+        |    CAST(sum(cnt * abs(2 * v - med2) * abs(2 * v - med2))
+        |      AS BIGINT) AS sz2
+        |  FROM f JOIN med ON f.flag = med.flag
+        |  GROUP BY f.flag),
+        |tot AS (
+        |  SELECT CAST(sum(ni) AS BIGINT) AS nn,
+        |    CAST(sum(sz) AS BIGINT) AS tt,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM g),
+        |terms AS (
+        |  SELECT nn, k,
+        |    round((CAST(sz AS DOUBLE) / ni - CAST(tt AS DOUBLE) / nn) *
+        |      (CAST(sz AS DOUBLE) / ni - CAST(tt AS DOUBLE) / nn) * ni,
+        |      9) AS db,
+        |    round(CAST(sz2 AS DOUBLE) -
+        |      CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / ni, 9) AS dw
+        |  FROM g CROSS JOIN tot),
+        |agg AS (
+        |  SELECT max(nn) AS n_total, max(k) AS k,
+        |    CAST(sum(CAST(db AS DECIMAL(28,9))) AS DOUBLE) AS ssb,
+        |    CAST(sum(CAST(dw AS DECIMAL(28,9))) AS DOUBLE) AS ssw
+        |  FROM terms)
+        |SELECT n_total, k,
+        |  round(ssb, 4) AS spread_between,
+        |  round(ssw, 4) AS spread_within,
+        |  round((ssb / (k - 1)) / (ssw / (n_total - k)), 6) AS w_bf
+        |FROM agg""".stripMargin,
+
+    "q_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS d,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |contrib AS (
+        |  SELECT daily.d + off AS d, rev_c
+        |  FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS off)),
+        |w AS (
+        |  SELECT c.d, list_sort(list(c.rev_c)) AS a,
+        |    CAST(count(*) AS BIGINT) AS n_win
+        |  FROM contrib c JOIN (SELECT d FROM daily) t ON c.d = t.d
+        |  GROUP BY c.d)
+        |SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS day, n_win,
+        |  (a[CAST((n_win + 1) // 2 AS INTEGER)] +
+        |    a[CAST((n_win + 2) // 2 AS INTEGER)]) / 200.0
+        |    AS rolling_med
+        |FROM w
+        |ORDER BY day""".stripMargin
   )
 }

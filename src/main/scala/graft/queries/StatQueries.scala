@@ -816,6 +816,98 @@ object StatQueries {
             element_at(col("a"), expr("(n_win + 2) div 2").cast("int")))
             / 200.0).as("rolling_med"))
         .orderBy("day")
+    },
+
+    // Kaplan–Meier survival — "how long do users stay active?" with
+    // right-censoring done properly: a user who never converts
+    // (no 'purchase' event) still occupies the risk set until their last
+    // observed hour. The corpus reduces to a per-user (duration, event?)
+    // pass, then to a DURATION-domain frame (bounded by calendar hours,
+    // not data volume — the explicit limit() states that bound, making
+    // the two running sums plan-legal). Determinism: risk counts are
+    // exact integers; each hazard term ln(1 − d/n) is snapped to an
+    // integer nano via floor(x·1e9 + 0.5) — floor on the raw binary
+    // double is bit-identical across engines, unlike round(x, 9) whose
+    // tie handling depends on decimal rendering — and the cumulative
+    // log-survival is a LONG sum divided once by 1e9.
+    "q_kaplan_meier" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val users = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          when(col("event_type") === "purchase", 1).otherwise(0)
+            .as("conv"))
+        .groupBy("user_id")
+        .agg(expr("(max(us) - min(us)) div 3600000000").as("t_hours"),
+          max(col("conv")).as("obs"))
+      val frame = users.groupBy("t_hours")
+        .agg(count(lit(1)).as("c_all"),
+          sum(col("obs")).cast("long").as("d"))
+        .limit(1000000) // duration domain: calendar hours, not volume
+      val wcum = Window.orderBy("t_hours")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = frame.agg(sum(col("c_all")).cast("long").as("nu"))
+      val risk = frame
+        .withColumn("pre", coalesce(sum(col("c_all")).over(wcum),
+          lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("t_hours"), col("d"),
+          (col("nu") - col("pre")).cast("long").as("n_risk"))
+        .filter(col("d") > 0 && col("d") < col("n_risk"))
+        .withColumn("lt", floor(log(lit(1.0) -
+          col("d").cast("double") / col("n_risk")) * 1e9 + 0.5)
+          .cast("long"))
+      val wlog = Window.orderBy("t_hours")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      risk.withColumn("log_surv",
+          sum(col("lt")).over(wlog).cast("double") / 1e9)
+        .select(col("t_hours"), col("n_risk"), col("d").as("d_events"),
+          col("log_surv"))
+        .orderBy("t_hours")
+    },
+
+    // Single change-point by binary segmentation — WHERE did the daily
+    // revenue level shift? Maximizes the standard between-segment
+    // objective (S_t·N − S·n_t)² / (n_t·(N − n_t)) over every prefix
+    // split of the day-domain frame. Revenue quantizes to exact $100
+    // units (cents div 10000) so the cross-products stay inside
+    // decimal(38,0)/HUGEINT three decades past gate scale; the one
+    // double division per candidate runs on identical exact integers in
+    // both engines, and the argmax carries a day-ascending tiebreak.
+    // One corpus pass to the frame; everything after is bounded by
+    // calendar days.
+    "q_changepoint" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d38 = (c: org.apache.spark.sql.Column) =>
+        c.cast("decimal(38,0)")
+      val daily = t(s, dir, "lineitem")
+        .groupBy(datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01")).as("d"))
+        .agg(expr(
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 " +
+            "AS BIGINT) div 10000").as("r"))
+        .limit(1000000) // day domain: calendar, not volume
+      val wcum = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = daily.agg(count(lit(1)).cast("long").as("nd"),
+        sum(col("r")).cast("long").as("ss"))
+      daily
+        .withColumn("n1", count(lit(1)).over(wcum).cast("long"))
+        .withColumn("a", sum(col("r")).over(wcum).cast("long"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n1") < col("nd"))
+        .withColumn("num",
+          (d38(col("a")) * col("nd") - d38(col("ss")) * col("n1"))
+            .cast("double"))
+        .withColumn("obj", col("num") * col("num") /
+          (col("n1") * (col("nd") - col("n1"))).cast("double"))
+        .orderBy(desc("obj"), col("d"))
+        .limit(1)
+        .select(date_add(lit("1970-01-01").cast("date"),
+            col("d").cast("int")).as("split_day"),
+          col("nd").as("n_days"), col("n1").as("days_before"),
+          (col("a").cast("double") / col("n1")).as("mean_before_100"),
+          ((col("ss") - col("a")).cast("double") /
+            (col("nd") - col("n1"))).as("mean_after_100"))
     }
   )
 
@@ -1358,6 +1450,71 @@ object StatQueries {
         |    a[CAST((n_win + 2) // 2 AS INTEGER)]) / 200.0
         |    AS rolling_med
         |FROM w
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    // Hazard terms snapped to integer nanos via floor(x·1e9 + 0.5) —
+    // bit-stable across engines (round(x, 9)'s tie handling is not);
+    // cumulative log-survival is a BIGINT sum divided once by 1e9.
+    "q_kaplan_meier" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (max(epoch_us(CAST(ts AS TIMESTAMP))) -
+        |     min(epoch_us(CAST(ts AS TIMESTAMP)))) // 3600000000
+        |      AS t_hours,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS obs
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT t_hours, count(*) AS c_all,
+        |    CAST(sum(obs) AS BIGINT) AS d
+        |  FROM u GROUP BY 1),
+        |r AS (
+        |  SELECT t_hours, d,
+        |    CAST((SELECT count(*) FROM u) -
+        |      COALESCE(sum(c_all) OVER (ORDER BY t_hours
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM f),
+        |e AS (
+        |  SELECT t_hours, n_risk, d,
+        |    CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e9
+        |      + 0.5) AS BIGINT) AS lt
+        |  FROM r WHERE d > 0 AND d < n_risk)
+        |SELECT t_hours, n_risk, d AS d_events,
+        |  CAST(sum(lt) OVER (ORDER BY t_hours
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) / 1e9 AS log_surv
+        |FROM e
+        |ORDER BY t_hours""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS d,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) // 10000 AS r
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT d,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS n1,
+        |    CAST(sum(r) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS a
+        |  FROM daily),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |               CAST(sum(r) AS BIGINT) AS ss FROM daily),
+        |o AS (
+        |  SELECT d, n1, a, nd, ss,
+        |    CAST(CAST(a AS HUGEINT) * nd - CAST(ss AS HUGEINT) * n1
+        |      AS DOUBLE) AS num
+        |  FROM c CROSS JOIN tot
+        |  WHERE n1 < nd)
+        |SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS split_day,
+        |  nd AS n_days, n1 AS days_before,
+        |  CAST(a AS DOUBLE) / n1 AS mean_before_100,
+        |  CAST(ss - a AS DOUBLE) / (nd - n1) AS mean_after_100
+        |FROM o
+        |ORDER BY num * num / CAST(n1 * (nd - n1) AS DOUBLE) DESC, d
+        |LIMIT 1""".stripMargin
   )
 }

@@ -187,6 +187,43 @@ object GraphQueries {
             .select(lit(h).as("dist"), col("n_reached")))
       }
       out.orderBy("dist")
+    },
+
+    // Structural similarity — top-20 user pairs by neighbor-set Jaccard
+    // ("people who act around the same people"), the link-prediction
+    // baseline. Candidate pairs come ONLY from the wedge join (two
+    // users sharing ≥1 neighbor) — never all-pairs — so the shuffle is
+    // Σ_w deg(w)², the same bound the triangle gate carries; degrees
+    // join back on the node key (AQE broadcasts iff small). Jaccard is
+    // one double division of exact integers per surviving pair;
+    // the top-20 carries a full (jaccard, a, b) tiebreak through
+    // TakeOrdered.
+    "q_graph_jaccard" -> { (s, dir) =>
+      val e = referralEdges(s, dir)
+      // Pinned: the symmetrized adjacency feeds the degree frame AND
+      // both wedge-join sides — one union+distinct shuffle instead of
+      // three. The gate's cost is the wedge fan-out itself (Σ deg² ≈
+      // 23M at sf0.1 into a ~10M-distinct-pair aggregate), the same
+      // inherent pair-shuffle class as q_basket_pairs; it shrinks as
+      // the graph thins (sf1 runs FASTER: more users spread over the
+      // same calendar, so hub degrees drop).
+      val und = Pin.pin(
+        e.select(col("src").as("u"), col("dst").as("v"))
+          .union(e.select(col("dst"), col("src")))
+          .distinct())
+      val deg = Pin.pin(und.groupBy("u").agg(count(lit(1)).as("deg")))
+      val co = und.select(col("u").as("w"), col("v").as("a"))
+        .join(und.select(col("u").as("w"), col("v").as("b")), "w")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("co"))
+      co.join(deg.select(col("u").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("u").as("b"), col("deg").as("db")), "b")
+        .select(col("a").as("user_a"), col("b").as("user_b"), col("co"),
+          (col("co").cast("double") /
+            (col("da") + col("db") - col("co")).cast("double"))
+            .as("jaccard"))
+        .orderBy(desc("jaccard"), col("user_a"), col("user_b"))
+        .limit(TopN)
     })
 
   /** The oracle unrolls the three iterations as chained CTEs with the
@@ -356,6 +393,24 @@ object GraphQueries {
            |  (SELECT count(*) FROM w) AS n_wedges,
            |  (SELECT count(*) FROM w
            |     JOIN und ON w.a = und.a AND w.b = und.b) AS n_triangles
-           |""".stripMargin)
+           |""".stripMargin,
+
+      "q_graph_jaccard" ->
+        s"""WITH $edgesSql,
+           |und AS (
+           |  SELECT src AS u, dst AS v FROM edges
+           |  UNION SELECT dst, src FROM edges),
+           |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+           |co AS (
+           |  SELECT x.v AS a, y.v AS b, count(*) AS co
+           |  FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+           |  GROUP BY 1, 2)
+           |SELECT a AS user_a, b AS user_b, CAST(co AS BIGINT) AS co,
+           |  CAST(co AS DOUBLE) / (da.deg + db.deg - co) AS jaccard
+           |FROM co
+           |JOIN deg da ON co.a = da.u
+           |JOIN deg db ON co.b = db.u
+           |ORDER BY jaccard DESC, user_a, user_b
+           |LIMIT 20""".stripMargin)
   }
 }

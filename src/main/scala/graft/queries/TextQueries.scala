@@ -1715,6 +1715,95 @@ object TextQueries {
             .otherwise(0)).cast("long").as("tokens_kept"))
         .orderBy("source")
     },
+
+    // Encoding-health audit — the mojibake/control-char screen every
+    // web-scrape corpus runs before training (U+FFFD means a decoder
+    // already lost bytes; stray C0 controls break tokenizers). The
+    // testdata is clean ASCII, so the gate INJECTS deterministic damage
+    // first (doc_id%7: every 'e' → U+FFFD; doc_id%11: a \x01 prefix) and
+    // then audits its own corrupted copy — both engines corrupt and
+    // detect on identical logical strings, so the pass proves the
+    // detection regexes fire identically, not that zeros equal zeros.
+    // One scan, one partial-agg pass; per-doc regex work is
+    // embarrassingly parallel.
+    "q_mojibake_audit" -> { (s, dir) =>
+      val repl = "\uFFFD"
+      val ctext0 = when(col("doc_id") % 7 === 0,
+        regexp_replace(col("text"), "e", repl)).otherwise(col("text"))
+      val ctext = when(col("doc_id") % 11 === 0,
+        concat(lit("\u0001"), ctext0)).otherwise(ctext0)
+      val ctrlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+      t(s, dir, "documents")
+        .select(col("source"), ctext.as("ct"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ct").contains(repl), 1).otherwise(0))
+            .cast("long").as("n_repl_docs"),
+          sum(length(col("ct")) -
+            length(regexp_replace(col("ct"), repl, "")))
+            .cast("long").as("n_repl_chars"),
+          sum(when(col("ct").rlike(ctrlRe), 1).otherwise(0))
+            .cast("long").as("n_ctrl_docs"),
+          sum(when(!col("ct").contains(repl) &&
+            !col("ct").rlike(ctrlRe), 1).otherwise(0))
+            .cast("long").as("n_clean_docs"))
+        .orderBy("source")
+    },
+
+    // Keyness — which tokens CHARACTERIZE each source vs the rest of
+    // the corpus (Dunning's log-likelihood G² over each token's 2×2
+    // source-vs-rest table), the statistic behind "what makes this
+    // crawl slice different?" curation reports. The corpus reduces to
+    // the (source, token, count) frame in one pass; marginals are a
+    // broadcast source dim, a token-keyed vocab join, and one scalar.
+    // All four G² terms run on exact BIGINT counts with one ln each,
+    // zero-count terms CASE-dropped on both engines (0·ln0 = 0); top-5
+    // per source via a source-partitioned window over the vocab frame
+    // with a (g2, token) tiebreak.
+    "q_keyness" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = (x: org.apache.spark.sql.Column) => x.cast("double")
+      val cell = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("a"))
+      val ns = cell.groupBy("source")
+        .agg(sum(col("a")).cast("long").as("ns"))
+      val tw = cell.groupBy("token")
+        .agg(sum(col("a")).cast("long").as("tw"))
+      val nn = cell.agg(sum(col("a")).cast("long").as("nn"))
+      val terms = cell.join(broadcast(ns), "source").join(tw, "token")
+        .crossJoin(broadcast(nn))
+        .withColumn("b", col("tw") - col("a"))
+        .withColumn("c", col("ns") - col("a"))
+        .withColumn("dd", col("nn") - col("ns") - col("b"))
+        .withColumn("nrest", col("nn") - col("ns"))
+      val g2 = terms.withColumn("t_a",
+          when(col("a") > 0, d(col("a")) *
+            log(d(col("a") * col("nn")) / d(col("ns") * col("tw"))))
+            .otherwise(0.0))
+        .withColumn("t_b",
+          when(col("b") > 0, d(col("b")) *
+            log(d(col("b") * col("nn")) / d(col("nrest") * col("tw"))))
+            .otherwise(0.0))
+        .withColumn("t_c",
+          when(col("c") > 0, d(col("c")) *
+            log(d(col("c") * col("nn")) /
+              d(col("ns") * (col("nn") - col("tw"))))).otherwise(0.0))
+        .withColumn("t_d",
+          when(col("dd") > 0, d(col("dd")) *
+            log(d(col("dd") * col("nn")) /
+              d(col("nrest") * (col("nn") - col("tw"))))).otherwise(0.0))
+        .withColumn("g2", round(lit(2.0) *
+          (col("t_a") + col("t_b") + col("t_c") + col("t_d")), 6))
+      val wr = Window.partitionBy("source")
+        .orderBy(desc("g2"), col("token"))
+      g2.withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("rnk").cast("long").as("rnk"),
+          col("token"), col("a").as("obs"), col("g2"))
+        .orderBy("source", "rnk")
+    },
   )
 
   /** Window width shared by the q_substr_dedup / q_substr_strip gates. */
@@ -1758,6 +1847,67 @@ object TextQueries {
        |  WHERE nsites >= 2)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // Identical deterministic corruption (doc_id%7 → U+FFFD for 'e',
+    // doc_id%11 → \x01 prefix) rebuilt in SQL, then audited with the
+    // same regex classes — the pass proves detection parity, not 0=0.
+    "q_mojibake_audit" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(1) ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN replace(text, 'e', chr(65533))
+        |         ELSE text END AS ct
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN contains(ct, chr(65533)) THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_repl_docs,
+        |  CAST(sum(length(ct) - length(replace(ct, chr(65533), '')))
+        |    AS BIGINT) AS n_repl_chars,
+        |  CAST(sum(CASE WHEN regexp_matches(ct,
+        |    '[\x00-\x08\x0b\x0c\x0e-\x1f]') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ctrl_docs,
+        |  CAST(sum(CASE WHEN NOT contains(ct, chr(65533)) AND NOT
+        |    regexp_matches(ct, '[\x00-\x08\x0b\x0c\x0e-\x1f]')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_docs
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_keyness" ->
+      """WITH cellc AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS a FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(a) AS BIGINT) AS ns
+        |       FROM cellc GROUP BY 1),
+        |tw AS (SELECT token, CAST(sum(a) AS BIGINT) AS tw
+        |       FROM cellc GROUP BY 1),
+        |nn AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM cellc),
+        |t AS (
+        |  SELECT source, token, a, ns, tw, nn,
+        |    tw - a AS b, ns - a AS c,
+        |    nn - ns - (tw - a) AS dd, nn - ns AS nrest
+        |  FROM cellc JOIN ns USING (source) JOIN tw USING (token)
+        |  CROSS JOIN nn),
+        |g AS (
+        |  SELECT source, token, a, round(2.0 * (
+        |    (CASE WHEN a > 0 THEN a * ln(CAST(a * nn AS DOUBLE) /
+        |       CAST(ns * tw AS DOUBLE)) ELSE 0 END) +
+        |    (CASE WHEN b > 0 THEN b * ln(CAST(b * nn AS DOUBLE) /
+        |       CAST(nrest * tw AS DOUBLE)) ELSE 0 END) +
+        |    (CASE WHEN c > 0 THEN c * ln(CAST(c * nn AS DOUBLE) /
+        |       CAST(ns * (nn - tw) AS DOUBLE)) ELSE 0 END) +
+        |    (CASE WHEN dd > 0 THEN dd * ln(CAST(dd * nn AS DOUBLE) /
+        |       CAST(nrest * (nn - tw) AS DOUBLE)) ELSE 0 END)), 6)
+        |    AS g2
+        |  FROM t),
+        |r AS (
+        |  SELECT source, token, a, g2,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY g2 DESC, token) AS rnk
+        |  FROM g)
+        |SELECT source, CAST(rnk AS BIGINT) AS rnk, token, a AS obs, g2
+        |FROM r WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin,
     "q_hash_sample" ->
       """SELECT source, count(*) AS n_sampled,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

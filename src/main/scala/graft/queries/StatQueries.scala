@@ -908,6 +908,57 @@ object StatQueries {
           (col("a").cast("double") / col("n1")).as("mean_before_100"),
           ((col("ss") - col("a")).cast("double") /
             (col("nd") - col("n1"))).as("mean_after_100"))
+    },
+
+    // Theil–Sen robust trend — the median of all pairwise slopes, the
+    // estimator that shrugs off the outlier days OLS (q_trend_fit)
+    // chases. The pair set is the DAY-domain frame squared (~3M pairs
+    // from ~2500 calendar days — fixed by the calendar, NOT data
+    // volume, so the nested-loop pair join costs the same at sf0.01 and
+    // sf100; the explicit limit() states that bound and makes the
+    // global rank windows plan-legal). Slopes are one double division
+    // of exact $100-quantized integers each; medians come off rank cuts
+    // over the sorted multiset (tie-permutation-proof), and the
+    // intercept is the median residual at the chosen slope.
+    "q_theil_sen" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "lineitem")
+        .groupBy(datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01")).as("d"))
+        .agg(expr(
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 " +
+            "AS BIGINT) div 10000").as("r"))
+        .limit(1000000) // day domain: calendar, not volume
+      val a = daily.select(col("d").as("d1"), col("r").as("r1"))
+      val b = daily.select(col("d").as("d2"), col("r").as("r2"))
+      // Pinned: the pair frame feeds the rank window, its own count,
+      // and (transitively) the residual pass — unpinned the ~3M-row
+      // nested-loop join re-executes per subplan.
+      val pairs = graft.ops.Pin.pin(a.join(b, col("d1") < col("d2"))
+        .select(((col("r2") - col("r1")).cast("double") /
+          (col("d2") - col("d1")).cast("double")).as("slope")))
+      val wsl = Window.orderBy("slope")
+      val slope = pairs
+        .withColumn("rn", row_number().over(wsl))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("np"))))
+        .agg(max(col("np")).as("n_pairs"),
+          ((min(when(col("rn") >= expr("(np + 1) div 2"),
+              col("slope"))) +
+            min(when(col("rn") >= expr("(np + 2) div 2"),
+              col("slope")))) / 2.0).as("slope_med"))
+      val resid = daily.crossJoin(broadcast(slope))
+        .withColumn("resid",
+          col("r").cast("double") - col("slope_med") * col("d"))
+      val wre = Window.orderBy("resid")
+      resid.withColumn("rn", row_number().over(wre))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+        .agg(max(col("nd")).cast("long").as("n_days"),
+          max(col("n_pairs")).cast("long").as("n_pairs"),
+          max(col("slope_med")).as("slope_med_100"),
+          ((min(when(col("rn") >= expr("(nd + 1) div 2"),
+              col("resid"))) +
+            min(when(col("rn") >= expr("(nd + 2) div 2"),
+              col("resid")))) / 2.0).as("intercept_med_100"))
     }
   )
 
@@ -1515,6 +1566,44 @@ object StatQueries {
         |  CAST(ss - a AS DOUBLE) / (nd - n1) AS mean_after_100
         |FROM o
         |ORDER BY num * num / CAST(n1 * (nd - n1) AS DOUBLE) DESC, d
-        |LIMIT 1""".stripMargin
+        |LIMIT 1""".stripMargin,
+
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS d,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) // 10000 AS r
+        |  FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(b.r - a.r AS DOUBLE) /
+        |    CAST(b.d - a.d AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |pr AS (
+        |  SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+        |    (SELECT count(*) FROM p) AS np
+        |  FROM p),
+        |sl AS (
+        |  SELECT max(np) AS n_pairs,
+        |    (min(CASE WHEN rn >= (np + 1) // 2 THEN slope END) +
+        |     min(CASE WHEN rn >= (np + 2) // 2 THEN slope END)) / 2.0
+        |      AS slope_med
+        |  FROM pr),
+        |res AS (
+        |  SELECT CAST(r AS DOUBLE) - sl.slope_med * d AS resid,
+        |    sl.n_pairs, sl.slope_med,
+        |    (SELECT count(*) FROM daily) AS nd
+        |  FROM daily CROSS JOIN sl),
+        |rr AS (
+        |  SELECT resid, n_pairs, slope_med, nd,
+        |    row_number() OVER (ORDER BY resid) AS rn
+        |  FROM res)
+        |SELECT CAST(max(nd) AS BIGINT) AS n_days,
+        |  CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+        |  max(slope_med) AS slope_med_100,
+        |  (min(CASE WHEN rn >= (nd + 1) // 2 THEN resid END) +
+        |   min(CASE WHEN rn >= (nd + 2) // 2 THEN resid END)) / 2.0
+        |    AS intercept_med_100
+        |FROM rr""".stripMargin
   )
 }

@@ -396,9 +396,65 @@ object SourceQueries {
             sum(col("n_chars")).cast("long").as("sum_chars"))
           .orderBy("source"))
       }
+    },
+
+    // Dynamic partition overwrite — the daily-reprocess idiom of a
+    // partitioned lake: a corrected batch for ONE partition must
+    // replace exactly that partition and leave every other byte
+    // untouched (static overwrite mode would wipe the whole table —
+    // the classic production data-loss bug this gate guards against).
+    // The table is written partitioned by lang; the incoming batch is
+    // lang='de' only, halved (even doc_id) and uppercased, written with
+    // partitionOverwriteMode=dynamic; the read-back aggregate can only
+    // match the oracle if the de partition was REPLACED (not appended)
+    // and the other four partitions survived. At 100 TB this is a
+    // metadata-scoped commit: only the incoming partitions' files are
+    // rewritten.
+    "q_dynamic_overwrite" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      withTempDir("graft_dynover") { base =>
+        docs.write.mode("overwrite").partitionBy("lang")
+          .parquet(s"$base/tbl")
+        val batch = docs.filter(col("lang") === "de" &&
+            col("doc_id") % 2 === 0)
+          .withColumn("text", upper(col("text")))
+        val prev = s.conf
+          .getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try batch.write.mode("overwrite").partitionBy("lang")
+          .parquet(s"$base/tbl")
+        finally prev match {
+          case Some(v) => s.conf
+            .set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf
+            .unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        Pin.pin(s.read.parquet(s"$base/tbl")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(when(!col("text").rlike("[a-z]"), 1).otherwise(0))
+              .cast("long").as("n_no_lower"))
+          .orderBy("lang"))
+      }
     })
 
   val oracles: Map[String, String] = Map(
+    // Expected state derived from the ORIGINAL table: de halved and
+    // uppercased, everything else untouched — matches only if the
+    // dynamic overwrite replaced exactly the de partition.
+    "q_dynamic_overwrite" ->
+      """WITH eff AS (
+        |  SELECT CASE WHEN lang = 'de' THEN upper(text) ELSE text END
+        |      AS text, lang, n_chars
+        |  FROM documents
+        |  WHERE lang <> 'de' OR doc_id % 2 = 0)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN NOT regexp_matches(text, '[a-z]')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lower
+        |FROM eff GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_jsonl_roundtrip" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -27,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.graftfns.textBridge.langIdFunction)
     ext.injectFunction(
       org.apache.spark.sql.graftfns.textBridge.fingerprintFunction)
+    ext.injectFunction(
+      org.apache.spark.sql.graftfns.textBridge.nfcNormalizeFunction)
   }
 }

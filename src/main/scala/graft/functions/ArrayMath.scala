@@ -25,6 +25,12 @@ object ArrayMath {
   def fingerprint(text: Column, n: Int): Column =
     org.apache.spark.sql.graftfns.textBridge.fingerprint(text, n)
 
+  /** Codegen'd Unicode NFC normalization (DuckDB `nfc_normalize`
+    * parity) — see [[org.apache.spark.sql.graftfns.NfcNormalize]].
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftfns.textBridge.nfcNormalize(text)
+
   /** Register graft's native functions (`dot_product`) for SQL use in an
     * already-running session; cluster-wide installs should set
     * `spark.sql.extensions=graft.GraftExtensions` instead.

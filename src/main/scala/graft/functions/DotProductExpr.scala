@@ -112,7 +112,8 @@ object bridge {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     Seq(dotProductFunction, collectTopKFunction,
-      textBridge.langIdFunction, textBridge.fingerprintFunction).foreach {
+      textBridge.langIdFunction, textBridge.fingerprintFunction,
+      textBridge.nfcNormalizeFunction).foreach {
       case (id, info, builder) =>
         cs.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -25,6 +25,18 @@ object TextExprHelpers {
 
   def fingerprint(t: UTF8String, n: Int): Long =
     TextAnalysis.fingerprintOf(t.toString, n)
+
+  def nfc(t: UTF8String): UTF8String = {
+    val s = t.toString
+    // Fast path: Normalizer.isNormalized is a cheap scan and true for
+    // virtually every document of a mostly-ASCII corpus — skip the
+    // allocating normalize() call (and the UTF8String re-encode) unless
+    // the string actually contains a decomposed sequence.
+    if (java.text.Normalizer.isNormalized(s,
+        java.text.Normalizer.Form.NFC)) t
+    else UTF8String.fromString(java.text.Normalizer
+      .normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** Native expression form of [[graft.ops.TextAnalysis.langIdOf]]: keeps
@@ -76,6 +88,34 @@ case class Fingerprint(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a native codegen'd expression — the
+  * canonicalization pass a multilingual corpus needs BEFORE any
+  * byte-level dedup or fingerprinting ("café" composed and decomposed
+  * must hash identically). Matches DuckDB's `nfc_normalize` semantics
+  * (both defer to the Unicode canonical-composition tables). The
+  * already-normalized fast path avoids per-row allocation on
+  * mostly-ASCII corpora, so the hot path stays cheap at 100 TB.
+  */
+case class NfcNormalize(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextExprHelpers.nfc(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftfns.TextExprHelpers.nfc($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Internal Column bridge — use graft.functions.TextFns instead. */
 object textBridge {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -86,6 +126,22 @@ object textBridge {
 
   def fingerprint(c: Column, n: Int): Column =
     ExpressionUtils.column(Fingerprint(ExpressionUtils.expression(c), n))
+
+  def nfcNormalize(c: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
+
+  /** `nfc_normalize(text)` as a SQL function (name-compatible with
+    * DuckDB's built-in).
+    */
+  val nfcNormalizeFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"nfc_normalize expects 1 argument, got ${children.length}")
+      NfcNormalize(children.head)
+    })
 
   /** `lang_id(text)` as a SQL function (see [[graft.GraftExtensions]]). */
   val langIdFunction: (FunctionIdentifier, ExpressionInfo,

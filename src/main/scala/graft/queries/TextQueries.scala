@@ -1804,6 +1804,34 @@ object TextQueries {
           col("token"), col("a").as("obs"), col("g2"))
         .orderBy("source", "rnk")
     },
+
+    // Unicode NFC canonicalization — composed and decomposed spellings
+    // of the same text ("café" as 4 codepoints vs 5) must hash/dedup
+    // identically, so normalization runs BEFORE any fingerprint at
+    // corpus scale. The engine side is the native codegen'd
+    // [[graft.functions.ArrayMath.nfcNormalize]] expression (no
+    // ScalaUDF fence; already-normalized fast path allocates nothing),
+    // name- and semantics-compatible with DuckDB's built-in
+    // nfc_normalize, which the oracle calls — a REAL cross-engine
+    // parity check of the Unicode composition tables. The clean-ASCII
+    // testdata is seeded with decomposed a+U+0301 sequences (doc_id%5)
+    // on both sides first.
+    "q_nfc_normalize" -> { (s, dir) =>
+      val ct = when(col("doc_id") % 5 === 0,
+        regexp_replace(col("text"), "a", "a\u0301"))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("source"), ct.as("ct"))
+        .withColumn("nt", graft.functions.ArrayMath
+          .nfcNormalize(col("ct")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nt") =!= col("ct"), 1).otherwise(0))
+            .cast("long").as("n_denorm_docs"),
+          sum(length(col("ct"))).cast("long").as("sum_len_raw"),
+          sum(length(col("nt"))).cast("long").as("sum_len_nfc"))
+        .orderBy("source")
+    },
   )
 
   /** Window width shared by the q_substr_dedup / q_substr_strip gates. */
@@ -1908,6 +1936,24 @@ object TextQueries {
         |SELECT source, CAST(rnk AS BIGINT) AS rnk, token, a AS obs, g2
         |FROM r WHERE rnk <= 5
         |ORDER BY source, rnk""".stripMargin,
+
+    // DuckDB's BUILT-IN nfc_normalize vs the engine's native
+    // expression: identical decomposed seeding, then both engines'
+    // own Unicode composition tables must agree byte-for-byte.
+    "q_nfc_normalize" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN replace(text, 'a', 'a' || chr(769))
+        |         ELSE text END AS ct
+        |  FROM documents),
+        |n AS (SELECT source, ct, nfc_normalize(ct) AS nt FROM c)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nt <> ct THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_denorm_docs,
+        |  CAST(sum(length(ct)) AS BIGINT) AS sum_len_raw,
+        |  CAST(sum(length(nt)) AS BIGINT) AS sum_len_nfc
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
     "q_hash_sample" ->
       """SELECT source, count(*) AS n_sampled,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

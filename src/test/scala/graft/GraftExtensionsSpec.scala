@@ -61,6 +61,23 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers
         .collect()
   }
 
+  it should "expose nfc_normalize in SQL, composing decomposed " +
+    "sequences and passing already-normal text through" in {
+    ArrayMath.registerSqlFunctions(spark)
+    // 'e' + U+0301 combining acute → composed U+00E9. NOTE: Spark's
+    // chr() wraps at 256 (DuckDB's takes a full codepoint), so the
+    // decomposed input is embedded as a literal, not built with chr().
+    spark.sql("SELECT nfc_normalize('café') AS t")
+      .head().getString(0) shouldBe "café"
+    spark.sql("SELECT length(nfc_normalize('aé')) AS n")
+      .head().getInt(0) shouldBe 2
+    // ASCII fast path: unchanged (and the expression is null-safe)
+    spark.sql("SELECT nfc_normalize('plain ascii') AS t")
+      .head().getString(0) shouldBe "plain ascii"
+    spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) AS t")
+      .head().isNullAt(0) shouldBe true
+  }
+
   it should "inject dot_product via spark.sql.extensions" in {
     // Build a sibling session over the SAME SparkContext with the
     // extensions applied (the spark.sql.extensions code path); restore the

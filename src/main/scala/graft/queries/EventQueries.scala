@@ -1282,6 +1282,39 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // Streaming EWMA burst detection — an ordered per-key integer
+    // recursion carried in flatMapGroupsWithState state (see
+    // [[graft.streaming.Stateful.streamEwmaBurst]]): the stateful shape
+    // windowed aggregations can't express. The EWMA update
+    // (x + 3·ewma) div 4 is exact integer arithmetic, so the stream's
+    // answer is bit-equal to the oracle's RECURSIVE CTE walking the
+    // same hourly counts — a genuine streaming-vs-recursive-SQL parity
+    // proof. State per type is one (hb, ewma) pair; the per-batch hour
+    // map is calendar-bounded.
+    "q_stream_ewma" -> { (s, dir) =>
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hb"))
+        .as[graft.streaming.TypedHourEvent]
+      val scored = graft.streaming.Stateful.streamEwmaBurst(stream)
+      val name = "q_stream_ewma_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        val q = scored.writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_hours"),
+          sum(when(col("burst"), 1).otherwise(0)).cast("long")
+            .as("n_bursts"),
+          min(when(col("burst"), col("hb"))).as("first_burst_hb"))
+        .orderBy("event_type")
+    },
+
     // Realtime last-touch attribution: flatMapGroupsWithState keeps ONE
     // string per user (the latest non-purchase touch) and emits each
     // purchase credited to it as it streams past — the stateful mirror
@@ -2092,6 +2125,38 @@ object EventQueries {
          | AND b.t_b - v.t_v <= 3600000000
          |GROUP BY v.user_id
          |ORDER BY v.user_id""".stripMargin,
+
+    // The stream's integer EWMA recursion replayed as a RECURSIVE CTE
+    // over the same hourly counts — (x + 3·ewma) // 4 truncating
+    // division is the statistic, so both sides are bit-equal with no
+    // FP anywhere.
+    "q_stream_ewma" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hb,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |o AS (
+        |  SELECT event_type, hb, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hb) AS BIGINT) AS i
+        |  FROM hourly),
+        |r AS (
+        |  SELECT event_type, i, hb, x, CAST(NULL AS BIGINT) AS prev,
+        |    x AS ewma
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.i, o.hb, o.x, r.ewma,
+        |    (o.x + 3 * r.ewma) // 4
+        |  FROM r JOIN o ON o.event_type = r.event_type
+        |    AND o.i = r.i + 1)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND x > 2 * prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts,
+        |  min(CASE WHEN prev IS NOT NULL AND x > 2 * prev THEN hb END)
+        |    AS first_burst_hb
+        |FROM r GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_stream_state_sessions" -> {
       val gapMs = GapUs / 1000L

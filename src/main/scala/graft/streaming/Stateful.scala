@@ -30,6 +30,20 @@ case class LastTouch(touch: String)
 case class AttributedPurchase(user_id: Long, attributed: String,
                               value: Double)
 
+/** One hour-bucketed event for [[Stateful.streamEwmaBurst]]. */
+case class TypedHourEvent(event_type: String, hb: Long)
+
+/** Per-type EWMA state: last processed hour bucket + the running
+  * integer EWMA (post-update).
+  */
+case class EwmaState(lastHb: Long, ewma: Long)
+
+/** One scored hour: `prev` is the PRE-update ewma (-1 on the seed row),
+  * `burst` flags x > 2·prev.
+  */
+case class HourEwma(event_type: String, hb: Long, x: Long, prev: Long,
+                    burst: Boolean)
+
 /** Custom-state streaming operators — the part of the extension surface
   * that `session_window` can't express: arbitrary per-key state machines
   * via `flatMapGroupsWithState` with event-time timeouts.
@@ -143,4 +157,50 @@ object Stateful {
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming EWMA burst detector — an ordered per-key integer
+    * recursion in state, the stateful shape neither windowed aggs nor
+    * dropDuplicates can express: per event_type the detector walks
+    * hourly buckets in event-time order carrying
+    * `ewma' = (x + 3·ewma) div 4` (exact integer arithmetic — the
+    * truncating div is part of the statistic, so engine and oracle are
+    * bit-equal with no FP anywhere) and flags hours whose count exceeds
+    * twice the PRE-update ewma. State per key is a single (hb, ewma)
+    * pair — bytes, not history; the hour map built per micro-batch is
+    * bounded by calendar hours, not event volume. Batch events are
+    * bucket-counted then walked sorted, so within a micro-batch order
+    * is deterministic; across micro-batches the watermark's monotone
+    * hour frontier keeps the recursion in order.
+    */
+  def streamEwmaBurst(
+      events: Dataset[TypedHourEvent]): Dataset[HourEwma] = {
+    val s = events.sparkSession
+    import s.implicits._
+
+    def fn(et: String, batch: Iterator[TypedHourEvent],
+           state: GroupState[EwmaState]): Iterator[HourEwma] = {
+      val counts = mutable.HashMap.empty[Long, Long]
+      batch.foreach(e =>
+        counts.update(e.hb, counts.getOrElse(e.hb, 0L) + 1L))
+      val out = mutable.ArrayBuffer.empty[HourEwma]
+      var st = state.getOption.orNull
+      counts.keysIterator.toArray.sorted.foreach { hb =>
+        val x = counts(hb)
+        if (st == null) {
+          out += HourEwma(et, hb, x, -1L, burst = false)
+          st = EwmaState(hb, x)
+        } else {
+          val burst = x > 2L * st.ewma
+          out += HourEwma(et, hb, x, st.ewma, burst)
+          st = EwmaState(hb, (x + 3L * st.ewma) / 4L)
+        }
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -38,7 +38,7 @@ object StatQueries {
     * (the heuristic is frozen by that gate; this module only AGGREGATES
     * its predictions differently).
     */
-  private val langPredSql: String =
+  private[queries] val langPredSql: String =
     """t AS (
       |  SELECT lang,
       |    len(regexp_extract_all(text,

@@ -1832,6 +1832,41 @@ object TextQueries {
           sum(length(col("nt"))).cast("long").as("sum_len_nfc"))
         .orderBy("source")
     },
+
+    // The SQL surface end-to-end — a user who only speaks SQL gets the
+    // library's native expressions through the registered function
+    // names (GraftExtensions / registerSqlFunctions): this gate runs
+    // ONE spark.sql text combining lang_id() and nfc_normalize() over a
+    // temp view and gates it against DuckDB running its own built-ins +
+    // the lang-ID SQL twin. Proves the registration path, the SQL
+    // parser round trip, and the expressions' values in one row set —
+    // not just that the Column API works.
+    "q_sql_functions" -> { (s, dir) =>
+      graft.functions.ArrayMath.registerSqlFunctions(s)
+      val v = "graft_sqlfns_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      t(s, dir, "documents").createOrReplaceTempView(v)
+      try s.sql(
+        s"""SELECT l.lang, l.n_docs, l.n_lang_match, f.n_nfc_changed
+           |FROM (
+           |  SELECT lang, count(*) AS n_docs,
+           |    sum(CASE WHEN lang_id(text) = lang THEN 1 ELSE 0 END)
+           |      AS n_lang_match
+           |  FROM $v GROUP BY lang) l
+           |JOIN (
+           |  SELECT lang,
+           |    sum(CASE WHEN nfc_normalize(ct) <> ct THEN 1 ELSE 0 END)
+           |      AS n_nfc_changed
+           |  FROM (
+           |    SELECT lang,
+           |      CASE WHEN doc_id % 5 = 0
+           |           THEN regexp_replace(text, 'a', 'á')
+           |           ELSE text END AS ct
+           |    FROM $v) GROUP BY lang) f
+           |USING (lang)
+           |ORDER BY lang""".stripMargin)
+      finally s.catalog.dropTempView(v)
+    },
   )
 
   /** Window width shared by the q_substr_dedup / q_substr_strip gates. */
@@ -1954,6 +1989,29 @@ object TextQueries {
         |  CAST(sum(length(ct)) AS BIGINT) AS sum_len_raw,
         |  CAST(sum(length(nt)) AS BIGINT) AS sum_len_nfc
         |FROM n GROUP BY source ORDER BY source""".stripMargin,
+
+    // DuckDB's built-ins + the frozen lang-ID SQL twin vs the engine's
+    // one spark.sql() text through the registered function names.
+    "q_sql_functions" ->
+      s"""WITH ${StatQueries.langPredSql},
+         |lm AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_lang_match
+         |  FROM p GROUP BY lang),
+         |nf AS (
+         |  SELECT lang,
+         |    CAST(sum(CASE WHEN nfc_normalize(ct) <> ct THEN 1 ELSE 0
+         |      END) AS BIGINT) AS n_nfc_changed
+         |  FROM (
+         |    SELECT lang,
+         |      CASE WHEN doc_id % 5 = 0
+         |           THEN replace(text, 'a', 'a' || chr(769))
+         |           ELSE text END AS ct
+         |    FROM documents) GROUP BY lang)
+         |SELECT lang, n_docs, n_lang_match, n_nfc_changed
+         |FROM lm JOIN nf USING (lang)
+         |ORDER BY lang""".stripMargin,
     "q_hash_sample" ->
       """SELECT source, count(*) AS n_sampled,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

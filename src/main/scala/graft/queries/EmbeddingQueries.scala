@@ -431,9 +431,166 @@ object EmbeddingQueries {
           "vec_id", "embedding", maxL2 = 1.3),
         "nid", pctBound = 80, simFloor = Some(0.16))
     },
+
+    // Hybrid retrieval — reciprocal-rank fusion of a LEXICAL ranking
+    // (the frozen q_bm25_topk scoring, term probes per query) with a
+    // VECTOR ranking (exact cosine top-50, query = the embedding of
+    // doc qid), the fusion every RAG stack runs when neither BM25 nor
+    // embeddings alone suffice. RRF(d) = Σ_list 1/(60 + rank_d) over
+    // exact integer ranks, so the fused score is a sum of two exact
+    // rationals — deterministic without any rounding of intermediate
+    // scores; the fused top-10 carries a doc_id tiebreak. Both input
+    // rankings use their long-green spellings (9-dp comp sums for
+    // BM25, 6-dp cosine); fusion adds one full-outer join of two
+    // ≤50-row-per-query lists — driver-free and constant-size.
+    "q_hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val probes = s.createDataFrame(Seq(
+        (1L, "data"), (1L, "scan"), (1L, "slow"),
+        (2L, "order"), (2L, "fast"),
+        (3L, "query"), (3L, "column"), (3L, "stream"), (3L, "merge")))
+        .toDF("qid", "term")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tot = dl.agg(count(lit(1)).as("n_docs"),
+        sum("dl").as("tot_len"))
+      val terms = probes.select("term").distinct()
+      val tf = toks.join(broadcast(terms), col("tok") === col("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val wb = Window.partitionBy("qid")
+        .orderBy(desc("score"), col("doc_id"))
+      val bm25 = tf.join(broadcast(probes), "term")
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .withColumn("idf", log(
+          (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("norm", lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") * col("n_docs") / col("tot_len")))
+        .withColumn("comp", round(
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * col("norm")), 9))
+        .groupBy("qid", "doc_id")
+        .agg(dsumPre(col("comp"), 9).as("sum_comp"))
+        .withColumn("score", round(col("sum_comp"), 6))
+        .withColumn("rb", row_number().over(wb))
+        .filter(col("rb") <= 50)
+        .select(col("qid"), col("doc_id"), col("rb").cast("long").as("rb"))
+      val emb = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id").isin(1L, 2L, 3L)),
+          "vec_id", "embedding", 50)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          col("rnk").as("rv"))
+      val wf = Window.partitionBy("qid")
+        .orderBy(desc("rrf"), col("doc_id"))
+      bm25.join(vec, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)))
+        .withColumn("rnk", row_number().over(wf))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("rnk").cast("long").as("rnk"),
+          col("doc_id"),
+          col("rb").isNotNull.as("in_bm25"),
+          col("rv").isNotNull.as("in_vec"),
+          round(col("rrf"), 9).as("rrf"))
+        .orderBy("qid", "rnk")
+    },
   )
 
   def oracles: Map[String, String] = Map(
+    // Both input rankings reuse their long-green spellings; fusion is
+    // exact-integer ranks through CAST(1 AS DOUBLE)/(60+rank) — the
+    // explicit DOUBLE cast matters: DuckDB's bare 1.0 literal is
+    // DECIMAL and would divide in decimal arithmetic.
+    "q_hybrid_rrf" ->
+      """WITH probes(qid, term) AS (
+        |  VALUES (1, 'data'), (1, 'scan'), (1, 'slow'),
+        |         (2, 'order'), (2, 'fast'),
+        |         (3, 'query'), (3, 'column'), (3, 'stream'),
+        |         (3, 'merge')),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE tok <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |tot AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_len
+        |  FROM dl),
+        |tf AS (
+        |  SELECT t.doc_id, t.tok AS term, count(*) AS tf
+        |  FROM tok2 t
+        |  JOIN (SELECT DISTINCT term FROM probes) q ON t.tok = q.term
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |comp AS (
+        |  SELECT p.qid, f.doc_id,
+        |    round(
+        |      ln((t.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |      (f.tf * 2.2) /
+        |      (f.tf + 1.2 * (0.25 + 0.75 *
+        |        (CAST(l.dl AS DOUBLE) * t.n_docs / t.tot_len))), 9)
+        |      AS comp
+        |  FROM tf f
+        |  JOIN probes p ON f.term = p.term
+        |  JOIN dfreq d ON f.term = d.term
+        |  JOIN dl l ON f.doc_id = l.doc_id
+        |  CROSS JOIN tot t),
+        |sc AS (
+        |  SELECT qid, doc_id,
+        |    round(CAST(sum(CAST(comp AS DECIMAL(18,9))) AS DOUBLE), 6)
+        |      AS score
+        |  FROM comp GROUP BY qid, doc_id),
+        |rb AS (
+        |  SELECT * FROM (
+        |    SELECT qid, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, doc_id) AS BIGINT) AS rb
+        |    FROM sc)
+        |  WHERE rb <= 50),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM e
+        |      WHERE vec_id IN (1, 2, 3)),
+        |p AS (
+        |  SELECT q.qid, e.vec_id AS doc_id,
+        |    round(list_dot_product(e.e, q.qe) /
+        |      (sqrt(list_dot_product(e.e, e.e)) *
+        |       sqrt(list_dot_product(q.qe, q.qe))), 6) AS sim
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |rv AS (
+        |  SELECT * FROM (
+        |    SELECT qid, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, doc_id) AS BIGINT) AS rv
+        |    FROM p)
+        |  WHERE rv <= 50),
+        |f AS (
+        |  SELECT COALESCE(rb.qid, rv.qid) AS qid,
+        |    COALESCE(rb.doc_id, rv.doc_id) AS doc_id, rb.rb, rv.rv
+        |  FROM rb FULL OUTER JOIN rv
+        |    ON rb.qid = rv.qid AND rb.doc_id = rv.doc_id),
+        |g AS (
+        |  SELECT qid, doc_id, rb, rv,
+        |    COALESCE(CAST(1 AS DOUBLE) / (60 + rb), 0.0) +
+        |    COALESCE(CAST(1 AS DOUBLE) / (60 + rv), 0.0) AS rrf
+        |  FROM f),
+        |r AS (
+        |  SELECT qid, doc_id, rb, rv, rrf,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY rrf DESC, doc_id) AS rnk
+        |  FROM g)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+        |  doc_id, rb IS NOT NULL AS in_bm25, rv IS NOT NULL AS in_vec,
+        |  round(rrf, 9) AS rrf
+        |FROM r WHERE rnk <= 10
+        |ORDER BY qid, rnk""".stripMargin,
     // Unrolled integer power method over HUGEINT arithmetic (exact —
     // DuckDB SUM(BIGINT) widens losslessly); quantization is
     // sign(y)·((|y|·PcaScale) // max|y|), floor division on non-negative

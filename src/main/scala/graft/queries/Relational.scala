@@ -984,6 +984,35 @@ object Relational {
         .orderBy("o_orderpriority")
     },
 
+    // TPC-H Q12 shape (shipping-mode priority audit) — the last of the
+    // 22 TPC-H patterns mirrored here: conditional aggregation AFTER a
+    // fact→dim join, splitting each group's count by a dim attribute
+    // with CASE-sums so one join + one aggregate replace two scans.
+    // This synthetic schema carries no l_shipmode/commitdate, so the
+    // mode dimension is l_returnflag and Q12's three-date sandwich
+    // becomes one lateness window (shipped 60–119 days after the order
+    // date) — same plan shape, same skew profile (few groups, wide
+    // counts). Equi-keyed join; only (orderkey, priority, date) cross
+    // the shuffle.
+    "q12_shipmode_priority" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >=
+            col("o_orderdate") + expr("INTERVAL 60 DAYS") &&
+          col("l_shipdate") <
+            col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .otherwise(1)).cast("long").as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
     // TPC-H Q19 shape (discounted revenue, disjunctive predicate): an
     // OR-of-ANDs across three brand/size/quantity windows. The planner
     // must push the common-conjunct factorization down: each disjunct
@@ -2317,6 +2346,19 @@ object Relational {
         |    AND l_shipdate > o_orderdate + INTERVAL 1400 DAY)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_shipmode_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate < o_orderdate + INTERVAL 120 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q19_disjunctive" ->
       s"""SELECT p_brand, count(*) AS n_items,

@@ -1225,6 +1225,69 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // STREAM-STREAM LEFT OUTER join — the watermark-EXPIRY semantics
+    // q_stream_join can't exercise: an unmatched left row (view with no
+    // purchase inside its 1h window) emits with nulls ONLY once the
+    // global watermark proves no match can still arrive, i.e. when
+    // watermark > ts_v + 1h. With a FINITE 7-day watermark and
+    // AvailableNow, the post-drain no-data batch advances the watermark
+    // to min(max ts per side) − 7d and flushes exactly the expired
+    // views (verified: flush count matches the closed-form prediction
+    // row-for-row at sf0.001); views younger than that stay in state —
+    // the price of unbounded-stream correctness. Both engines restrict
+    // the expired set with a 1-second guard band below the exact
+    // cutoff: Spark tracks watermarks in floored milliseconds while the
+    // oracle computes in exact microseconds, and the band makes the
+    // boundary row set identical by construction instead of relying on
+    // either engine's rounding. Join state stays bounded by 7d+1h of
+    // per-user rows — this is the shape that runs forever at any rate.
+    "q_stream_outer_join" -> { (s, dir) =>
+      def stream = eventsStream(s, dir)
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id").as("u"), col("ts").as("ts_v"))
+        .withWatermark("ts_v", "7 days")
+      val buys = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u_b"), col("ts").as("ts_b"),
+          col("value").as("buy_value"))
+        .withWatermark("ts_b", "7 days")
+      val joined = views.join(buys,
+        col("u") === col("u_b") &&
+          col("ts_b") > col("ts_v") &&
+          col("ts_b") <= col("ts_v") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      val name = "q_stream_outer_join_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        val q = joined.writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // The deterministic expiry cutoff, from BATCH data: the exact
+      // watermark both sides can compute (min of the two sides' max
+      // event time, minus the 7d delay), minus the 1h match window,
+      // minus the 1s guard band.
+      val cut = events(s, dir)
+        .agg(least(
+          max(when(col("event_type") === "view", col("ts"))),
+          max(when(col("event_type") === "purchase", col("ts"))))
+          .as("wmax"))
+        .select((col("wmax") - expr("INTERVAL 7 DAYS")
+          - expr("INTERVAL 1 HOUR")
+          - expr("INTERVAL 1 SECOND")).as("cut"))
+      s.table(name)
+        .crossJoin(broadcast(cut))
+        .filter(col("ts_b").isNotNull || col("ts_v") < col("cut"))
+        .groupBy(col("u").as("user_id"))
+        .agg(
+          sum(when(col("ts_b").isNotNull, 1).otherwise(0)).cast("long")
+            .as("n_pairs"),
+          sum(when(col("ts_b").isNull, 1).otherwise(0)).cast("long")
+            .as("n_expired_views"),
+          dsum(coalesce(col("buy_value"), lit(0.0))).as("buy_sum"))
+        .orderBy("user_id")
+    },
+
     // STREAM-STATIC enrichment join — the other canonical streaming join:
     // an unbounded fact stream decorated with a bounded dimension
     // (customer segment), the dimension BROADCAST so the stream side
@@ -2125,6 +2188,41 @@ object EventQueries {
          | AND b.t_b - v.t_v <= 3600000000
          |GROUP BY v.user_id
          |ORDER BY v.user_id""".stripMargin,
+
+    // Expiry cutoff in exact integer micros: min of the two sides' max
+    // event time − 7d (the watermark) − 1h (the match window) − 1s (the
+    // guard band against Spark's ms-floored watermark bookkeeping).
+    "q_stream_outer_join" ->
+      s"""WITH v AS (
+         |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t_v
+         |  FROM events WHERE event_type = 'view'),
+         |b AS (
+         |  SELECT user_id AS u_b, value,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS t_b
+         |  FROM events WHERE event_type = 'purchase'),
+         |wm AS (
+         |  SELECT least((SELECT max(t_v) FROM v),
+         |               (SELECT max(t_b) FROM b))
+         |    - 604800000000 - 3600000000 - 1000000 AS cut),
+         |m AS (
+         |  SELECT u, value FROM v JOIN b
+         |    ON u = u_b AND t_b > t_v AND t_b - t_v <= 3600000000),
+         |um AS (
+         |  SELECT v.u, v.t_v FROM v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM b
+         |    WHERE b.u_b = v.u AND b.t_b > v.t_v
+         |      AND b.t_b - v.t_v <= 3600000000)),
+         |r AS (
+         |  SELECT u, 1 AS is_pair, value FROM m
+         |  UNION ALL
+         |  SELECT um.u, 0 AS is_pair, 0.0 AS value
+         |  FROM um, wm WHERE um.t_v < wm.cut)
+         |SELECT u AS user_id,
+         |  CAST(sum(is_pair) AS BIGINT) AS n_pairs,
+         |  CAST(sum(1 - is_pair) AS BIGINT) AS n_expired_views,
+         |  ${dsumSql("value")} AS buy_sum
+         |FROM r GROUP BY u ORDER BY u""".stripMargin,
 
     // The stream's integer EWMA recursion replayed as a RECURSIVE CTE
     // over the same hourly counts — (x + 3·ewma) // 4 truncating

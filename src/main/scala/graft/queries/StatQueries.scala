@@ -602,6 +602,44 @@ object StatQueries {
           col("p50_weighted"), col("p75_weighted"))
     },
 
+    // Equi-depth histogram — the ANALYZE-TABLE statistics primitive
+    // (optimizer cardinality estimation, data-skipping manifests): 8
+    // buckets of equal row count over cent-exact prices. Boundaries are
+    // exact nearest-rank cuts (b_i = smallest value whose cumulative
+    // count reaches ⌈i·n/8⌉) computed on the (value, count) DOMAIN
+    // frame — bounded by distinct cent prices, not rows — via one
+    // global PrefixSum; tied values never split across buckets (bucket
+    // = 1 + #boundaries strictly below the value), which is the
+    // property real histogram builders must preserve and midpoint-free
+    // NTILE spellings get wrong. The 7-row boundary set broadcasts;
+    // per-bucket stats aggregate from the frame, so raw rows are
+    // touched exactly once (the frame build).
+    "q_equidepth_hist" -> { (s, dir) =>
+      val frame = t(s, dir, "lineitem")
+        .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+        .groupBy("c").agg(count(lit(1)).as("cnt"))
+      val pre = PrefixSum.withExclusivePrefix(frame, Seq("c"), "cnt")
+        .select(col("c"), col("cnt"),
+          (col("prefix") + col("cnt")).cast("long").as("cum"))
+      val tot = frame.agg(sum(col("cnt")).cast("long").as("n"))
+      val cuts = s.range(1, 8).toDF("i")
+      val bnd = pre.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(cuts))
+        .filter(col("cum") >= expr("(i * n + 7) div 8"))
+        .groupBy("i").agg(min(col("c")).as("bnd"))
+      pre.join(broadcast(bnd.select(col("bnd"))),
+          col("bnd") < col("c"), "left")
+        .groupBy("c", "cnt")
+        .agg(count(col("bnd")).as("nb"))
+        .groupBy((col("nb") + 1).cast("long").as("bucket"))
+        .agg(sum(col("cnt")).cast("long").as("n_rows"),
+          min(col("c")).as("min_cents"),
+          max(col("c")).as("max_cents"),
+          sum(col("c") * col("cnt")).cast("long").as("sum_cents"))
+        .orderBy("bucket")
+    },
+
     // Exact nearest-rank percentiles WITHOUT per-group buffers — the
     // 100 TB-safe spelling of `percentile()`: Spark's exact percentile
     // aggregate buffers each group's values in memory (fine at gate
@@ -963,6 +1001,34 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same nearest-rank boundary arithmetic in integer form; ⌈i·n/8⌉
+    // spelled (i*n+7)//8 so no float touches a cut. Tied values stay
+    // whole: bucket = 1 + count of boundaries strictly below the value.
+    "q_equidepth_hist" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS c
+        |  FROM lineitem),
+        |f AS (SELECT c, count(*) AS cnt FROM v GROUP BY c),
+        |cum AS (
+        |  SELECT c, cnt, sum(cnt) OVER (ORDER BY c) AS cum FROM f),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM f),
+        |bnd AS (
+        |  SELECT i, min(c) AS bnd
+        |  FROM cum CROSS JOIN tot
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS i) r
+        |  WHERE cum >= (i * n + 7) // 8
+        |  GROUP BY i),
+        |bk AS (
+        |  SELECT f.c, f.cnt,
+        |    1 + (SELECT count(*) FROM bnd WHERE bnd.bnd < f.c) AS bucket
+        |  FROM f)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  min(c) AS min_cents, max(c) AS max_cents,
+        |  CAST(sum(c * cnt) AS BIGINT) AS sum_cents
+        |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q_exact_percentile_dist" ->
       """WITH frame AS (
         |  SELECT l_returnflag AS flag, l_extendedprice AS v,

@@ -120,6 +120,58 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // VARIANT round trip — Spark 4's semi-structured type end-to-end:
+    // each event re-serializes to JSON (to_json over a nested struct),
+    // parses into a VARIANT (binary-encoded, schema-on-read), and the
+    // aggregate reads typed values back out through variant_get paths
+    // (top-level long, nested long, string). The oracle computes the
+    // same numbers from the RAW columns with no JSON anywhere, so a
+    // pass proves the entire encode→VARIANT→typed-extract loop
+    // lossless. At scale VARIANT is the answer to schema-drifting
+    // event props: one binary column, path access without a schema
+    // migration, and the extraction is codegen'd columnar work — no
+    // string re-parse per path.
+    "q_variant_props" -> { (s, dir) =>
+      events(s, dir)
+        .withColumn("j", to_json(struct(
+          col("user_id").as("u"),
+          col("event_type").as("t"),
+          struct(get_json_object(col("props"), "$.k").cast("long")
+            .as("k")).as("n"))))
+        .withColumn("v", parse_json(col("j")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("variant_get(v, '$.u', 'long')")).cast("long")
+            .as("sum_u"),
+          sum(expr("variant_get(v, '$.n.k', 'long')")).cast("long")
+            .as("sum_k"),
+          count_distinct(expr("variant_get(v, '$.t', 'string')"))
+            .as("n_types"))
+        .orderBy("event_type")
+    },
+
+    // Named-parameter SQL — the injection-safe parameter-binding
+    // surface (spark.sql(text, args)) a reference user's dashboards
+    // and schedulers call: the band predicate arrives as :lo/:hi
+    // BINDINGS, not spliced literals, over a temp view. The oracle
+    // runs the same text with literals inline; a pass proves binding
+    // changes nothing about semantics. (Parameters bind in the
+    // PARSER, so the plan — pushdown included — is identical to the
+    // literal spelling.)
+    "q_param_sql" -> { (s, dir) =>
+      val view = "ev_param_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      events(s, dir).createOrReplaceTempView(view)
+      try s.sql(
+        s"""SELECT event_type, count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+           |FROM $view
+           |WHERE value >= :lo AND value < :hi
+           |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        Map("lo" -> 10.0, "hi" -> 90.0))
+      finally s.catalog.dropTempView(view)
+    },
+
     // OHLC bars: per (event_type, hour) open/high/low/close of `value` —
     // the canonical time-series downsampling aggregate. Open/close come
     // from row_number over the (type, hour)-keyed window with the total
@@ -1517,6 +1569,28 @@ object EventQueries {
         |       AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // No JSON/VARIANT on the oracle side at all — raw-column arithmetic.
+    // A pass therefore proves the engine's whole VARIANT loop lossless.
+    "q_variant_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_u,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |       AS BIGINT) AS sum_k,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // The engine binds :lo/:hi as named parameters; the oracle inlines
+    // the same literals.
+    "q_param_sql" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE value >= 10.0 AND value < 90.0
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 

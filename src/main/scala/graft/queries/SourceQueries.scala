@@ -304,6 +304,29 @@ object SourceQueries {
     // file-per-row is exactly the small-files antipattern the
     // compaction gate exists to fix; at scale this source reads
     // pre-bundled media directories instead.
+    // Custom DataSource V2 connector end-to-end (graft.sources
+    // .SynthSource): the scan ABSORBS the id-range predicates
+    // (SupportsPushDownFilters → rows outside [5e5, 1.5e6) are never
+    // generated, the post-scan Filter node is gone) and materializes
+    // only the projected columns (SupportsPushDownRequiredColumns) —
+    // both observable in .explain and pinned by CustomSourceSpec; this
+    // gate pins the VALUES. The oracle regenerates the identical table
+    // from range() — the row function is pure integer arithmetic
+    // (Knuth hash mod 1000003; products ≤ 2.7e15 ≪ 2^63), so both
+    // engines agree bit-for-bit with no floats anywhere. `dir` is
+    // unused: the table IS the connector.
+    "q_custom_source" -> { (s, dir) =>
+      s.read.format("graft-synth")
+        .option("n", "2000000").option("parts", "8").load()
+        .filter(col("id") >= 500000L && col("id") < 1500000L)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v_int")).cast("long").as("sum_v"),
+          min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy("bucket")
+    },
+
     "q_binary_ingest" -> { (s, dir) =>
       import s.implicits._
       val sample = t(s, dir, "documents")
@@ -562,6 +585,19 @@ object SourceQueries {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // The connector's row function regenerated from range() — pure
+    // integer arithmetic on both sides.
+    "q_custom_source" ->
+      """SELECT range % 100 AS bucket,
+        |  count(*) AS n_rows,
+        |  CAST(sum(((range % 1000003) * 2654435761) % 1000003)
+        |    AS BIGINT) AS sum_v,
+        |  min(range) AS min_id,
+        |  max(range) AS max_id
+        |FROM range(500000, 1500000)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q_binary_ingest" ->
       """SELECT count(*) AS n_files,

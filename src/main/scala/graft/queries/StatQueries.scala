@@ -604,16 +604,18 @@ object StatQueries {
 
     // Equi-depth histogram — the ANALYZE-TABLE statistics primitive
     // (optimizer cardinality estimation, data-skipping manifests): 8
-    // buckets of equal row count over cent-exact prices. Boundaries are
-    // exact nearest-rank cuts (b_i = smallest value whose cumulative
-    // count reaches ⌈i·n/8⌉) computed on the (value, count) DOMAIN
-    // frame — bounded by distinct cent prices, not rows — via one
-    // global PrefixSum; tied values never split across buckets (bucket
-    // = 1 + #boundaries strictly below the value), which is the
-    // property real histogram builders must preserve and midpoint-free
-    // NTILE spellings get wrong. The 7-row boundary set broadcasts;
-    // per-bucket stats aggregate from the frame, so raw rows are
-    // touched exactly once (the frame build).
+    // buckets of equal row count over cent-exact prices, on the
+    // (value, count) DOMAIN frame — bounded by distinct cent prices,
+    // not rows — via one global PrefixSum. Tied values never split
+    // across buckets (the property real histogram builders must
+    // preserve and NTILE spellings get wrong): with boundary cuts
+    // cut_i = ⌈i·n/8⌉ and b_i = smallest value whose cumulative count
+    // reaches cut_i, bucket(v) = 1 + #{i : b_i < v}. That count
+    // collapses to closed form — b_i < v ⟺ v's EXCLUSIVE prefix
+    // pre_v ≥ cut_i (cum is monotone; pre_v is the predecessor's cum),
+    // and cut_i ≤ p ⟺ i·n ≤ 8p — so bucket(v) =
+    // 1 + min(7, (8·pre_v) div n): no boundary materialization, no
+    // second pass, one scan → one prefix → one aggregate.
     "q_equidepth_hist" -> { (s, dir) =>
       val frame = t(s, dir, "lineitem")
         .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
@@ -621,18 +623,11 @@ object StatQueries {
         .groupBy("c").agg(count(lit(1)).as("cnt"))
       val pre = PrefixSum.withExclusivePrefix(frame, Seq("c"), "cnt")
         .select(col("c"), col("cnt"),
-          (col("prefix") + col("cnt")).cast("long").as("cum"))
-      val tot = frame.agg(sum(col("cnt")).cast("long").as("n"))
-      val cuts = s.range(1, 8).toDF("i")
-      val bnd = pre.crossJoin(broadcast(tot))
-        .crossJoin(broadcast(cuts))
-        .filter(col("cum") >= expr("(i * n + 7) div 8"))
-        .groupBy("i").agg(min(col("c")).as("bnd"))
-      pre.join(broadcast(bnd.select(col("bnd"))),
-          col("bnd") < col("c"), "left")
-        .groupBy("c", "cnt")
-        .agg(count(col("bnd")).as("nb"))
-        .groupBy((col("nb") + 1).cast("long").as("bucket"))
+          col("prefix").cast("long").as("pre"))
+      val tot = pre.agg(max(col("pre") + col("cnt")).cast("long").as("n"))
+      pre.crossJoin(broadcast(tot))
+        .groupBy((lit(1L) + least(lit(7L), expr("(8 * pre) div n")))
+          .cast("long").as("bucket"))
         .agg(sum(col("cnt")).cast("long").as("n_rows"),
           min(col("c")).as("min_cents"),
           max(col("c")).as("max_cents"),
@@ -1001,9 +996,8 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // Same nearest-rank boundary arithmetic in integer form; ⌈i·n/8⌉
-    // spelled (i*n+7)//8 so no float touches a cut. Tied values stay
-    // whole: bucket = 1 + count of boundaries strictly below the value.
+    // Same closed-form bucket arithmetic, all integer: exclusive prefix
+    // from the cumulative window, bucket = 1 + least(7, (8·pre) // n).
     "q_equidepth_hist" ->
       """WITH v AS (
         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
@@ -1011,18 +1005,11 @@ object StatQueries {
         |  FROM lineitem),
         |f AS (SELECT c, count(*) AS cnt FROM v GROUP BY c),
         |cum AS (
-        |  SELECT c, cnt, sum(cnt) OVER (ORDER BY c) AS cum FROM f),
+        |  SELECT c, cnt, sum(cnt) OVER (ORDER BY c) - cnt AS pre FROM f),
         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM f),
-        |bnd AS (
-        |  SELECT i, min(c) AS bnd
-        |  FROM cum CROSS JOIN tot
-        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS i) r
-        |  WHERE cum >= (i * n + 7) // 8
-        |  GROUP BY i),
         |bk AS (
-        |  SELECT f.c, f.cnt,
-        |    1 + (SELECT count(*) FROM bnd WHERE bnd.bnd < f.c) AS bucket
-        |  FROM f)
+        |  SELECT c, cnt, 1 + least(7, (8 * pre) // n) AS bucket
+        |  FROM cum CROSS JOIN tot)
         |SELECT CAST(bucket AS BIGINT) AS bucket,
         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
         |  min(c) AS min_cents, max(c) AS max_cents,

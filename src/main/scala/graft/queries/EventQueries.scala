@@ -120,6 +120,35 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Observation API — in-flight data-quality counters riding a real
+    // query for FREE: `.observe()` attaches named aggregates (row count,
+    // null counter, max id) that accumulate on the SAME pass as the
+    // revenue aggregation — no second scan, no cache, exactly the
+    // pattern a 100 TB ETL job uses to publish row-count/null-rate
+    // telemetry without paying for it. The observed values then ride
+    // the output as literal columns, and the oracle RECOMPUTES them
+    // from scratch — a pass proves the side-channel saw every row the
+    // query saw. (Observed metrics must be commutative aggregates —
+    // no distinct — which is what makes them free at any parallelism.)
+    "q_observe_metrics" -> { (s, dir) =>
+      val obs = new org.apache.spark.sql.Observation()
+      val q = events(s, dir)
+        .observe(obs,
+          count(lit(1)).as("n_seen"),
+          sum(when(col("props").isNull, 1).otherwise(0)).cast("long")
+            .as("n_null_props"),
+          max(col("user_id")).as("max_user"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      q.collect() // fire the pass; populates obs
+      val m = obs.get
+      q.withColumn("obs_rows", lit(m("n_seen").asInstanceOf[Long]))
+        .withColumn("obs_null_props",
+          lit(m("n_null_props").asInstanceOf[Long]))
+        .withColumn("obs_max_user", lit(m("max_user").asInstanceOf[Long]))
+        .orderBy("event_type")
+    },
+
     // VARIANT round trip — Spark 4's semi-structured type end-to-end:
     // each event re-serializes to JSON (to_json over a nested struct),
     // parses into a VARIANT (binary-encoded, schema-on-read), and the
@@ -1570,6 +1599,24 @@ object EventQueries {
         |  count(*) AS n
         |FROM events
         |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // The oracle recomputes the observed counters from scratch; the
+    // engine's came from the .observe side channel on the query's pass.
+    "q_observe_metrics" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |  FROM events GROUP BY 1),
+        |o AS (
+        |  SELECT count(*) AS obs_rows,
+        |    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS obs_null_props,
+        |    max(user_id) AS obs_max_user
+        |  FROM events)
+        |SELECT event_type, n, sum_v, obs_rows, obs_null_props,
+        |  obs_max_user
+        |FROM g CROSS JOIN o
         |ORDER BY event_type""".stripMargin,
 
     // No JSON/VARIANT on the oracle side at all — raw-column arithmetic.

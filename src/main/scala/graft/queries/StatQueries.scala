@@ -635,6 +635,57 @@ object StatQueries {
         .orderBy("bucket")
     },
 
+    // Quantile normalization — the cross-source calibration operator of
+    // a training-data pipeline: per-source score distributions (here
+    // the integer n_chars, so every rank is exact) map onto the GLOBAL
+    // quantile scale, x → G⁻¹(Fₛ(x)), the transform that makes "top
+    // quartile" mean the same thing for every source before mixture
+    // sampling. All nearest-rank integer arithmetic: per-source
+    // cumulative counts from one global PrefixSum over (source, value)
+    // rebased per source, the global cumulative from a second PrefixSum
+    // over the value domain; the probe set (|sources|·3 rows) and the
+    // per-source dims are the only broadcasts. Rank products stay
+    // ≤ cum·N — BIGINT-exact to ~3e9 rows; beyond that the same
+    // formula runs in DECIMAL(38,0), still exact.
+    "q_quantile_normalize" -> { (s, dir) =>
+      val frame = t(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars").cast("long").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val pre = PrefixSum.withExclusivePrefix(frame, Seq("source", "v"),
+          "cnt")
+        .select(col("source"), col("v"), col("cnt"),
+          col("prefix").cast("long").as("gpre"))
+      val base = pre.groupBy("source")
+        .agg(min(col("gpre")).as("base"),
+          sum(col("cnt")).cast("long").as("n_s"))
+      val cs = pre.join(broadcast(base), "source")
+        .select(col("source"), col("v"), col("n_s"),
+          (col("gpre") - col("base") + col("cnt")).as("cum"))
+      val gframe = frame.groupBy("v").agg(sum(col("cnt")).as("cnt"))
+      val cg = PrefixSum.withExclusivePrefix(gframe, Seq("v"), "cnt")
+        .select(col("v").as("gv"),
+          (col("prefix") + col("cnt")).cast("long").as("cumg"))
+      val nt = cg.agg(max(col("cumg")).cast("long").as("n"))
+      val probes = s.createDataFrame(Seq(Tuple1(25L), Tuple1(50L),
+        Tuple1(75L))).toDF("p")
+      val rawq = cs.crossJoin(broadcast(probes))
+        .filter(col("cum") * 100 >= col("p") * col("n_s"))
+        .groupBy("source", "p", "n_s").agg(min(col("v")).as("raw_v"))
+        .select(col("source").as("rs"), col("p"), col("n_s"),
+          col("raw_v"))
+      val rc = cs.select(col("source"), col("v"), col("cum"))
+        .join(broadcast(rawq),
+          col("source") === col("rs") && col("v") === col("raw_v"))
+        .select(col("rs").as("source"), col("p"), col("n_s"),
+          col("raw_v"), col("cum"))
+        .crossJoin(broadcast(nt))
+        .withColumn("r", expr("(cum * n + n_s - 1) div n_s"))
+      cg.join(broadcast(rc), col("cumg") >= col("r"))
+        .groupBy("source", "p", "n_s", "raw_v")
+        .agg(min(col("gv")).as("norm_v"))
+        .orderBy("source", "p")
+    },
+
     // Exact nearest-rank percentiles WITHOUT per-group buffers — the
     // 100 TB-safe spelling of `percentile()`: Spark's exact percentile
     // aggregate buffers each group's values in memory (fine at gate
@@ -996,6 +1047,44 @@ object StatQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // x → G⁻¹(Fₛ(x)) in pure nearest-rank integer arithmetic; the probe
+    // condition cum·100 ≥ p·n_s is the ceil-free spelling of
+    // cum ≥ ⌈p·n_s/100⌉ (cum integral).
+    "q_quantile_normalize" ->
+      """WITH f AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |cs AS (
+        |  SELECT source, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum
+        |  FROM f),
+        |ns AS (
+        |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s
+        |  FROM f GROUP BY 1),
+        |cs2 AS (
+        |  SELECT cs.source, v, cum, n_s FROM cs JOIN ns USING (source)),
+        |g AS (SELECT v, sum(cnt) AS cnt FROM f GROUP BY 1),
+        |cg AS (
+        |  SELECT v AS gv, sum(cnt) OVER (ORDER BY v) AS cumg FROM g),
+        |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g),
+        |p AS (SELECT unnest([25, 50, 75]) AS p),
+        |rawq AS (
+        |  SELECT source, p, n_s, min(v) AS raw_v
+        |  FROM cs2 CROSS JOIN p
+        |  WHERE cum * 100 >= p * n_s
+        |  GROUP BY 1, 2, 3),
+        |rc AS (
+        |  SELECT r.source, r.p, r.n_s, r.raw_v,
+        |    (c.cum * nt.n + r.n_s - 1) // r.n_s AS rk
+        |  FROM rawq r
+        |  JOIN cs2 c ON r.source = c.source AND c.v = r.raw_v
+        |  CROSS JOIN nt)
+        |SELECT source, CAST(p AS BIGINT) AS p, n_s, raw_v,
+        |  min(gv) AS norm_v
+        |FROM rc JOIN cg ON cumg >= rk
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY source, p""".stripMargin,
+
     // Same closed-form bucket arithmetic, all integer: exclusive prefix
     // from the cumulative window, bucket = 1 + least(7, (8·pre) // n).
     "q_equidepth_hist" ->

@@ -189,6 +189,39 @@ object GraphQueries {
       out.orderBy("dist")
     },
 
+    // Recursive CTE — Spark 4's WITH RECURSIVE surface, run as ONE SQL
+    // text on BOTH engines: shortest-hop distances from the top-3 hub
+    // seeds, where q_bfs_reach's hand-rolled iterative loop becomes a
+    // declarative bounded recursion (anchor = seeds at dist 0;
+    // recursive term = the previous FRONTIER joined to edges, DISTINCT
+    // per step so each level carries ≤|nodes| rows — never path
+    // enumeration; dist < 4 bounds the depth, min(dist) outside the
+    // recursion resolves revisits to the true shortest hop). Emits
+    // per-distance node counts AND id-sums, a stronger contract than
+    // reach counts alone. The UNION-ALL frontier recursion is exactly
+    // how a distributed engine should spell BFS: each step is one
+    // equi-join + distinct, state bounded by the frontier.
+    "q_recursive_cte" -> { (s, dir) =>
+      val view = "edges_rcte_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      Pin.pin(referralEdges(s, dir)).createOrReplaceTempView(view)
+      try s.sql(
+        s"""WITH RECURSIVE r(node, dist) AS (
+           |  SELECT src AS node, CAST(0 AS BIGINT) AS dist FROM (
+           |    SELECT src, count(*) AS d FROM $view GROUP BY src
+           |    ORDER BY d DESC, src LIMIT $BfsSeeds)
+           |  UNION ALL
+           |  SELECT DISTINCT e.dst AS node, r.dist + 1 AS dist
+           |  FROM r JOIN $view e ON e.src = r.node
+           |  WHERE r.dist < $BfsHops)
+           |SELECT dist, count(*) AS n_nodes,
+           |  CAST(sum(node) AS BIGINT) AS sum_nodes
+           |FROM (SELECT node, CAST(min(dist) AS BIGINT) AS dist
+           |      FROM r GROUP BY node)
+           |GROUP BY dist ORDER BY dist""".stripMargin)
+      finally s.catalog.dropTempView(view)
+    },
+
     // Structural similarity — top-20 user pairs by neighbor-set Jaccard
     // ("people who act around the same people"), the link-prediction
     // baseline. Candidate pairs come ONLY from the wedge join (two
@@ -341,6 +374,24 @@ object GraphQueries {
            |  SELECT lbl, count(*) AS size FROM l$CompRounds GROUP BY lbl)
            |GROUP BY size ORDER BY size""".stripMargin
       },
+
+      // The IDENTICAL recursive text (modulo the edge-list CTE) — the
+      // whole point: one declarative recursion, two engines, same rows.
+      "q_recursive_cte" ->
+        s"""WITH RECURSIVE $edgesSql,
+           |r(node, dist) AS (
+           |  SELECT src AS node, CAST(0 AS BIGINT) AS dist FROM (
+           |    SELECT src, count(*) AS d FROM edges GROUP BY src
+           |    ORDER BY d DESC, src LIMIT $BfsSeeds)
+           |  UNION ALL
+           |  SELECT DISTINCT e.dst AS node, r.dist + 1 AS dist
+           |  FROM r JOIN edges e ON e.src = r.node
+           |  WHERE r.dist < $BfsHops)
+           |SELECT dist, count(*) AS n_nodes,
+           |  CAST(sum(node) AS BIGINT) AS sum_nodes
+           |FROM (SELECT node, CAST(min(dist) AS BIGINT) AS dist
+           |      FROM r GROUP BY node)
+           |GROUP BY dist ORDER BY dist""".stripMargin,
 
       "q_bfs_reach" -> {
         val hops = (1 to BfsHops).map { h =>

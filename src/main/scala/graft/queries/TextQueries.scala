@@ -1048,6 +1048,28 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Higher-order SQL lambdas — filter → transform → aggregate folding
+    // INSIDE the row, no explode: per document the long-token (>3 chars)
+    // character mass computes as one codegen'd array pipeline, so the
+    // corpus never fans out to a token-level shuffle at all (the explode
+    // spelling moves |tokens| rows; this moves |docs|). The same
+    // pipeline is DuckDB's list_filter/list_transform/list_sum — both
+    // engines fold arrays in place, integer arithmetic only.
+    "q_array_lambdas" -> { (s, dir) =>
+      val toks = filter(split(col("text"), " "),
+        x => length(x) > 3)
+      t(s, dir, "documents")
+        .select(col("source"),
+          aggregate(transform(toks, x => length(x).cast("long")),
+            lit(0L), (a, x) => a + x).as("chars"),
+          size(toks).cast("long").as("ntok"))
+        .groupBy("source")
+        .agg(sum(col("chars")).cast("long").as("long_tok_chars"),
+          sum(col("ntok")).cast("long").as("n_long_toks"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
+
     // Fixed-window chunking with overlap (64-token chunks every 48
     // tokens) — the RAG / training-sample prep step. Map-only at any
     // scale (sequence → slice inside codegen, no shuffle); the gate
@@ -2107,6 +2129,25 @@ object TextQueries {
          |FROM documents
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+
+    // DuckDB's list lambdas mirror Spark's array lambdas one-for-one;
+    // COALESCE covers list_sum([]) = NULL where Spark's aggregate
+    // seed yields 0.
+    "q_array_lambdas" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    list_filter(string_split(text, ' '),
+        |      x -> length(x) > 3) AS toks
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(sum(COALESCE(list_sum(
+        |    list_transform(toks, x -> length(x))), 0)) AS BIGINT)
+        |    AS long_tok_chars,
+        |  CAST(sum(len(toks)) AS BIGINT) AS n_long_toks,
+        |  count(*) AS n_docs
+        |FROM d
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_doc_chunk" ->
       s"""WITH d AS (

@@ -120,6 +120,37 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Typed Dataset surface — KeyValueGroupedDataset.mapGroups with
+    // tuple Encoders, the batch API for genuinely imperative per-group
+    // logic: the longest run of CONSECUTIVE same-type events per user
+    // (streak detection — trivial in a loop, a gaps-and-islands
+    // contortion in SQL, which is exactly what the oracle runs). Each
+    // group materializes ONE user's events (bounded by per-user
+    // activity, never corpus-scale); ties on run length resolve to the
+    // earliest run start on both sides, and the in-group sort key
+    // (us, event_id) is total, so the scan order is deterministic.
+    "q_typed_runs" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (u, it) =>
+          val evs = it.toArray.sortBy(e => (e._3, e._2))
+          var bestLen = 0L; var bestType = ""; var curLen = 0L
+          var curType: String = null
+          evs.foreach { e =>
+            if (e._4 == curType) curLen += 1
+            else { curType = e._4; curLen = 1 }
+            if (curLen > bestLen) { bestLen = curLen; bestType = curType }
+          }
+          (u, bestLen, bestType, evs.length.toLong)
+        }
+        .toDF("user_id", "max_run", "run_type", "n_events")
+        .orderBy("user_id")
+    },
+
     // Observation API — in-flight data-quality counters riding a real
     // query for FREE: `.observe()` attaches named aggregates (row count,
     // null counter, max id) that accumulate on the SAME pass as the
@@ -1600,6 +1631,39 @@ object EventQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // Gaps-and-islands: within a user, rn − rn-per-type is constant
+    // exactly on a consecutive same-type run; ties on length resolve
+    // to the earliest run start (run starts are unique per user, so
+    // the pick is total).
+    "q_typed_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id) AS rt
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, event_type, rn - rt AS grp,
+        |    CAST(count(*) AS BIGINT) AS len, min(us) AS start_us
+        |  FROM r GROUP BY 1, 2, 3),
+        |n AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY 1),
+        |b AS (
+        |  SELECT user_id, len, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY len DESC, start_us) AS rk
+        |  FROM g)
+        |SELECT b.user_id, b.len AS max_run, b.event_type AS run_type,
+        |  n.n_events
+        |FROM b JOIN n ON b.user_id = n.user_id
+        |WHERE b.rk = 1
+        |ORDER BY b.user_id""".stripMargin,
 
     // The oracle recomputes the observed counters from scratch; the
     // engine's came from the .observe side channel on the query's pass.

@@ -912,6 +912,28 @@ object Relational {
         .orderBy("o_orderpriority", "n_name")
     },
 
+    // SQL pipe syntax — Spark 4's |> operator chain, the linear
+    // spelling of SQL an analyst reads top-to-bottom: scan |> filter
+    // |> aggregate |> sort, one pipeline, no nested subqueries. The
+    // parser lowers it to the SAME plan as the standard spelling (the
+    // oracle runs that standard spelling in DuckDB), so this gates the
+    // surface without semantic risk. Views registered per-call with a
+    // unique name, dropped in finally.
+    "q_pipe_sql" -> { (s, dir) =>
+      val view = "li_pipe_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      t(s, dir, "lineitem").createOrReplaceTempView(view)
+      try s.sql(
+        s"""FROM $view
+           ||> WHERE l_quantity >= 25
+           ||> AGGREGATE count(*) AS n_items,
+           |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+           |       AS DOUBLE) AS sum_price
+           |   GROUP BY l_returnflag, l_linestatus
+           ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      finally s.catalog.dropTempView(view)
+    },
+
     // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
     // customer→orders with a predicate on the INNER side (non-urgent
     // orders only — in the outer join it restricts which orders count,
@@ -1979,6 +2001,16 @@ object Relational {
         |JOIN s sb ON sb.l_partkey = part_b
         |CROSS JOIN n
         |ORDER BY part_a, part_b""".stripMargin,
+
+    // Standard-SQL spelling of the engine's pipe chain.
+    "q_pipe_sql" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_quantity >= 25
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_mktseg_stats" ->
       s"""SELECT c_mktsegment,

@@ -1048,6 +1048,37 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // MapType surface — construction (map_from_entries over a SORTED
+    // entry array: map column order is engine-internal, so the only
+    // safe contract is to never let a raw map reach the output),
+    // lambda transforms (transform_values, map_filter), and typed
+    // access (element_at, map_keys, aggregate over map_values) — each
+    // read back OUT to a deterministic scalar. The oracle computes the
+    // same scalars straight from the (source, lang) counts with no map
+    // anywhere, so a pass proves the map round trip lossless. Maps
+    // stay per-group (bounded by |langs|) — nothing here scales with
+    // rows except the first aggregate.
+    "q_map_functions" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy("source")
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("lang"), col("cnt"))))).as("m"))
+        .select(col("source"),
+          size(col("m")).cast("long").as("n_langs"),
+          array_join(map_keys(col("m")), ",").as("langs_csv"),
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x)
+            .as("n_docs"),
+          coalesce(element_at(col("m"), "de"), lit(0L)).as("de_docs"),
+          size(map_filter(col("m"), (_, v) => v >= 10)).cast("long")
+            .as("n_langs_10plus"),
+          aggregate(map_values(transform_values(col("m"),
+            (_, v) => v * 2)), lit(0L), (a, x) => a + x)
+            .as("doubled"))
+        .orderBy("source")
+    },
+
     // Higher-order SQL lambdas — filter → transform → aggregate folding
     // INSIDE the row, no explode: per document the long-token (>3 chars)
     // character mass computes as one codegen'd array pipeline, so the
@@ -2129,6 +2160,26 @@ object TextQueries {
          |FROM documents
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+
+    // No MAP anywhere on the oracle side — raw (source, lang) count
+    // arithmetic; map_keys order matches because the engine builds
+    // from a SORTED entry array.
+    "q_map_functions" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source,
+        |  count(*) AS n_langs,
+        |  string_agg(lang, ',' ORDER BY lang) AS langs_csv,
+        |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(sum(cnt) FILTER (lang = 'de'), 0) AS BIGINT)
+        |    AS de_docs,
+        |  CAST(count(*) FILTER (cnt >= 10) AS BIGINT)
+        |    AS n_langs_10plus,
+        |  CAST(sum(cnt * 2) AS BIGINT) AS doubled
+        |FROM c
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // DuckDB's list lambdas mirror Spark's array lambdas one-for-one;
     // COALESCE covers list_sum([]) = NULL where Spark's aggregate

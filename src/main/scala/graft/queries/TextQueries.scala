@@ -1048,6 +1048,40 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // ANSI-mode safety surface — Spark 4 runs ANSI-on, where a bad
+    // cast or division is a runtime ERROR; the try_* family is how a
+    // 100 TB pipeline survives dirty data without either crashing or
+    // silently corrupting: try_cast → NULL on the deterministically
+    // corrupted half of the parse column (corruption injected
+    // identically on both engines, the q_mojibake_audit pattern),
+    // try_divide → NULL on the zero-denominator third, try_element_at
+    // → NULL past the token list's end. The oracle spells each as the
+    // explicit CASE/native-NULL twin — a pass proves try_* semantics
+    // are exactly "NULL instead of error", nothing more.
+    "q_try_functions" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          concat(col("n_chars").cast("string"),
+            when(col("doc_id") % 2 === 1, lit("x")).otherwise(lit("")))
+            .as("raw"),
+          col("text"))
+        .select(col("source"),
+          expr("try_cast(raw AS BIGINT)").as("parsed"),
+          expr("try_divide(n_chars, doc_id % 3)").as("ratio"),
+          expr("try_element_at(split(text, ' '), 50)").as("tok50"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("parsed").isNull, 1).otherwise(0)).cast("long")
+            .as("n_bad_parse"),
+          sum(col("parsed")).cast("long").as("sum_parsed"),
+          sum(when(col("ratio").isNull, 1).otherwise(0)).cast("long")
+            .as("n_div_null"),
+          dsum(col("ratio")).as("sum_ratio"),
+          count(col("tok50")).as("n_tok50"),
+          sum(length(col("tok50"))).cast("long").as("sum_tok50_len"))
+        .orderBy("source")
+    },
+
     // MapType surface — construction (map_from_entries over a SORTED
     // entry array: map column order is engine-internal, so the only
     // safe contract is to never let a raw map reach the output),
@@ -2158,6 +2192,35 @@ object TextQueries {
          |    AS BIGINT) AS bpe_tokens,
          |  count(*) AS n_docs
          |FROM documents
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
+
+    // Each try_* spelled as its explicit NULL twin: TRY_CAST is native,
+    // try_divide becomes the CASE-guarded float division, and DuckDB
+    // list indexing is already NULL past the end.
+    "q_try_functions" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id, n_chars, text,
+         |    CAST(n_chars AS VARCHAR) ||
+         |      CASE WHEN doc_id % 2 = 1 THEN 'x' ELSE '' END AS raw
+         |  FROM documents),
+         |e AS (
+         |  SELECT source,
+         |    TRY_CAST(raw AS BIGINT) AS parsed,
+         |    CASE WHEN doc_id % 3 = 0 THEN NULL
+         |         ELSE n_chars / (doc_id % 3) END AS ratio,
+         |    string_split(text, ' ')[50] AS tok50
+         |  FROM d)
+         |SELECT source, count(*) AS n,
+         |  CAST(sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bad_parse,
+         |  CAST(sum(parsed) AS BIGINT) AS sum_parsed,
+         |  CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_div_null,
+         |  ${dsumSql("ratio")} AS sum_ratio,
+         |  count(tok50) AS n_tok50,
+         |  CAST(sum(length(tok50)) AS BIGINT) AS sum_tok50_len
+         |FROM e
          |GROUP BY source
          |ORDER BY source""".stripMargin,
 

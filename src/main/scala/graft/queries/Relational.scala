@@ -912,6 +912,36 @@ object Relational {
         .orderBy("o_orderpriority", "n_name")
     },
 
+    // Calendar semantics — the cross-engine minefield pinned: month
+    // arithmetic must CLAMP at month end (add_months(Jan 31, 1) =
+    // Feb 28/29 — both engines clamp, and n_clamped counts exactly the
+    // rows where it happened), last_day, Monday-start week truncation,
+    // ISO day-of-week numbering (Spark weekday() is 0=Monday, DuckDB
+    // isodow is 1=Monday — the oracle twin is weekday+1), and ISO week
+    // numbers (weekofyear ≡ DuckDB week()). Any engine pair that
+    // disagrees on ANY of these produces different aggregates — this
+    // is the gate a migration team runs first.
+    "q_calendar_semantics" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderdate").as("d"))
+        .select(
+          date_trunc("month", col("d")).cast("date").as("m"),
+          dayofmonth(last_day(col("d"))).cast("long").as("last_dom"),
+          when(dayofmonth(add_months(col("d"), 1)) =!=
+            dayofmonth(col("d")), 1L).otherwise(0L).as("clamped"),
+          date_trunc("week", col("d")).cast("date").as("wk"),
+          (weekday(col("d")) + 1).cast("long").as("isodow"),
+          weekofyear(col("d")).cast("long").as("woy"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n"),
+          max(col("last_dom")).as("last_dom"),
+          sum(col("clamped")).cast("long").as("n_clamped"),
+          count_distinct(col("wk")).as("n_weeks"),
+          sum(col("isodow")).cast("long").as("sum_isodow"),
+          sum(col("woy")).cast("long").as("sum_woy"))
+        .orderBy("m")
+    },
+
     // SQL pipe syntax — Spark 4's |> operator chain, the linear
     // spelling of SQL an analyst reads top-to-bottom: scan |> filter
     // |> aggregate |> sort, one pipeline, no nested subqueries. The
@@ -2001,6 +2031,29 @@ object Relational {
         |JOIN s sb ON sb.l_partkey = part_b
         |CROSS JOIN n
         |ORDER BY part_a, part_b""".stripMargin,
+
+    // DuckDB twins: isodow (1=Monday) for weekday()+1, week() for
+    // weekofyear, + INTERVAL 1 MONTH clamps like add_months.
+    "q_calendar_semantics" ->
+      """WITH d AS (SELECT o_orderdate AS d FROM orders),
+        |e AS (
+        |  SELECT CAST(date_trunc('month', d) AS DATE) AS m,
+        |    CAST(day(last_day(d)) AS BIGINT) AS last_dom,
+        |    CASE WHEN day(d + INTERVAL 1 MONTH) <> day(d)
+        |         THEN 1 ELSE 0 END AS clamped,
+        |    CAST(date_trunc('week', d) AS DATE) AS wk,
+        |    CAST(isodow(d) AS BIGINT) AS isodow,
+        |    CAST(week(d) AS BIGINT) AS woy
+        |  FROM d)
+        |SELECT m, count(*) AS n,
+        |  max(last_dom) AS last_dom,
+        |  CAST(sum(clamped) AS BIGINT) AS n_clamped,
+        |  count(DISTINCT wk) AS n_weeks,
+        |  CAST(sum(isodow) AS BIGINT) AS sum_isodow,
+        |  CAST(sum(woy) AS BIGINT) AS sum_woy
+        |FROM e
+        |GROUP BY m
+        |ORDER BY m""".stripMargin,
 
     // Standard-SQL spelling of the engine's pipe chain.
     "q_pipe_sql" ->

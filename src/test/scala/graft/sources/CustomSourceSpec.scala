@@ -54,6 +54,17 @@ class CustomSourceSpec extends AnyFlatSpec with Matchers
     empty.collect()(0).getLong(0) shouldBe 0L
   }
 
+  it should "absorb point lookups (EqualTo) into a single-row range" in {
+    val q = read().filter(col("id") === 42L)
+      .agg(count(lit(1)), min("v_int"))
+    val row = q.collect()(0)
+    row.getLong(0) shouldBe 1L
+    row.getLong(1) shouldBe SynthTable.vInt(42L)
+    val scan = scanOf(q)
+    scan.scan.description() should include("lo=42 hi=43")
+    scan.inputRDD.getNumPartitions shouldBe 1
+  }
+
   it should "leave non-id predicates as residual Spark filters, still correct" in {
     val q = read().filter(col("id") < 700L && col("bucket") === 3L)
     q.count() shouldBe 7L

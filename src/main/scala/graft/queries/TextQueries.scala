@@ -1048,6 +1048,40 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // END-TO-END curation — the whole pipeline the per-stage gates
+    // verify piecewise, hash-matched as ONE composed plan: exact dedup
+    // (min-id survivor per md5 class) → exact n-gram-Jaccard near-dup
+    // pairs among the SURVIVORS (≥0.2, source-blocked — the frozen
+    // q_ngram_jaccard semantics, recomputed on the post-dedup corpus so
+    // the stage ORDER is part of the contract) → connected-components
+    // min-id keep → quality floor (the frozen composite score) →
+    // deterministic content-hash shards. The oracle chains the same
+    // five stages as CTEs (recursive CTE for the components). This is
+    // the gate that proves the LIBRARY composes: each op's output is
+    // exactly what the next op needs, with no driver round trip
+    // between stages.
+    "q_curate_e2e" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val survivors = docs.join(
+        Dedup.exactDupClasses(docs, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")), "doc_id")
+      val losers = Dedup.dupClusters(
+          Dedup.ngramJaccardPairs(survivors, "doc_id", "text",
+            "source", 3, 0.2))
+        .filter(!col("keep")).select(col("doc_id"))
+      survivors.join(losers, Seq("doc_id"), "left_anti")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.2)
+        .withColumn("shard",
+          (conv(substring(md5(col("text")), 1, 7), 16, 10).cast("long")
+            % 8).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          count_distinct(col("source")).as("n_sources"))
+        .orderBy("shard")
+    },
+
     // ANSI-mode safety surface — Spark 4 runs ANSI-on, where a bad
     // cast or division is a runtime ERROR; the try_* family is how a
     // 100 TB pipeline survives dirty data without either crashing or
@@ -2194,6 +2228,69 @@ object TextQueries {
          |FROM documents
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+
+    // The five pipeline stages as chained CTEs (recursive CTE for the
+    // component closure); the shard key reuses the hex-prefix BUCKETING
+    // idiom (value-as-group-key, never summed — the build-portable use).
+    "q_curate_e2e" ->
+      s"""WITH RECURSIVE
+         |ex AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |docs2 AS (SELECT d.* FROM documents d JOIN ex USING (doc_id)),
+         |sh0 AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, source,
+         |      list_distinct(list_transform(
+         |        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+         |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+         |        AS sh
+         |    FROM docs2)
+         |  WHERE len(sh) > 0),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         |      6) AS jaccard
+         |  FROM sh0 a
+         |  JOIN sh0 b ON a.source = b.source AND a.doc_id < b.doc_id),
+         |pq AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.2),
+         |eed AS (SELECT id_a AS u, id_b AS v FROM pq
+         |        UNION SELECT id_b, id_a FROM pq),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM eed
+         |  UNION
+         |  SELECT r.u, eed.v FROM reach r JOIN eed ON r.v = eed.u),
+         |cl AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cid
+         |  FROM reach GROUP BY u),
+         |surv AS (
+         |  SELECT * FROM docs2
+         |  WHERE doc_id NOT IN
+         |    (SELECT doc_id FROM cl WHERE doc_id <> cid)),
+         |qd AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x IN $stopListSql)) AS DOUBLE) AS n_stop,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      AS n_dist
+         |  FROM surv),
+         |qf AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, source, n_chars, text,
+         |      round(least(n_tok / 100.0, 1.0) * 0.4 +
+         |            (1.0 - n_stop / n_tok) * 0.3 +
+         |            (n_dist / n_tok) * 0.3, 6) AS q
+         |    FROM qd)
+         |  WHERE q >= 0.2)
+         |SELECT CAST(CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT)
+         |    % 8 AS BIGINT) AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  count(DISTINCT source) AS n_sources
+         |FROM qf
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
 
     // Each try_* spelled as its explicit NULL twin: TRY_CAST is native,
     // try_divide becomes the CASE-guarded float division, and DuckDB

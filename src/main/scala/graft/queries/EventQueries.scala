@@ -120,6 +120,35 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // Time-typed RANGE window frames — the trailing-interval aggregate
+    // as a FRAME (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    // ROW over the raw TIMESTAMP), not a self-join: one sort per
+    // partition key, each row's trailing-hour event count read off the
+    // moving frame. RANGE (vs ROWS) makes tied timestamps peers — every
+    // tied row sees the identical frame, so the result is deterministic
+    // with NO tiebreak column at all (the property ROWS frames lack).
+    // The per-type peak and sum of trailing counts pin the whole
+    // per-row sequence. Identical SQL text runs on DuckDB.
+    "q_interval_frame" -> { (s, dir) =>
+      val view = "ev_frame_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      events(s, dir).createOrReplaceTempView(view)
+      try s.sql(
+        s"""SELECT event_type,
+           |  max(c1h) AS peak_1h,
+           |  CAST(sum(c1h) AS BIGINT) AS sum_c1h,
+           |  count(*) AS n
+           |FROM (
+           |  SELECT event_type,
+           |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts
+           |      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+           |        AND CURRENT ROW) AS BIGINT) AS c1h
+           |  FROM $view)
+           |GROUP BY event_type
+           |ORDER BY event_type""".stripMargin)
+      finally s.catalog.dropTempView(view)
+    },
+
     // Typed Dataset surface — KeyValueGroupedDataset.mapGroups with
     // tuple Encoders, the batch API for genuinely imperative per-group
     // logic: the longest run of CONSECUTIVE same-type events per user
@@ -1629,6 +1658,22 @@ object EventQueries {
         |       AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // The identical frame text over the cast timestamp.
+    "q_interval_frame" ->
+      """SELECT event_type,
+        |  max(c1h) AS peak_1h,
+        |  CAST(sum(c1h) AS BIGINT) AS sum_c1h,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(count(*) OVER (PARTITION BY event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP)
+        |      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+        |        AND CURRENT ROW) AS BIGINT) AS c1h
+        |  FROM events)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 

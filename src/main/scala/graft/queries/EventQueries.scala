@@ -120,6 +120,28 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // IGNORE NULLS window — last-observation-carried-forward, the
+    // sensor/price-series forward-fill every feature pipeline needs:
+    // non-purchase rows carry NULL, and each row reads the user's most
+    // recent purchase value straight off the running frame
+    // (last(..., ignoreNulls) OVER ROWS UNBOUNDED PRECEDING) — no
+    // self-join, no gaps-and-islands. The (us, event_id) sort key is
+    // total, so the carried sequence is deterministic; per-user count
+    // + exact-decimal sum of the carried series pin every row of it.
+    "q_locf_window" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev2(s, dir)
+        .withColumn("locf", last(
+          when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          count(col("locf")).as("n_filled"),
+          dsum(coalesce(col("locf"), lit(0.0))).as("locf_sum"))
+        .orderBy("user_id")
+    },
+
     // Time-typed RANGE window frames — the trailing-interval aggregate
     // as a FRAME (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
     // ROW over the raw TIMESTAMP), not a self-join: one sort per
@@ -1660,6 +1682,24 @@ object EventQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // DuckDB's IGNORE NULLS spelling of the same running frame.
+    "q_locf_window" ->
+      s"""WITH $ev2Sql,
+         |f AS (
+         |  SELECT user_id,
+         |    last_value(CASE WHEN event_type = 'purchase' THEN value END
+         |      IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS locf
+         |  FROM ev2)
+         |SELECT user_id, count(*) AS n,
+         |  count(locf) AS n_filled,
+         |  ${dsumSql("COALESCE(locf, 0.0)")} AS locf_sum
+         |FROM f
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin,
 
     // The identical frame text over the cast timestamp.
     "q_interval_frame" ->

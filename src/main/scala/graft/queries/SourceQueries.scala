@@ -327,6 +327,26 @@ object SourceQueries {
         .orderBy("bucket")
     },
 
+    // DSv2 WRITE path (graft.sources.MemTableSource) — the
+    // transactional commit protocol end-to-end: per-partition
+    // DataWriters buffer rows, emit them as WriterCommitMessages, and
+    // the driver's single commit() publishes the union ATOMICALLY
+    // (mode("overwrite") exercises SupportsTruncate = replace-on-
+    // commit). The gate writes the per-source aggregate through the
+    // connector, reads it back through the same connector's READ path,
+    // and the oracle recomputes from the raw table — a pass proves the
+    // write→commit→read loop lossless. This is the protocol shape
+    // (not the storage) of every real exactly-once sink.
+    "q_dsv2_write" -> { (s, dir) =>
+      val agg = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      agg.write.format("graft-mem").option("table", "dsv2w_gate")
+        .mode("overwrite").save()
+      s.read.format("graft-mem").option("table", "dsv2w_gate").load()
+        .orderBy("source")
+    },
+
     "q_binary_ingest" -> { (s, dir) =>
       import s.implicits._
       val sample = t(s, dir, "documents")
@@ -582,6 +602,15 @@ object SourceQueries {
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  count(DISTINCT md5(text)) AS n_distinct_texts
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // Recomputed from the raw table — the engine's rows took the
+    // write→commit→read trip through the connector.
+    "q_dsv2_write" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,

@@ -1116,6 +1116,35 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Collation surface — Spark 4's string collations: a GROUP BY on a
+    // case-scrambled key under UTF8_LCASE merges case variants IN THE
+    // COLLATION ENGINE (no lower() in the engine query's key at all),
+    // the capability that makes catalogs/identifiers/emails group
+    // correctly without normalize-everything ETL. The scrambling is
+    // deterministic (doc_id parity picks upper/lower/initcap) and the
+    // key domain is ASCII, where UTF8_LCASE equality coincides exactly
+    // with lower()-equality — which is what the oracle spells (DuckDB
+    // groups by lower()); the collated group COUNT set is the proof
+    // the merge happened. min(raw key) pins a concrete representative
+    // per group under binary order on both sides.
+    "q_collation_group" -> { (s, dir) =>
+      val scrambled = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          when(col("doc_id") % 3 === 0, upper(col("lang")))
+            .when(col("doc_id") % 3 === 1, initcap(col("lang")))
+            .otherwise(col("lang")).as("raw"))
+      scrambled
+        .groupBy(expr("collate(raw, 'UTF8_LCASE')").as("k"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("raw")).as("n_variants"),
+          min(col("raw")).as("rep"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(lower(col("k")).cast("string").as("lang_lc"),
+          col("n_docs"), col("n_variants"), col("rep"),
+          col("sum_chars"))
+        .orderBy("lang_lc")
+    },
+
     // MapType surface — construction (map_from_entries over a SORTED
     // entry array: map column order is engine-internal, so the only
     // safe contract is to never let a raw map reach the output),
@@ -2320,6 +2349,25 @@ object TextQueries {
          |FROM e
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+
+    // lower()-equality is exactly UTF8_LCASE-equality on the ASCII key
+    // domain — the documented equivalence this oracle rides.
+    "q_collation_group" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(lang)
+        |         WHEN doc_id % 3 = 1 THEN
+        |           upper(substr(lang, 1, 1)) || lower(substr(lang, 2))
+        |         ELSE lang END AS raw
+        |  FROM documents)
+        |SELECT lower(raw) AS lang_lc,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT raw) AS n_variants,
+        |  min(raw) AS rep,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d
+        |GROUP BY lower(raw)
+        |ORDER BY lang_lc""".stripMargin,
 
     // No MAP anywhere on the oracle side — raw (source, lang) count
     // arithmetic; map_keys order matches because the engine builds

@@ -73,15 +73,24 @@ object PrefixSum {
       // defeating exchange reuse; re-sampling then yields INCONSISTENT
       // boundaries because aggregate output order is not stable).
       .localCheckpoint(eager = true)
+      // Same fail-fast contract as PrefixScan.withExclusivePrefixMax: a
+      // NULL value would be silently skipped by the window sum
+      // (contribute 0), silently shifting every downstream prefix — for
+      // the packing use cases that is a data bug, so raise instead.
+      .withColumn("__v", when(col(valueCol).isNull,
+        raise_error(lit(s"PrefixSum.withExclusivePrefix: NULL in value " +
+          s"column '$valueCol' — prefixes are defined over non-null " +
+          "values only")).cast("double"))
+        .otherwise(col(valueCol).cast("double")))
     val w = Window.partitionBy("__pid")
       .orderBy(sortCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = bucketed.withColumn("__local",
-      coalesce(sum(col(valueCol).cast("double")).over(w), lit(0.0)))
+      coalesce(sum(col("__v")).over(w), lit(0.0)))
     // ≤ numParts rows; the limit states the bound explicitly (the plan
     // contract for an unpartitioned window: bounded input only).
     val totals = bucketed.groupBy("__pid")
-      .agg(sum(col(valueCol).cast("double")).as("__tot"))
+      .agg(sum(col("__v")).as("__tot"))
       .limit(numParts)
     val wo = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -93,7 +102,7 @@ object PrefixSum {
     // re-running the window shuffle per consuming action (measured).
     val out = local.join(broadcast(offsets), "__pid")
       .withColumn("prefix", col("__off") + col("__local"))
-      .drop("__pid", "__local", "__off")
+      .drop("__pid", "__v", "__local", "__off")
     if (pin) out.localCheckpoint(eager = true) else out
   }
 }

@@ -89,8 +89,21 @@ private[sources] case class MemPartition(table: String)
 private[sources] object MemReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
+      // The committed rows live in a driver-JVM-global map; this reader
+      // runs executor-side. On local[*] they are the same JVM, which is
+      // the whole design (a dev/test sink). On any non-local deployment
+      // the map here is EMPTY — fail loudly rather than silently return
+      // 0 rows for a table the driver knows is committed. An absent key
+      // is indistinguishable from "never written in this JVM", so the
+      // message names both causes.
       private val rows = MemTableSource.tables
-        .getOrElse(p.asInstanceOf[MemPartition].table, Array.empty)
+        .getOrElse(p.asInstanceOf[MemPartition].table,
+          throw new IllegalStateException(
+            s"graft-mem table '${p.asInstanceOf[MemPartition].table}' has " +
+              "no committed rows in this JVM: either it was never " +
+              "written, or this reader is running in a different JVM " +
+              "than the one that committed (graft-mem is a single-JVM " +
+              "dev sink — use local[*] or a real sink)"))
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = rows(i)

@@ -169,8 +169,10 @@ object Stateful {
     * pair — bytes, not history; the hour map built per micro-batch is
     * bounded by calendar hours, not event volume. Batch events are
     * bucket-counted then walked sorted, so within a micro-batch order
-    * is deterministic; across micro-batches the watermark's monotone
-    * hour frontier keeps the recursion in order.
+    * is deterministic; across micro-batches the state's own `lastHb`
+    * frontier enforces order — any bucket at or behind it is dropped
+    * rather than allowed to corrupt the recursion (see the guard in
+    * the walk below).
     */
   def streamEwmaBurst(
       events: Dataset[TypedHourEvent]): Dataset[HourEwma] = {
@@ -189,6 +191,18 @@ object Stateful {
         if (st == null) {
           out += HourEwma(et, hb, x, -1L, burst = false)
           st = EwmaState(hb, x)
+        } else if (hb <= st.lastHb) {
+          // The recursion only advances forward: an hour bucket at or
+          // behind the state frontier means either late/out-of-order
+          // arrival across micro-batches or the same hour split across
+          // two batches (possible under AvailableNow with
+          // maxFilesPerTrigger). Processing it would corrupt the EWMA
+          // with a partial count and double-emit the hour in Append
+          // mode, so it is DROPPED — the stateful analogue of a
+          // watermark discard. Callers that need every hour counted
+          // must deliver one batch per hour frontier (the gate's
+          // single-trigger AvailableNow run satisfies this).
+          ()
         } else {
           val burst = x > 2L * st.ewma
           out += HourEwma(et, hb, x, st.ewma, burst)

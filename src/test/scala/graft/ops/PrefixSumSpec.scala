@@ -40,4 +40,20 @@ class PrefixSumSpec extends AnyFlatSpec with Matchers with SparkTestBase {
         (r.getLong(0), r.getDouble(1))).sortBy(_._1)
     a shouldBe b
   }
+
+  it should "fail fast on a NULL value instead of silently shifting " +
+    "prefixes" in {
+    val df = Seq((1L, Some(3.0)), (2L, None), (3L, Some(7.0)))
+      .toDF("k", "v")
+    val ex = intercept[Exception] {
+      PrefixSum.withExclusivePrefix(df, Seq("k"), "v").collect()
+    }
+    // the raise_error surfaces wrapped in Spark's execution exception
+    // chain; the message must name the op and the column
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m =>
+      m.contains("PrefixSum.withExclusivePrefix") && m.contains("'v'")))
+  }
 }

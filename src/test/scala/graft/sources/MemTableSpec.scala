@@ -40,6 +40,25 @@ class MemTableSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     MemTableSource.drop(tbl)
   }
 
+  it should "fail loudly when reading a table with no committed rows " +
+    "in this JVM" in {
+    val s = spark
+    val tbl = "memtable_absent"
+    MemTableSource.drop(tbl)
+    // schema passed explicitly so inferSchema doesn't trip first — this
+    // exercises the READER's absent-key path (the wrong-JVM symptom on a
+    // non-local deployment), which must throw instead of returning 0 rows
+    val ex = intercept[Exception] {
+      s.read.format("graft-mem").option("table", tbl)
+        .schema("id LONG, v STRING").load().collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m =>
+      m.contains("no committed rows in this JVM")))
+  }
+
   it should "round-trip all column types it is handed" in {
     val s = spark
     import s.implicits._

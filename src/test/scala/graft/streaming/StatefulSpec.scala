@@ -103,6 +103,39 @@ class StatefulSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     } finally query.stop()
   }
 
+  behavior of "Stateful.streamEwmaBurst"
+
+  it should "drop hour buckets at or behind the state frontier" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[TypedHourEvent]
+    val scored = Stateful.streamEwmaBurst(input.toDS())
+    val query = scored.writeStream.format("memory")
+      .queryName("ewma_guard").outputMode("append").start()
+    try {
+      // batch 1: hours 100 (seed, x=4) and 101 (x=8)
+      input.addData(Seq.fill(4)(TypedHourEvent("click", 100L)) ++
+        Seq.fill(8)(TypedHourEvent("click", 101L)): _*)
+      query.processAllAvailable()
+      // batch 2: hour 101 AGAIN (a re-split of an already-processed
+      // hour) and hour 100 (out of order) — both must be dropped; hour
+      // 102 advances normally from the state left by batch 1
+      // (ewma after 101 = (8 + 3*4)/4 = 5).
+      input.addData(Seq.fill(9)(TypedHourEvent("click", 101L)) ++
+        Seq.fill(2)(TypedHourEvent("click", 100L)) ++
+        Seq.fill(11)(TypedHourEvent("click", 102L)): _*)
+      query.processAllAvailable()
+      val out = s.sql("SELECT hb, x, prev, burst FROM ewma_guard " +
+          "ORDER BY hb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      out.toSeq shouldBe Seq(
+        (100L, 4L, -1L, false),   // seed
+        (101L, 8L, 4L, false),    // 8 <= 2*4 — no burst
+        (102L, 11L, 5L, true))    // 11 > 2*5 — burst; 101/100 replays gone
+    } finally query.stop()
+  }
+
   behavior of "Stateful.windowedTypeCounts"
 
   it should "emit closed tumbling windows once in append mode" in {

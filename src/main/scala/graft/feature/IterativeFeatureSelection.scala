@@ -459,6 +459,230 @@ object IterativeFeatureSelection {
     cached ++ computed
   }
 
+  /** Block-partitioned alternate encoding — the scale-free spelling of
+    * [[selectRows]]. The matrix is stored as (featureId, blockId,
+    * values[block]) records: the instance axis is TILED into blocks, so no
+    * record is ever wider than one block and per-record memory is O(block),
+    * not O(instances) — the layout [[selectRows]]' `maxInstances` fence
+    * exists to protect against simply does not arise. Labels arrive the
+    * same way (`labelBlocks`: one (blockId, values) record per block), as
+    * DATA rather than a driver-side vector, so the driver never holds the
+    * instance axis either.
+    *
+    * Blocking contract: for every feature, the set of blockIds must equal
+    * the label's, and a feature block must have exactly the label block's
+    * length — position i of a feature block pairs with position i of the
+    * label block (MI is instance-order invariant, so ANY consistent tiling
+    * works; a scan-partition tiling needs no sort at all). Violations
+    * raise with the offending blockId rather than silently computing MI
+    * over a subset.
+    *
+    * Physical plan per selection: the blocked matrix is hash-partitioned
+    * by blockId once and cached (MEMORY_AND_DISK — k rounds re-read it);
+    * round 0 joins it with the label blocks on blockId, every later round
+    * joins the remaining candidates with the NEWEST WINNER's blocks (a
+    * 1/features fraction of the data — the join's build side), then a
+    * per-partition primitive contingency pass (same machinery class as
+    * [[pairCellCounts]]: one InternalRow-level read per value, no row
+    * expansion, flush-on-full bound) merges through ONE keyed
+    * `groupBy().sum()` into a windowed MI fold. The driver receives
+    * O(features) doubles per round — never a vector, never a contingency
+    * matrix. Same math as [[MutualInformation.fromVectors]] (the dense
+    * zero cells it infers are counted explicitly here — identical result),
+    * same memoized-redundancy greedy loop, same (score desc, id asc) ties.
+    *
+    * @param blocks      blocked matrix: idCol (feature id, integral),
+    *                    blockCol (block id, integral), valuesCol
+    *                    (array&lt;double&gt;)
+    * @param labelBlocks label row in the same tiling: blockCol + valuesCol
+    * @return            selected (featureId, scoreAtSelectionTime) in
+    *                    selection order — identical to [[selectRows]] on
+    *                    the same matrix
+    */
+  def selectRowsBlocked(blocks: DataFrame, idCol: String, blockCol: String,
+                        valuesCol: String, labelBlocks: DataFrame,
+                        num: Int): Seq[(Long, Double)] = {
+    val data = blocks.select(
+        col(idCol).cast(LongType).as("id"),
+        col(blockCol).cast(LongType).as("bid"),
+        col(valuesCol).cast("array<double>").as("xs"))
+      .repartition(col("bid"))
+      .cache()
+    val labels = labelBlocks.select(
+        col(blockCol).cast(LongType).as("bid"),
+        col(valuesCol).cast("array<double>").as("ys"))
+    try {
+      // Round 0: MI(feature, label) for every feature, one job. `n` rides
+      // along to enforce the tiling contract: every feature must cover
+      // exactly the label's instance count.
+      val nInstances = labels
+        .agg(sum(size(col("ys")))).head().getLong(0)
+      val relRows = blockMIPerId(data.join(labels, "bid"))
+      relRows.foreach { case (id, (_, n)) =>
+        require(n == nInstances,
+          s"blocked alternate encoding: feature $id covers $n instances " +
+            s"but the label row has $nInstances — missing or ragged blocks")
+      }
+      val rel = relRows.map { case (id, (mi, _)) => id -> mi }
+      val k = math.min(num.toLong, rel.size.toLong).toInt
+      val redSum = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      val selected = mutable.ArrayBuffer.empty[(Long, Double)]
+      val remaining = mutable.Set.empty[Long] ++ rel.keys
+      while (selected.size < k) {
+        val sSize = selected.size
+        val (wid, wscore) = remaining.iterator
+          .map(id => (id,
+            if (sSize == 0) rel(id) else rel(id) - redSum(id) / sSize))
+          .reduce { (a, b) =>
+            if (a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)) a else b
+          }
+        selected += ((wid, wscore))
+        remaining -= wid
+        if (selected.size < k) {
+          // MI(candidate, winner) for every remaining candidate: the
+          // winner's blocks re-keyed as the "label" side of the same fold.
+          val winner = data.filter(col("id") === wid)
+            .select(col("bid"), col("xs").as("ys"))
+          val cands = data.filter(col("id") =!= wid &&
+            !col("id").isin(selected.map(_._1).toSeq: _*))
+          blockMIPerId(cands.join(winner, "bid")).foreach {
+            case (id, (mi, _)) => redSum(id) = redSum(id) + mi
+          }
+        }
+      }
+      selected.toSeq
+    } finally { data.unpersist(); () }
+  }
+
+  /** MI per feature id over joined (id, xs, ys) block records — the
+    * blocked path's counting + fold stage. Per partition, an
+    * open-addressed primitive map counts (id, xBits, yBits) cells in one
+    * InternalRow-level pass (flush-on-full keeps memory bounded exactly
+    * as [[pairCellCounts]]); the partials merge through one keyed
+    * `groupBy().sum()` and fold into one (mi, n) pair per id via window
+    * marginals. Returns 12-decimal-rounded MI (same stabilization
+    * rationale as [[pairMIMulti]]) plus the instance count n for the
+    * caller's tiling check.
+    */
+  private[graft] def blockMIPerId(joined: DataFrame)
+  : Map[Long, (Double, Long)] = {
+    val spark = joined.sparkSession
+    val rdd = joined
+      .select(col("id"), col("xs"), col("ys"))
+      .queryExecution.toRdd
+      .mapPartitions { iter =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        var cap = 1 << 12
+        var mask = cap - 1
+        var keysId = new Array[Long](cap)
+        var keysXv = new Array[Long](cap)
+        var keysYv = new Array[Long](cap)
+        var cnts = new Array[Long](cap)
+        var used = new Array[Boolean](cap)
+        var size = 0
+        def emit(i: Int): Unit = {
+          val xB = keysXv(i); val yB = keysYv(i)
+          out += org.apache.spark.sql.Row(
+            keysId(i),
+            if (xB == NullBits) null
+            else java.lang.Double.longBitsToDouble(xB),
+            if (yB == NullBits) null
+            else java.lang.Double.longBitsToDouble(yB),
+            cnts(i))
+        }
+        def flush(): Unit = {
+          var i = 0
+          while (i < cap) { if (used(i)) emit(i); i += 1 }
+          java.util.Arrays.fill(used, false)
+          size = 0
+          if (out.size > (4 << 20)) throw new IllegalArgumentException(
+            s"blocked contingency exceeded ${4 << 20} distinct cells in " +
+              "one partition — a feature's cardinality is far above any " +
+              "usable maxCategories (discretize it first)")
+        }
+        def grow(): Unit = {
+          val oI = keysId; val oX = keysXv; val oY = keysYv
+          val oC = cnts; val oU = used; val oCap = cap
+          cap <<= 1; mask = cap - 1
+          keysId = new Array[Long](cap); keysXv = new Array[Long](cap)
+          keysYv = new Array[Long](cap); cnts = new Array[Long](cap)
+          used = new Array[Boolean](cap)
+          var i = 0
+          while (i < oCap) {
+            if (oU(i)) {
+              var j = (scala.util.hashing.byteswap64(
+                oI(i) * 0x9e3779b97f4a7c15L + oX(i) * 31 + oY(i))
+                & mask).toInt
+              while (used(j)) j = (j + 1) & mask
+              keysId(j) = oI(i); keysXv(j) = oX(i); keysYv(j) = oY(i)
+              cnts(j) = oC(i); used(j) = true
+            }
+            i += 1
+          }
+        }
+        def add(id: Long, xB: Long, yB: Long): Unit = {
+          var j = (scala.util.hashing.byteswap64(
+            id * 0x9e3779b97f4a7c15L + xB * 31 + yB) & mask).toInt
+          while (used(j) && !(keysId(j) == id && keysXv(j) == xB &&
+            keysYv(j) == yB)) j = (j + 1) & mask
+          if (used(j)) cnts(j) += 1
+          else {
+            keysId(j) = id; keysXv(j) = xB; keysYv(j) = yB
+            cnts(j) = 1L; used(j) = true; size += 1
+            if (size >= CellFlushCap) flush()
+            else if (size * 5 >= cap * 3) grow()
+          }
+        }
+        iter.foreach { row =>
+          val id = row.getLong(0)
+          val xs = row.getArray(1)
+          val ys = row.getArray(2)
+          val nX = xs.numElements(); val nY = ys.numElements()
+          if (nX != nY) throw new IllegalArgumentException(
+            s"blocked alternate encoding: feature $id has a block of " +
+              s"length $nX where the label block has length $nY — " +
+              "feature and label tilings must be identical")
+          var i = 0
+          while (i < nX) {
+            val xB = if (xs.isNullAt(i)) NullBits
+              else java.lang.Double.doubleToLongBits(xs.getDouble(i))
+            val yB = if (ys.isNullAt(i)) NullBits
+              else java.lang.Double.doubleToLongBits(ys.getDouble(i))
+            add(id, xB, yB)
+            i += 1
+          }
+        }
+        flush()
+        out.iterator
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("cv", DoubleType),
+      org.apache.spark.sql.types.StructField("ov", DoubleType),
+      org.apache.spark.sql.types.StructField("c", LongType,
+        nullable = false)))
+    val counts = spark.createDataFrame(rdd, schema)
+      .groupBy("id", "cv", "ov")
+      .agg(sum(col("c")).as("c"))
+    val n = sum("c").over(Window.partitionBy("id"))
+    val cx = sum("c").over(Window.partitionBy("id", "cv"))
+    val cy = sum("c").over(Window.partitionBy("id", "ov"))
+    counts
+      .select(col("id"), col("c"), n.as("n"), cx.as("cx"), cy.as("cy"))
+      .groupBy("id")
+      .agg(
+        sum((col("c") / col("n")) *
+          log((col("c") / col("n")) /
+            ((col("cx") / col("n")) * (col("cy") / col("n"))))).as("mi"),
+        max(col("n")).as("n"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((math.rint(r.getDouble(1) * 1e12) / 1e12, r.getLong(2))))
+      .toMap
+  }
+
   /** Alternate encoding: features are rows, instances are columns. Each
     * record is (featureId, valueVector); per-instance class labels arrive as
     * a driver-side vector (`labelsRow`), broadcast to executors.
@@ -468,9 +692,12 @@ object IterativeFeatureSelection {
     * vector, unlike [[selectColumns]] whose per-record cost is O(1). It is
     * the right encoding for many-features × bounded-instances matrices
     * (feature-row selection over profiling samples), and the wrong one
-    * for instance counts past [[DefaultMaxInstances]]; callers with a
-    * genuinely wider matrix must opt in explicitly via `maxInstances`
-    * after sizing executor memory for ≥ 8·instances bytes per record.
+    * for instance counts past [[DefaultMaxInstances]] — there, use
+    * [[selectRowsBlocked]], which computes the IDENTICAL selection from
+    * (feature, block, values) records with O(block) record width and no
+    * driver-side label vector. Callers insisting on the vector layout at
+    * a wider shape must opt in explicitly via `maxInstances` after sizing
+    * executor memory for ≥ 8·instances bytes per record.
     *
     * @param maxInstances guard on `labelsRow.size` (the vector width);
     *                     exceeded → IllegalArgumentException instead of a
@@ -485,8 +712,10 @@ object IterativeFeatureSelection {
       s"alternate-encoding matrix is ${labelsRow.size} instances wide; " +
         s"each feature record carries all of them (~${8L * labelsRow.size} " +
         s"bytes/vector), more than maxInstances = $maxInstances. " +
-        "Use the conventional encoding (selectColumns) at this scale, or " +
-        "raise maxInstances explicitly after sizing executor memory.")
+        "At this scale use the BLOCK-PARTITIONED alternate encoding " +
+        "(selectRowsBlocked — same selection, O(block) records, labels as " +
+        "data) or the conventional encoding (selectColumns); or raise " +
+        "maxInstances explicitly after sizing executor memory.")
     score match {
       case RowMRMR => selectRowsIncremental(df, idCol, featuresCol, num,
         labelsRow)

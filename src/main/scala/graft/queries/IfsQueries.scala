@@ -129,6 +129,52 @@ object IfsQueries {
       df
     }).asInstanceOf[DataFrame]
 
+  /** Block-partitioned alternate-encoding matrix: one record per
+    * (feature, scan-partition block) — (id, bid, values), with the label
+    * riding as pseudo-feature -1 exactly like [[rowMatrixBuild]]. This is
+    * the SCALE-FREE alternate layout ([[IterativeFeatureSelection
+    * .selectRowsBlocked]]): the chunk stage of the vector transpose IS the
+    * blocked layout, so the build stops there — no per-feature assembly,
+    * no record wider than one scan partition's rows, no driver-side label
+    * vector. block id = scan partition index (deterministic for a fixed
+    * input, and any consistent tiling is valid — MI is instance-order
+    * invariant). Cached + memoized per (session, dir).
+    */
+  def rowMatrixBlocked(s: SparkSession, dir: String): DataFrame = {
+    val df = rowMatrixBlockedBuild(s, dir)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    df
+  }
+
+  private def rowMatrixBlockedBuild(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(("rowMatrixBlocked", s, dir), {
+      import s.implicits._
+      val projDF = matrix(s, dir).select("label", "f")
+      val nFeatures = featureDefs.size
+      val df = projDF.queryExecution.toRdd
+        .mapPartitionsWithIndex { (pi, it) =>
+          val bs = Array.fill(nFeatures + 1)(
+            new scala.collection.mutable.ArrayBuilder.ofDouble)
+          it.foreach { r =>
+            bs(0) += r.getDouble(0)
+            val arr = r.getArray(1)
+            var f = 0
+            while (f < nFeatures) { bs(f + 1) += arr.getDouble(f); f += 1 }
+          }
+          (0 to nFeatures).iterator.map { i =>
+            ((i - 1).toLong, pi.toLong, bs(i).result())
+          }
+        }
+        .toDF("id", "bid", "values")
+        // empty scan partitions yield zero-length blocks on EVERY feature
+        // including the label — harmless to MI, dropped for tidiness
+        .filter(size(col("values")) > 0)
+        .cache()
+      df.count()
+      df
+    }).asInstanceOf[DataFrame]
+
   /** Per-instance labels in the same deterministic order as [[rowMatrix]]
     * vector positions (the reference passes this as a Param, not data —
     * `reference:RowSelector.scala:23-24`). Row -1 of the transposed matrix
@@ -242,6 +288,24 @@ object IfsQueries {
       }.toDF("rnk", "feature", "score").orderBy("rnk")
     },
 
+    // O2/O7 at scale: the SAME greedy selection through the
+    // block-partitioned alternate encoding — (feature, block, values)
+    // records, labels as data, no O(instances) record or driver vector
+    // anywhere (the layout that removes selectRows' maxInstances fence).
+    // Checked against the identical unrolled greedy oracle as
+    // ifs_select_rows, so vector-alternate, blocked-alternate, and
+    // conventional all pin to one ground truth.
+    "ifs_blocked_rows" -> { (s, dir) =>
+      import s.implicits._
+      val blocked = rowMatrixBlocked(s, dir)
+      val sel = IterativeFeatureSelection.selectRowsBlocked(
+        blocked.filter(col("id") >= 0L), "id", "bid", "values",
+        blocked.filter(col("id") === -1L).select("bid", "values"), k)
+      sel.zipWithIndex.map { case ((fid, score), r) =>
+        (r + 1, featureNames(fid.toInt), math.rint(score * 1e6) / 1e6)
+      }.toDF("rnk", "feature", "score").orderBy("rnk")
+    },
+
     // The reference's own de-facto correctness invariant, promoted from
     // CLI banner to oracle-checked gate
     // (`reference:CommandLine.scala:167-169`): the conventional and
@@ -258,9 +322,25 @@ object IfsQueries {
           array_to_vector(col("f")).as("features"))
       val colSel = IterativeFeatureSelection.selectColumns(
         data, "label", "features", k)
-      val rowSel = IterativeFeatureSelection.selectRows(
-        rowMatrix(s, dir), "id", "features", k,
-        org.apache.spark.ml.linalg.Vectors.dense(labelsRow(s, dir)))
+      // Row side: the vector-alternate layout inside its contract, the
+      // block-partitioned layout past it — so this gate stays GREEN (and
+      // meaningful: three encodings, one oracle) at instance counts where
+      // the vector layout's maxInstances guard would fire, instead of
+      // erroring. Both spellings are individually oracle-pinned
+      // (ifs_select_rows / ifs_blocked_rows); this gate is the
+      // cross-encoding agreement invariant.
+      val nInstances = matrix(s, dir).count()
+      val rowSel =
+        if (nInstances <= IterativeFeatureSelection.DefaultMaxInstances)
+          IterativeFeatureSelection.selectRows(
+            rowMatrix(s, dir), "id", "features", k,
+            org.apache.spark.ml.linalg.Vectors.dense(labelsRow(s, dir)))
+        else {
+          val blocked = rowMatrixBlocked(s, dir)
+          IterativeFeatureSelection.selectRowsBlocked(
+            blocked.filter(col("id") >= 0L), "id", "bid", "values",
+            blocked.filter(col("id") === -1L).select("bid", "values"), k)
+        }
       colSel.zip(rowSel).zipWithIndex.map {
         case (((ci, cs), (ri, rs)), r) =>
           (r + 1, featureNames(ci), featureNames(ri.toInt),
@@ -464,6 +544,7 @@ object IfsQueries {
 
     "ifs_select_topk" -> greedySelectionSql,
     "ifs_select_rows" -> greedySelectionSql,
+    "ifs_blocked_rows" -> greedySelectionSql,
 
     // Both encodings must land on the oracle's winner each round, so the
     // oracle emits w_r on BOTH sides and agree = TRUE unconditionally —

@@ -158,6 +158,81 @@ class IterativeFeatureSelectionSpec extends AnyFunSuite with Matchers
       .sortBy { case (c, s) => (s, c) }.head._1
   }
 
+  /** Blocked alternate layout: (feature, block, values) records with the
+    * instance axis tiled by `cuts` (ragged on purpose — any consistent
+    * tiling is valid), labels as a (block, values) DataFrame.
+    */
+  private def blockedDFs(labels: Array[Double], m: Array[Array[Double]],
+                         cuts: Seq[Int]) = {
+    import spark.implicits._
+    val bounds = (0 +: cuts :+ labels.length).distinct.sorted
+    val ranges = bounds.zip(bounds.tail)
+    val cols = m.head.length
+    val feat = (for {
+      c <- 0 until cols
+      (b, (lo, hi)) <- ranges.zipWithIndex.map(_.swap)
+    } yield (c.toLong, b.toLong, (lo until hi).map(m(_)(c)).toArray))
+      .toDF("id", "bid", "values")
+    val lab = ranges.zipWithIndex.map { case ((lo, hi), b) =>
+      (b.toLong, (lo until hi).map(labels(_)).toArray)
+    }.toDF("bid", "values")
+    (feat, lab)
+  }
+
+  test("selectRowsBlocked matches the vector alternate path and the " +
+    "oracle across ragged tilings") {
+    val (labels, m) = randomMatrix(seed = 31, rows = 110, cols = 6)
+    val want = IterativeFeatureSelection.selectRows(
+      alternateDF(labels, m), "id", "features", num = 4,
+      labelsRow = Vectors.dense(labels))
+    // two different tilings (ragged, and near-single-block) must both
+    // reproduce the vector path bit-for-bit at the memo's 12-decimal grain
+    for (cuts <- Seq(Seq(13, 40, 41, 77), Seq(109))) {
+      val (feat, lab) = blockedDFs(labels, m, cuts)
+      val got = IterativeFeatureSelection.selectRowsBlocked(
+        feat, "id", "bid", "values", lab, num = 4)
+      got.map(_._1) shouldBe want.map(_._1)
+      got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+        gs shouldBe ws +- 1e-9
+      }
+    }
+    got_oracle_agreement(labels, m)
+  }
+
+  private def got_oracle_agreement(labels: Array[Double],
+                                   m: Array[Array[Double]]): Unit = {
+    val (feat, lab) = blockedDFs(labels, m, Seq(50))
+    val got = IterativeFeatureSelection.selectRowsBlocked(
+      feat, "id", "bid", "values", lab, num = 3)
+    got.map(_._1.toInt) shouldBe greedyOracle(labels, m, 3).map(_._1)
+  }
+
+  test("selectRowsBlocked rejects ragged feature/label block mismatches " +
+    "instead of computing MI over a subset") {
+    val (labels, m) = randomMatrix(seed = 37, rows = 60, cols = 4)
+    val (feat, lab) = blockedDFs(labels, m, Seq(20, 40))
+    // a feature block shorter than its label block → length error
+    val truncated = feat.withColumn("values",
+      org.apache.spark.sql.functions.expr(
+        "CASE WHEN id = 2 AND bid = 1 THEN slice(values, 1, 5) " +
+          "ELSE values END"))
+    val ex1 = intercept[Exception] {
+      IterativeFeatureSelection.selectRowsBlocked(
+        truncated, "id", "bid", "values", lab, num = 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex1).exists(_.contains("label block has length")))
+    // a feature missing one block entirely → coverage error
+    val missing = feat.filter("NOT (id = 1 AND bid = 0)")
+    val ex2 = intercept[Exception] {
+      IterativeFeatureSelection.selectRowsBlocked(
+        missing, "id", "bid", "values", lab, num = 2)
+    }
+    assert(messages(ex2).exists(_.contains("missing or ragged blocks")))
+  }
+
   test("pairChi2Multi matches a naive driver-side chi-square") {
     val (labels, m) = randomMatrix(seed = 17, rows = 150, cols = 5)
     import spark.implicits._

@@ -260,6 +260,39 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
     } shouldBe empty
   }
 
+  it should "compute Theil-Sen medians without any unpartitioned " +
+    "window over the pair multiset" in {
+    // VERDICT r9 #2: q_theil_sen used to rank ~3M day-pair slopes
+    // through TWO Window.orderBy globals — the biggest single-task sort
+    // in the registry (calendar-bounded, but one task). Both medians now
+    // run through PrefixSum's two-phase machinery, so the only windows
+    // allowed in the gate's plan are PrefixSum's own: the range-bucket
+    // pass (partitioned by __pid — each task sorts only its slice) and
+    // the ≤P-row offsets pass (unpartitioned but explicitly
+    // limit-bounded). Any other window — in particular a global rank
+    // over the slope or residual multiset — trips here.
+    val plan = planOf("q_theil_sen").queryExecution.executedPlan
+    collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      if (w.partitionSpec.isEmpty) {
+        val boundedW = w.child.collect {
+          case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+          case l: org.apache.spark.sql.execution.LocalLimitExec => l
+        }
+        withClue(s"unpartitioned window over unbounded input:\n$w\n") {
+          boundedW should not be empty
+        }
+      } else {
+        withClue(s"partitioned window outside PrefixSum's range-bucket " +
+          s"pass:\n$w\n") {
+          w.partitionSpec.map(_.toString)
+            .exists(_.contains("__pid")) shouldBe true
+        }
+      }
+    }
+  }
+
   it should "inject a runtime bloom filter on the fact side of a " +
     "filtered fact-dim join when enabled" in {
     // Semi-join reduction at 100 TB: when one join side carries a

@@ -71,6 +71,84 @@ object EventQueries {
     try f finally s.conf.set(key, old)
   }
 
+  /** Set session confs for the duration of `f`, restoring (or unsetting)
+    * the previous values after — the state-store provider swap pattern.
+    */
+  private def withConfs[A](s: SparkSession, kv: (String, String)*)
+                          (f: => A): A = {
+    val olds = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The custom-state gap-sessionization pipeline shared by
+    * q_stream_state_sessions (default HDFS-backed store) and
+    * q_stream_rocksdb_sessions (RocksDB provider): run the stateful
+    * query to a memory sink under `namePrefix`, return per-user session
+    * counts. Both gates answer to the identical oracle, so a provider
+    * swap that changed ANY emitted row would hash-mismatch.
+    */
+  private def stateSessionCounts(s: SparkSession, dir: String,
+                                 namePrefix: String): DataFrame = {
+    import s.implicits._
+    val stream = eventsStream(s, dir)
+      .select(col("user_id"), col("ts"))
+      .as[graft.streaming.UserEvent]
+    val sessions = graft.streaming.Stateful
+      .statefulSessions(stream, GapUs / 1000L, "0 seconds")
+    val name = namePrefix +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(s) {
+      val q = sessions.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private lazy val stateSessionsOracle: String = {
+    val gapMs = GapUs / 1000L
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+       |  FROM events),
+       |b AS (
+       |  SELECT user_id, event_id, ms,
+       |    CASE WHEN lag(ms) OVER (PARTITION BY user_id
+       |                            ORDER BY ms, event_id) IS NULL
+       |      OR ms - lag(ms) OVER (PARTITION BY user_id
+       |                            ORDER BY ms, event_id) > $gapMs
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM ev),
+       |sb AS (
+       |  SELECT user_id, ms,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |                   ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM b),
+       |sess AS (
+       |  SELECT user_id, sid, max(ms) AS e, count(*) AS n
+       |  FROM sb GROUP BY user_id, sid),
+       |emit AS (
+       |  SELECT * FROM (
+       |    SELECT user_id, sid, e, n,
+       |      max(sid) OVER (PARTITION BY user_id) AS max_sid
+       |    FROM sess)
+       |  WHERE sid < max_sid
+       |     OR e + $gapMs < (SELECT max(ms) FROM ev))
+       |SELECT user_id, count(*) AS n_sessions,
+       |  CAST(sum(n) AS BIGINT) AS n_events
+       |FROM emit GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Lag-gap sessionization: sessions and events per user.
     "q_sessionize" -> { (s, dir) =>
@@ -1487,25 +1565,26 @@ object EventQueries {
     // `ts.getTime`, so microsecond components truncate before the gap
     // compare — a deliberate, mirrored precision contract).
     "q_stream_state_sessions" -> { (s, dir) =>
-      import s.implicits._
-      val stream = eventsStream(s, dir)
-        .select(col("user_id"), col("ts"))
-        .as[graft.streaming.UserEvent]
-      val sessions = graft.streaming.Stateful
-        .statefulSessions(stream, GapUs / 1000L, "0 seconds")
-      val name = "q_stream_state_sessions_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
-        val q = sessions.writeStream.outputMode(OutputMode.Append())
-          .format("memory").queryName(name)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+      stateSessionCounts(s, dir, "q_stream_state_sessions_")
+    },
+
+    // The SAME custom-state sessionization under the RocksDB state store
+    // provider with changelog checkpointing — the production path at
+    // 100 TB of state: the default HDFS-backed provider keeps every
+    // key's state on the executor HEAP (state size is bounded by
+    // memory), while RocksDB spills to local disk and checkpoints
+    // incrementally (changelog), so state scales with disk, not heap.
+    // Answers to the byte-identical oracle as q_stream_state_sessions:
+    // the provider swap is PROVEN hash-invisible, not assumed.
+    "q_stream_rocksdb_sessions" -> { (s, dir) =>
+      withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider"),
+        "spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled" -> "true") {
+        stateSessionCounts(s, dir, "q_stream_rocksdb_sessions_")
       }
-      s.table(name)
-        .groupBy("user_id")
-        .agg(count(lit(1)).cast("long").as("n_sessions"),
-          sum(col("n_events")).cast("long").as("n_events"))
-        .orderBy("user_id")
     },
 
     // Streaming EWMA burst detection — an ordered per-key integer
@@ -2526,40 +2605,11 @@ object EventQueries {
         |FROM r GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
-    "q_stream_state_sessions" -> {
-      val gapMs = GapUs / 1000L
-      s"""WITH ev AS (
-         |  SELECT user_id, event_id,
-         |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
-         |  FROM events),
-         |b AS (
-         |  SELECT user_id, event_id, ms,
-         |    CASE WHEN lag(ms) OVER (PARTITION BY user_id
-         |                            ORDER BY ms, event_id) IS NULL
-         |      OR ms - lag(ms) OVER (PARTITION BY user_id
-         |                            ORDER BY ms, event_id) > $gapMs
-         |      THEN 1 ELSE 0 END AS brk
-         |  FROM ev),
-         |sb AS (
-         |  SELECT user_id, ms,
-         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
-         |                   ROWS UNBOUNDED PRECEDING) AS sid
-         |  FROM b),
-         |sess AS (
-         |  SELECT user_id, sid, max(ms) AS e, count(*) AS n
-         |  FROM sb GROUP BY user_id, sid),
-         |emit AS (
-         |  SELECT * FROM (
-         |    SELECT user_id, sid, e, n,
-         |      max(sid) OVER (PARTITION BY user_id) AS max_sid
-         |    FROM sess)
-         |  WHERE sid < max_sid
-         |     OR e + $gapMs < (SELECT max(ms) FROM ev))
-         |SELECT user_id, count(*) AS n_sessions,
-         |  CAST(sum(n) AS BIGINT) AS n_events
-         |FROM emit GROUP BY user_id
-         |ORDER BY user_id""".stripMargin
-    },
+    "q_stream_state_sessions" -> stateSessionsOracle,
+
+    // Provider swap must be invisible to results: the RocksDB twin
+    // answers to the byte-identical oracle.
+    "q_stream_rocksdb_sessions" -> stateSessionsOracle,
 
     "q_stream_enrich" ->
       s"""SELECT c.c_mktsegment AS mktsegment, e.event_type,

@@ -358,6 +358,190 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL frame decode for the SECOND codec-free container: Motion-JPEG
+    * in QuickTime/ISO-BMFF (.mov/.mp4 with a `jpeg` sample entry — every
+    * sample is a complete JPEG). Unlike AVI's flat chunk stream, ISO-BMFF
+    * locates media through the sample tables, so this walks the box tree
+    * to the `stbl` whose `stsd` declares `jpeg`, then reconstructs each
+    * sample's (offset, size) from the REAL table machinery —
+    * `stco` chunk offsets × `stsc` samples-per-chunk runs × `stsz`
+    * sizes — and ImageIO-decodes the `mdat` slices. Same output shape
+    * and honest-fallback contract as [[decodeMjpegFrames]]; inter-frame
+    * codecs (H.264, VP9, AV1) still genuinely require external decoder
+    * libraries.
+    */
+  def decodeMovJpegFrames(bytes: Array[Byte]): Seq[(Int, Int, Int, Long)] = {
+    def be32(o: Int): Long =
+      if (o + 4 > bytes.length) -1L
+      else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def fourcc(o: Int): String =
+      if (o + 4 > bytes.length) ""
+      else new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(4) != "ftyp" && fourcc(4) != "moov") return Nil
+
+    // Locate the jpeg track's sample tables: one stbl holding an stsd
+    // whose first sample entry is 'jpeg', plus its stsz/stco/stsc.
+    var stsz: Option[Int] = None; var stco: Option[Int] = None
+    var stsc: Option[Int] = None
+    def walk(start: Int, end: Int, depth: Int, inJpegStbl: Boolean): Unit = {
+      var o = start
+      while (o + 8 <= end && depth < 10) {
+        val size = be32(o)
+        val typ = fourcc(o + 4)
+        if (size < 8 || o + size > end) return
+        val bodyEnd = o + size.toInt
+        typ match {
+          case "moov" | "trak" | "mdia" | "minf" =>
+            walk(o + 8, bodyEnd, depth + 1, inJpegStbl = false)
+          case "stbl" =>
+            // peek this stbl's stsd first: is it the jpeg track?
+            var p = o + 8
+            var isJpeg = false
+            while (p + 8 <= bodyEnd) {
+              val sz = be32(p)
+              if (sz < 8 || p + sz > bodyEnd) { p = bodyEnd }
+              else {
+                if (fourcc(p + 4) == "stsd" &&
+                  be32(p + 12) >= 1 && fourcc(p + 20) == "jpeg")
+                  isJpeg = true
+                p += sz.toInt
+              }
+            }
+            if (isJpeg && stsz.isEmpty)
+              walk(o + 8, bodyEnd, depth + 1, inJpegStbl = true)
+          case "stsz" if inJpegStbl && stsz.isEmpty => stsz = Some(o)
+          case "stco" if inJpegStbl && stco.isEmpty => stco = Some(o)
+          case "stsc" if inJpegStbl && stsc.isEmpty => stsc = Some(o)
+          case _ => ()
+        }
+        o = bodyEnd
+      }
+    }
+    walk(0, bytes.length, 0, inJpegStbl = false)
+    (stsz, stco, stsc) match {
+      case (Some(szO), Some(coO), Some(scO)) =>
+        val fixedSize = be32(szO + 12)
+        val nSamples = be32(szO + 16).toInt
+        if (nSamples <= 0 || nSamples > (1 << 20)) return Nil
+        val sizes = (0 until nSamples).map(i =>
+          if (fixedSize > 0) fixedSize.toInt else be32(szO + 20 + 4 * i).toInt)
+        val nChunks = be32(coO + 12).toInt
+        if (nChunks <= 0 || nChunks > (1 << 20)) return Nil
+        val offsets = (0 until nChunks).map(i => be32(coO + 16 + 4 * i).toInt)
+        val nRuns = be32(scO + 12).toInt
+        if (nRuns <= 0 || nRuns > (1 << 16)) return Nil
+        // (first_chunk, samples_per_chunk) runs, 1-based chunks
+        val runs = (0 until nRuns).map(i =>
+          (be32(scO + 16 + 12 * i).toInt, be32(scO + 20 + 12 * i).toInt))
+        val out = scala.collection.mutable
+          .ArrayBuffer.empty[(Int, Int, Int, Long)]
+        var sample = 0
+        var chunk = 0
+        while (chunk < nChunks && sample < nSamples) {
+          val perChunk = runs.takeWhile(_._1 <= chunk + 1).lastOption
+            .map(_._2).getOrElse(1)
+          var off = offsets(chunk)
+          var k = 0
+          while (k < perChunk && sample < nSamples) {
+            val sz = sizes(sample)
+            if (off >= 0 && sz > 0 && off + sz <= bytes.length) {
+              val in = new java.io.ByteArrayInputStream(bytes, off, sz)
+              val img = try javax.imageio.ImageIO.read(in)
+                catch { case _: Throwable => null }
+              if (img != null) {
+                var luma = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    luma += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                      (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                out += ((out.size, img.getWidth, img.getHeight, luma))
+              }
+            }
+            off += sz
+            sample += 1; k += 1
+          }
+          chunk += 1
+        }
+        out.toSeq
+      case _ => Nil
+    }
+  }
+
+  /** Build a genuine MJPEG-in-QuickTime (ISO-BMFF) byte stream: real
+    * JPEG samples in `mdat`, located by REAL sample tables (`stsd` with
+    * a `jpeg` visual sample entry, `stts`/`stsc`/`stsz`/`stco`) inside
+    * `moov/trak/mdia/minf/stbl`, plus a spec-layout `tkhd` carrying the
+    * 16.16 fixed-point dimensions [[probeVideo]] reads. One chunk per
+    * sample (stsc 1:1 — [[decodeMovJpegFrames]] handles general runs).
+    * ftyp+mdat precede moov so chunk offsets don't depend on moov size.
+    */
+  def buildMjpegMov(w: Int, h: Int, shades: Seq[Int]): Array[Byte] = {
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def s(x: String): Array[Byte] =
+      x.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8) ++ s(typ) ++ body
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (shade << 16) | (shade << 8) | shade); x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = shades.map(jpeg)
+    val ftyp = box("ftyp", s("qt  ") ++ be32(0) ++ s("qt  "))
+    val mdat = box("mdat", frames.flatten.toArray)
+    // absolute chunk offsets: ftyp, then mdat header (8), then samples
+    val offsets = frames.scanLeft(ftyp.length + 8)(_ + _.length).init
+    // tkhd v0: 84-byte body, width/height 16.16 at body offsets 76/80
+    val tkhdBody = new Array[Byte](84)
+    System.arraycopy(be32(w << 16), 0, tkhdBody, 76, 4)
+    System.arraycopy(be32(h << 16), 0, tkhdBody, 80, 4)
+    // stsd: ver/flags + entry_count=1 + 86-byte 'jpeg' VisualSampleEntry
+    val entry = {
+      val e = new Array[Byte](86)
+      System.arraycopy(be32(86), 0, e, 0, 4)
+      System.arraycopy(s("jpeg"), 0, e, 4, 4)
+      e(15) = 1 // data_reference_index = 1
+      e(32) = ((w >> 8) & 0xff).toByte; e(33) = (w & 0xff).toByte
+      e(34) = ((h >> 8) & 0xff).toByte; e(35) = (h & 0xff).toByte
+      e
+    }
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
+    val stts = box("stts", be32(0) ++ be32(1) ++
+      be32(frames.length) ++ be32(1))
+    val stsc = box("stsc", be32(0) ++ be32(1) ++
+      be32(1) ++ be32(1) ++ be32(1))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(frames.length) ++
+      frames.flatMap(f => be32(f.length)).toArray)
+    val stco = box("stco", be32(0) ++ be32(offsets.length) ++
+      offsets.flatMap(be32).toArray)
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", box("tkhd", tkhdBody) ++ mdia)
+    val moov = box("moov", trak)
+    ftyp ++ mdat ++ moov
+  }
+
   /** FNV-1a over the first `n` bytes — a cheap header fingerprint. */
   def headerHash(bytes: Array[Byte], n: Int = 16): Long = {
     var h = 0xcbf29ce484222325L

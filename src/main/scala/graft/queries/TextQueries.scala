@@ -543,17 +543,20 @@ object TextQueries {
     },
 
     // REAL video frame decode — the boundary VERDICT r8 called "out of
-    // reach" narrows to inter-frame codecs only: Motion-JPEG in AVI
-    // decodes with the bare JDK (each movi chunk is a complete JPEG).
-    // Per sampled doc the gate BUILDS a genuine 3-frame MJPEG AVI
-    // (dims derived from doc_id, shades fixed), round-trips it through
-    // the real container parser + ImageIO frame decode, and emits the
-    // geometry plus `mjpeg_ok` = frames count, dims, and luminance
-    // ordering all survived the lossy round trip (the hll_ok contract
-    // pattern: red in the driver compare if the decode path drifts).
-    // Sample bounded to doc_id % 1000 == 0 — codec work per gate run is
-    // dozens of tiny frames at any SF, and the decode itself is
-    // partition-parallel typed code.
+    // reach" narrows to inter-frame codecs only: Motion-JPEG decodes
+    // with the bare JDK in BOTH classic containers. Per sampled doc the
+    // gate BUILDS a genuine 3-frame MJPEG AVI (flat RIFF chunk stream)
+    // and a genuine 3-frame MJPEG QuickTime/ISO-BMFF file (samples in
+    // mdat, located by real stsd/stsc/stsz/stco tables), round-trips
+    // both through their real container parsers + ImageIO frame decode,
+    // and emits the geometry plus per-container ok flags = frame count,
+    // dims, and luminance ordering all survived the lossy round trip,
+    // AND the two containers decoded BIT-IDENTICAL luma sums from the
+    // same JPEG payloads (the hll_ok contract pattern: red in the
+    // driver compare if either decode path drifts). Sample bounded to
+    // doc_id % 1000 == 0 — codec work per gate run is dozens of tiny
+    // frames at any SF, and the decode itself is partition-parallel
+    // typed code.
     "q_video_frames" -> { (s, dir) =>
       import s.implicits._
       val sample = t(s, dir, "documents")
@@ -563,16 +566,23 @@ object TextQueries {
         it.map { id =>
           val w = 16 + (id % 16).toInt
           val h = 12 + (id % 8).toInt
-          val avi = graft.ops.Multimodal.buildMjpegAvi(w, h,
-            Seq(40, 128, 220))
+          val shades = Seq(40, 128, 220)
+          val avi = graft.ops.Multimodal.buildMjpegAvi(w, h, shades)
           val dec = graft.ops.Multimodal.decodeMjpegFrames(avi)
           val ok = dec.size == 3 &&
             dec.forall(f => f._2 == w && f._3 == h) &&
             dec.map(_._4).sliding(2).forall(p => p.head < p.last) &&
             graft.ops.Multimodal.probeVideo(avi).contains(("avi", w, h))
-          (id, w.toLong, h.toLong, dec.size.toLong, ok)
+          val mov = graft.ops.Multimodal.buildMjpegMov(w, h, shades)
+          val mdec = graft.ops.Multimodal.decodeMovJpegFrames(mov)
+          val movOk = mdec.size == 3 &&
+            mdec.forall(f => f._2 == w && f._3 == h) &&
+            mdec.map(_._4) == dec.map(_._4) && // same JPEGs, same lumas
+            graft.ops.Multimodal.probeVideo(mov).contains(("mp4", w, h))
+          (id, w.toLong, h.toLong, dec.size.toLong, ok, movOk)
         }
-      }.toDF("doc_id", "width", "height", "n_frames", "mjpeg_ok")
+      }.toDF("doc_id", "width", "height", "n_frames", "mjpeg_ok",
+          "mov_ok")
         .orderBy("doc_id")
     },
 
@@ -3289,7 +3299,8 @@ object TextQueries {
         |  CAST(16 + doc_id % 16 AS BIGINT) AS width,
         |  CAST(12 + doc_id % 8 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS n_frames,
-        |  TRUE AS mjpeg_ok
+        |  TRUE AS mjpeg_ok,
+        |  TRUE AS mov_ok
         |FROM documents
         |WHERE doc_id % 1000 = 0
         |ORDER BY doc_id""".stripMargin,

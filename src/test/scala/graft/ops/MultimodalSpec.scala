@@ -167,6 +167,43 @@ class MultimodalSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     Multimodal.decodeMjpegFrames("not a video".getBytes) shouldBe empty
   }
 
+  it should "decode MJPEG samples out of a QuickTime/ISO-BMFF container " +
+    "through the real stsd/stsc/stsz/stco tables" in {
+    val mov = Multimodal.buildMjpegMov(16, 12, Seq(40, 128, 220))
+    // the ISO-BMFF walker reads the tkhd 16.16 dims
+    Multimodal.probeVideo(mov) shouldBe Some(("mp4", 16, 12))
+    val decoded = Multimodal.decodeMovJpegFrames(mov)
+    decoded.map(_._1) shouldBe Seq(0, 1, 2)
+    all(decoded.map(_._2)) shouldBe 16
+    all(decoded.map(_._3)) shouldBe 12
+    val lumas = decoded.map(_._4)
+    lumas(0) should be < lumas(1)
+    lumas(1) should be < lumas(2)
+    // the two containers carry the SAME JPEG payloads → identical lumas
+    val aviLumas = Multimodal
+      .decodeMjpegFrames(Multimodal.buildMjpegAvi(16, 12, Seq(40, 128, 220)))
+      .map(_._4)
+    lumas shouldBe aviLumas
+    // non-BMFF bytes → empty, never a throw
+    Multimodal.decodeMovJpegFrames("not a video".getBytes) shouldBe empty
+    // a BMFF file with no jpeg track → empty
+    val noTrack = mov.clone()
+    // corrupt the stsd's sample-entry fourcc so no track matches
+    val idx = {
+      var i = -1
+      var p = 0
+      while (i < 0 && p + 4 <= noTrack.length) {
+        if (noTrack(p) == 'j' && noTrack(p + 1) == 'p' &&
+          noTrack(p + 2) == 'e' && noTrack(p + 3) == 'g') i = p
+        p += 1
+      }
+      i
+    }
+    idx should be > 0
+    noTrack(idx) = 'x'.toByte
+    Multimodal.decodeMovJpegFrames(noTrack) shouldBe empty
+  }
+
   it should "emit k evenly spaced frames and skip empty blobs" in {
     val frames = Multimodal.sampleFrames(media, k = 4, frameSize = 8)
       .collect()

@@ -1587,6 +1587,40 @@ object EventQueries {
       }
     },
 
+    // transformWithState — Spark 4's arbitrary-state v2 API (named
+    // ValueState + MapState primitives in the RocksDB store, the
+    // successor to flatMapGroupsWithState): per-user event-type
+    // profiling with point-wise MapState updates. Emissions are
+    // monotone snapshots, so the downstream max() per user is the final
+    // profile no matter how AvailableNow batches the input; the oracle
+    // is the plain batch GROUP BY the stream must converge to.
+    "q_stream_tws_profile" -> { (s, dir) =>
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .as[graft.streaming.UserTypedEvent]
+      val out = graft.streaming.Tws.userTypeStats(stream)
+      val name = "q_stream_tws_profile_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        // the v2 state API only runs on the RocksDB provider
+        withConfs(s,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")) {
+          val q = out.writeStream.outputMode(OutputMode.Append())
+            .format("memory").queryName(name)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+      s.table(name)
+        .groupBy("user_id")
+        .agg(max(col("n_types")).cast("long").as("n_types"),
+          max(col("n_events")).cast("long").as("n_events"))
+        .orderBy("user_id")
+    },
+
     // Streaming EWMA burst detection — an ordered per-key integer
     // recursion carried in flatMapGroupsWithState state (see
     // [[graft.streaming.Stateful.streamEwmaBurst]]): the stateful shape
@@ -2610,6 +2644,14 @@ object EventQueries {
     // Provider swap must be invisible to results: the RocksDB twin
     // answers to the byte-identical oracle.
     "q_stream_rocksdb_sessions" -> stateSessionsOracle,
+
+    "q_stream_tws_profile" ->
+      """SELECT user_id,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_stream_enrich" ->
       s"""SELECT c.c_mktsegment AS mktsegment, e.event_type,

@@ -136,6 +136,51 @@ class StatefulSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     } finally query.stop()
   }
 
+  behavior of "Tws.userTypeStats (transformWithState v2 state API)"
+
+  it should "converge to the batch profile across micro-batch splits " +
+    "via monotone snapshots" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val olds = s.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserTypedEvent]
+      val query = Tws.userTypeStats(input.toDS())
+        .writeStream.format("memory").queryName("tws_profile")
+        .outputMode("append").start()
+      try {
+        // the same user's events split across TWO batches — the final
+        // max() must still equal the single-batch ground truth
+        input.addData(UserTypedEvent(1L, "view"),
+          UserTypedEvent(1L, "view"), UserTypedEvent(2L, "buy"))
+        query.processAllAvailable()
+        input.addData(UserTypedEvent(1L, "buy"),
+          UserTypedEvent(1L, "view"), UserTypedEvent(2L, "buy"))
+        query.processAllAvailable()
+        val out = s.sql("SELECT user_id, max(n_types), max(n_events) " +
+            "FROM tws_profile GROUP BY user_id ORDER BY user_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        out.toSeq shouldBe Seq((1L, 2L, 4L), (2L, 1L, 2L))
+        // snapshots are monotone: batch-1 rows exist and are dominated
+        val u1 = s.sql("SELECT n_types, n_events FROM tws_profile " +
+            "WHERE user_id = 1 ORDER BY n_events").collect()
+        u1.length shouldBe 2
+        u1.head.getLong(0) should be <= u1.last.getLong(0)
+        u1.head.getLong(1) should be < u1.last.getLong(1)
+      } finally query.stop()
+    } finally olds match {
+      case Some(v) => s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   behavior of "Stateful.windowedTypeCounts"
 
   it should "emit closed tumbling windows once in append mode" in {

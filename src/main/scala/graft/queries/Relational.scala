@@ -1625,6 +1625,58 @@ object Relational {
     // q_revenue_bridge split), ranked by absolute delta. Exact-decimal
     // sums; the top-10 is a distributed TakeOrdered with a full
     // tiebreak, never a global sort.
+    // LATERAL correlated subquery — the SQL-standard per-row subquery
+    // join (each outer row drives its own inner query), here the
+    // canonical top-k-per-group spelling: each nation's two
+    // highest-balance customers. Catalyst decorrelates the LIMIT-bearing
+    // lateral into a join + per-group rank — no per-outer-row
+    // re-execution survives into the physical plan, so this scales as a
+    // partitioned window, not as |nations| queries. DuckDB runs the
+    // identical SQL text.
+    "q_lateral_topk" -> { (s, dir) =>
+      t(s, dir, "nation").createOrReplaceTempView("g_nation_lat")
+      t(s, dir, "customer").createOrReplaceTempView("g_customer_lat")
+      s.sql(
+        """SELECT n.n_name, t.c_name,
+          |  CAST(t.c_acctbal AS DOUBLE) AS acctbal
+          |FROM g_nation_lat n,
+          |  LATERAL (SELECT c_name, c_acctbal FROM g_customer_lat
+          |           WHERE c_nationkey = n.n_nationkey
+          |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          |ORDER BY n.n_name, acctbal DESC, t.c_name""".stripMargin)
+    },
+
+    // SQL-defined scalar function (Spark 4 SQL UDF: CREATE FUNCTION ...
+    // RETURN <expr>) — logic shared as a catalog object instead of a
+    // black-box closure, so Catalyst INLINES the body into the plan
+    // (constant folding, pushdown, codegen all still apply — none of
+    // which a Scala udf() gets). The oracle inlines the same formula
+    // textually; agreement proves definition-site and call-site
+    // semantics match.
+    "q_sql_udf" -> { (s, dir) =>
+      // exact-decimal body: the inputs are 2-dp values riding in
+      // doubles, so casting each factor to DECIMAL(12,2) makes the
+      // product exact on both engines (a double product rounds
+      // differently at half boundaries — the classic cross-engine flake)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_margin(
+              |  price DOUBLE, disc DOUBLE, tax DOUBLE)
+              |RETURNS DECIMAL(18,6)
+              |RETURN CAST(CAST(price AS DECIMAL(12,2))
+              |  * CAST(1 - disc AS DECIMAL(12,2))
+              |  * CAST(1 + tax AS DECIMAL(12,2)) AS DECIMAL(18,6))"""
+          .stripMargin)
+      t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem_udf")
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(round(sum(
+          |      g_margin(l_extendedprice, l_discount, l_tax)), 2)
+          |    AS DOUBLE) AS margin_sum
+          |FROM g_lineitem_udf
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+
     "q_top_movers" -> { (s, dir) =>
       val split = to_timestamp(lit("1998-06-01"))
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -1647,6 +1699,25 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_lateral_topk" ->
+      """SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+        |FROM nation n,
+        |  LATERAL (SELECT c_name, c_acctbal FROM customer
+        |           WHERE c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, acctbal DESC, t.c_name""".stripMargin,
+
+    // the UDF body inlined textually — definition-site parity
+    "q_sql_udf" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(1 - l_discount AS DECIMAL(12,2))
+        |      * CAST(1 + l_tax AS DECIMAL(12,2)) AS DECIMAL(18,6))), 2)
+        |    AS DOUBLE) AS margin_sum
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q_corr_matrix" -> graft.stats.Correlation.pairwiseCorrSql(
       "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount",
         "l_tax")),

@@ -1587,6 +1587,40 @@ object EventQueries {
       }
     },
 
+    // transformWithState EVENT-TIME TIMERS: the same gap sessionization
+    // as q_stream_state_sessions re-expressed on the v2 API —
+    // registerTimer/handleExpiredTimer instead of
+    // GroupStateTimeout.EventTimeTimeout — and answering to the
+    // byte-identical oracle, so all three spellings (fMGWS, TWS,
+    // relational SQL) are proven to share one emission semantics,
+    // including the strict watermark-pass rule on the last open session.
+    "q_stream_tws_timers" -> { (s, dir) =>
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+        .select(col("user_id"), col("ts"))
+        .as[graft.streaming.UserEvent]
+      val sessions = graft.streaming.Tws
+        .timerSessions(stream, GapUs / 1000L, "0 seconds")
+      val name = "q_stream_tws_timers_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        withConfs(s,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")) {
+          val q = sessions.writeStream.outputMode(OutputMode.Append())
+            .format("memory").queryName(name)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+      s.table(name)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"))
+        .orderBy("user_id")
+    },
+
     // transformWithState — Spark 4's arbitrary-state v2 API (named
     // ValueState + MapState primitives in the RocksDB store, the
     // successor to flatMapGroupsWithState): per-user event-type
@@ -2644,6 +2678,9 @@ object EventQueries {
     // Provider swap must be invisible to results: the RocksDB twin
     // answers to the byte-identical oracle.
     "q_stream_rocksdb_sessions" -> stateSessionsOracle,
+
+    // ...and so must the API swap: fMGWS → transformWithState timers.
+    "q_stream_tws_timers" -> stateSessionsOracle,
 
     "q_stream_tws_profile" ->
       """SELECT user_id,

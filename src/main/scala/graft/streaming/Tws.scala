@@ -62,8 +62,93 @@ class UserTypeStatsProcessor
   }
 }
 
+/** Gap sessionization on the v2 API with EVENT-TIME TIMERS — the timer
+  * half of transformWithState ([[UserTypeStatsProcessor]] covers the
+  * state-primitive half). Semantics are exactly
+  * [[Stateful.statefulSessions]]: an event within `gapMs` of the open
+  * session's end extends it, a later event closes and emits it, and the
+  * last open session emits only when the watermark STRICTLY passes its
+  * end+gap — here via `registerTimer` / `handleExpiredTimer` instead of
+  * `GroupStateTimeout.EventTimeTimeout`. Stale timers are deleted
+  * whenever a batch extends the session (one live timer per key), and
+  * expiry re-checks the strict-pass rule against the current watermark —
+  * re-arming at +1 ms if the watermark has only REACHED the horizon —
+  * so the v1 (fMGWS), v2 (TWS), and relational-oracle emission rules are
+  * bit-identical.
+  */
+class TimerSessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, UserEvent, ClosedSession] {
+
+  @transient private var open: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    open = getHandle.getValueState[OpenSession]("open",
+      Encoders.product[OpenSession], TTLConfig.NONE)
+  }
+
+  private def close(userId: Long, st: OpenSession): ClosedSession =
+    ClosedSession(userId, new java.sql.Timestamp(st.startMs),
+      new java.sql.Timestamp(st.endMs + gapMs), st.n)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                               timers: TimerValues)
+  : Iterator[ClosedSession] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+    var cur = if (open.exists()) open.get() else null
+    rows.map(_.ts.getTime).toArray.sorted.foreach { t =>
+      cur =
+        if (cur == null) OpenSession(t, t, 1)
+        else if (t <= cur.endMs + gapMs)
+          OpenSession(cur.startMs, math.max(cur.endMs, t), cur.n + 1)
+        else { out += close(key, cur); OpenSession(t, t, 1) }
+    }
+    if (cur != null) {
+      open.update(cur)
+      // one live timer per key: drop whatever horizon a previous batch
+      // armed, arm the current session's gap horizon
+      getHandle.listTimers().foreach(e =>
+        getHandle.deleteTimer(e.asInstanceOf[Long]))
+      getHandle.registerTimer(cur.endMs + gapMs)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo)
+  : Iterator[ClosedSession] = {
+    if (!open.exists()) Iterator.empty
+    else {
+      val st = open.get()
+      val horizon = st.endMs + gapMs
+      if (timers.getCurrentWatermarkInMs > horizon) {
+        open.clear()
+        Iterator.single(close(key, st))
+      } else {
+        // watermark only REACHED the horizon (fMGWS and the oracle both
+        // require a STRICT pass) — re-arm one tick later
+        getHandle.registerTimer(horizon + 1)
+        Iterator.empty
+      }
+    }
+  }
+}
+
 /** The transformWithState operators. */
 object Tws {
+
+  /** [[TimerSessionProcessor]] wired up: watermarked input, event-time
+    * TimeMode, append output — drop-in parity with
+    * [[Stateful.statefulSessions]].
+    */
+  def timerSessions(events: Dataset[UserEvent], gapMs: Long,
+                    lateness: String): Dataset[ClosedSession] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Per-user (distinct types, total events) profile snapshots; compose
     * with `groupBy(user).agg(max(...))` for the final profile (the

@@ -1587,6 +1587,47 @@ object EventQueries {
       }
     },
 
+    // foreachBatch — THE production streaming sink API (custom writers,
+    // multi-sink fan-out, JDBC/REST targets): each micro-batch arrives
+    // as a plain DataFrame with its batchId, and exactly-once is the
+    // SINK's job via idempotent per-batchId publishing (a re-delivered
+    // batch REPLACES its slot, never appends — the put() here is the
+    // same upsert a real target keys on batch_id). The gate reduces each
+    // batch to per-type exact-decimal partials (bounded: |event types|
+    // rows per batch), merges the published slots, and answers to the
+    // plain batch GROUP BY oracle — so batch splits, re-deliveries, and
+    // the partial-merge algebra are all proven invisible.
+    "q_foreach_batch" -> { (s, dir) =>
+      import s.implicits._
+      val acc = new java.util.concurrent.ConcurrentHashMap[
+        java.lang.Long, Array[(String, Long, java.math.BigDecimal)]]()
+      val stream = eventsStream(s, dir)
+        .select(col("event_type"), col("value"))
+      withStatePartitions(s) {
+        val q = stream.writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            val partial = df.groupBy("event_type")
+              .agg(count(lit(1)).as("n"),
+                sum(col("value").cast(DecimalType(28, 6))).as("sv"))
+              .collect()
+              .map(r => (r.getString(0), r.getLong(1),
+                r.getDecimal(2).setScale(6)))
+            acc.put(batchId, partial) // idempotent: replace, not append
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      import scala.jdk.CollectionConverters._
+      acc.values().asScala.flatten.toSeq
+        .toDF("event_type", "n", "sv")
+        .groupBy("event_type")
+        .agg(sum(col("n")).cast("long").as("n"),
+          round(sum(col("sv").cast(DecimalType(28, 6))), 4)
+            .cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // transformWithState EVENT-TIME TIMERS: the same gap sessionization
     // as q_stream_state_sessions re-expressed on the v2 API —
     // registerTimer/handleExpiredTimer instead of
@@ -2681,6 +2722,12 @@ object EventQueries {
 
     // ...and so must the API swap: fMGWS → transformWithState timers.
     "q_stream_tws_timers" -> stateSessionsOracle,
+
+    "q_foreach_batch" ->
+      s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
 
     "q_stream_tws_profile" ->
       """SELECT user_id,

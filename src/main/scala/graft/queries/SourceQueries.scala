@@ -480,9 +480,113 @@ object SourceQueries {
               .cast("long").as("n_no_lower"))
           .orderBy("lang"))
       }
+    },
+
+    // Spark 4.1 GEOMETRY — the new geospatial type surface, end to end
+    // over its ENTIRE available function set (st_geomfromwkb /
+    // st_setsrid / st_srid / st_asbinary; measurement/predicate
+    // functions don't exist yet in 4.1): each event becomes a WKB point
+    // whose hex both engines CONSTRUCT from pure integer IEEE-754
+    // arithmetic (no spatial code in the oracle); Spark ingests it into
+    // a real GEOMETRY value, stamps SRID 4326, and must read back the
+    // byte-identical WKB with the pinned SRID. A drift in either the
+    // type's binary round-trip or the hex construction is a hash
+    // mismatch. GEOMETRY never crosses the output schema (binary→hex at
+    // the edge), keeping the driver's type whitelist intact.
+    "q_geo_wkb" -> { (s, dir) =>
+      events(s, dir).createOrReplaceTempView("g_events_geo")
+      // the type ships feature-flagged in 4.1; enable for this plan's
+      // analysis AND execution (the Pin materializes inside the window),
+      // restore after
+      val key = "spark.sql.geospatial.enabled"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try Pin.pin(s.sql(
+        s"""WITH pts AS (
+           |  SELECT event_type,
+           |    CAST(1 + user_id % 89 AS BIGINT) AS x,
+           |    CAST(1 + event_id % 44 AS BIGINT) AS y
+           |  FROM g_events_geo),
+           |hx AS (
+           |  SELECT event_type, ${ieeeHexSpark("x")} AS hxx,
+           |    ${ieeeHexSpark("y")} AS hyy
+           |  FROM pts),
+           |wkb AS (
+           |  SELECT event_type,
+           |    concat('0101000000', ${leHex("hxx")}, ${leHex("hyy")})
+           |      AS wkb_hex
+           |  FROM hx),
+           |geo AS (
+           |  SELECT event_type, wkb_hex,
+           |    st_setsrid(st_geomfromwkb(unhex(wkb_hex)), 4326) AS g
+           |  FROM wkb)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(min(st_srid(g)) AS BIGINT) AS srid_min,
+           |  CAST(max(st_srid(g)) AS BIGINT) AS srid_max,
+           |  every(upper(hex(st_asbinary(g))) = wkb_hex) AS wkb_ok,
+           |  min(wkb_hex) AS wkb_min, max(wkb_hex) AS wkb_max
+           |FROM geo GROUP BY event_type
+           |ORDER BY event_type""".stripMargin))
+      finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     })
 
+  // ------------------------------------------------------------- geo WKB
+
+  /** IEEE-754 bit pattern of an integer-valued POSITIVE bigint column as
+    * 16-char big-endian hex, from pure integer arithmetic — per engine
+    * (Spark spells shifts as functions, DuckDB as operators). This is
+    * what lets the DuckDB oracle construct byte-exact WKB without any
+    * spatial extension: exponent = 1023 + ⌊log2 x⌋, mantissa = the
+    * shifted value minus the implicit leading bit.
+    */
+  private def ieeeHexSpark(x: String): String =
+    s"upper(lpad(hex(shiftleft(1023 + CAST(floor(log2($x)) AS BIGINT), 52)" +
+      s" + shiftleft(CAST($x AS BIGINT)," +
+      s" CAST(52 - CAST(floor(log2($x)) AS BIGINT) AS INT))" +
+      s" - shiftleft(CAST(1 AS BIGINT), 52)), 16, '0'))"
+  private def ieeeHexDuck(x: String): String =
+    s"upper(lpad(to_hex(((1023 + CAST(floor(log2($x)) AS BIGINT)) << 52)" +
+      s" + (CAST($x AS BIGINT) <<" +
+      s" CAST(52 - CAST(floor(log2($x)) AS BIGINT) AS INT))" +
+      s" - (CAST(1 AS BIGINT) << 52)), 16, '0'))"
+
+  /** Byte-reverse a 16-hex-char column: big-endian → WKB's little-endian. */
+  private def leHex(h: String): String =
+    (7 to 0 by -1).map(i => s"substr($h, ${2 * i + 1}, 2)")
+      .mkString("concat(", ", ", ")")
+
   val oracles: Map[String, String] = Map(
+    // Both engines CONSTRUCT the point WKB hex from the same integer
+    // arithmetic; Spark additionally pushes it through the real
+    // geospatial surface and must land back on the identical bytes with
+    // the pinned SRID.
+    "q_geo_wkb" -> {
+      s"""WITH pts AS (
+         |  SELECT event_type,
+         |    CAST(1 + user_id % 89 AS BIGINT) AS x,
+         |    CAST(1 + event_id % 44 AS BIGINT) AS y
+         |  FROM events),
+         |hx AS (
+         |  SELECT event_type, ${ieeeHexDuck("x")} AS hxx,
+         |    ${ieeeHexDuck("y")} AS hyy
+         |  FROM pts),
+         |wkb AS (
+         |  SELECT event_type,
+         |    concat('0101000000', ${leHex("hxx")}, ${leHex("hyy")})
+         |      AS wkb_hex
+         |  FROM hx)
+         |SELECT event_type, count(*) AS n,
+         |  CAST(4326 AS BIGINT) AS srid_min,
+         |  CAST(4326 AS BIGINT) AS srid_max,
+         |  TRUE AS wkb_ok,
+         |  min(wkb_hex) AS wkb_min, max(wkb_hex) AS wkb_max
+         |FROM wkb GROUP BY event_type
+         |ORDER BY event_type""".stripMargin
+    },
+
     // Expected state derived from the ORIGINAL table: de halved and
     // uppercased, everything else untouched — matches only if the
     // dynamic overwrite replaced exactly the de partition.

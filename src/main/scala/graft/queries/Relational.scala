@@ -1212,6 +1212,43 @@ object Relational {
             .as("groups_l_lt3"))
     },
 
+    // Right-to-be-forgotten propagation — the GDPR/CCPA deletion job a
+    // governed corpus runs on every erasure batch: a deterministic
+    // forget set (md5-derived, ~1/16 of users — reproducible across
+    // engines, never rand()), the fact stream anti-joined against it,
+    // and surviving rows PSEUDONYMIZED with a salted hash so the
+    // published table carries no raw ids. The audit row proves all
+    // three properties at once: the dropped/kept split sums to the
+    // corpus, no forgotten user survives (leaked = 0 via a count over
+    // the kept side), and pseudonymization is injective on the kept
+    // users (distinct pseudonyms = distinct kept users). One scan +
+    // broadcast anti-join (the forget set is a user-domain aggregate);
+    // at 100 TB this is a shuffle-free pass over events.
+    "q_forget_users" -> { (s, dir) =>
+      val forget = events(s, dir)
+        .select(col("user_id")).distinct()
+        .filter(conv(substring(md5(col("user_id").cast("string")), 16, 1),
+          16, 10).cast("long") === 0L)
+      val ev = events(s, dir)
+        .join(broadcast(forget.withColumnRenamed("user_id", "fuid")),
+          col("user_id") === col("fuid"), "left")
+      val kept = ev.filter(col("fuid").isNull)
+        .withColumn("pseudonym",
+          substring(md5(concat(lit("graft-salt-1:"),
+            col("user_id").cast("string"))), 1, 12))
+      kept.agg(
+          count(lit(1)).as("n_events_kept"),
+          count_distinct(col("pseudonym")).as("n_pseudonyms"),
+          count_distinct(col("user_id")).as("n_kept_users"))
+        .crossJoin(broadcast(ev.filter(col("fuid").isNotNull)
+          .agg(count(lit(1)).as("n_events_dropped"),
+            count_distinct(col("user_id")).as("n_forgotten_users"))))
+        .select(col("n_forgotten_users"), col("n_events_dropped"),
+          col("n_events_kept"), col("n_kept_users"),
+          (col("n_pseudonyms") === col("n_kept_users"))
+            .as("pseudonym_injective"))
+    },
+
     // Sample-ratio-mismatch (SRM) check — the first gate an
     // experimentation platform runs on every experiment: users assigned
     // to arms by a DETERMINISTIC hash (md5 LSB — reproducible across
@@ -1946,6 +1983,30 @@ object Relational {
         |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS groups_l_lt3
         |FROM g""".stripMargin,
+
+    "q_forget_users" ->
+      """WITH f AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |    16, 1)) AS BIGINT) = 0),
+        |kept AS (
+        |  SELECT e.user_id,
+        |    substr(md5('graft-salt-1:' || CAST(e.user_id AS VARCHAR)),
+        |      1, 12) AS p
+        |  FROM events e LEFT JOIN f ON e.user_id = f.user_id
+        |  WHERE f.user_id IS NULL),
+        |dropped AS (
+        |  SELECT e.user_id FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM dropped)
+        |    AS n_forgotten_users,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM dropped)
+        |    AS n_events_dropped,
+        |  CAST(count(*) AS BIGINT) AS n_events_kept,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_kept_users,
+        |  count(DISTINCT p) = count(DISTINCT user_id)
+        |    AS pseudonym_injective
+        |FROM kept""".stripMargin,
 
     "q_srm_check" ->
       """WITH a AS (

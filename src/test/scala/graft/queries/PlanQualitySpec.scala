@@ -293,6 +293,29 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
     }
   }
 
+  it should "honor explicit join strategy hints on the engine's tables" in {
+    // At 100 TB the optimizer's stats-driven choice is sometimes wrong
+    // (stale stats, skewed runtime cardinality) — the operator escape
+    // hatch is the strategy hint, and it must actually bind: MERGE →
+    // SortMergeJoin, SHUFFLE_HASH → ShuffledHashJoin, BROADCAST →
+    // BroadcastHashJoin, each on the same orders⋈customer shape.
+    val s = spark
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    def joined(h: String) =
+      o.join(c.hint(h),
+        o("o_custkey") === c("c_custkey")).queryExecution.executedPlan
+    collect(joined("merge")) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    } should not be empty
+    collect(joined("shuffle_hash")) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    } should not be empty
+    collect(joined("broadcast")) {
+      case j: BroadcastHashJoinExec => j
+    } should not be empty
+  }
+
   it should "split a skewed sort-merge join partition through AQE's " +
     "skew-join handling" in {
     // VERDICT r9 #6: ops/SkewJoin salts MANUALLY (q_salted_join gates

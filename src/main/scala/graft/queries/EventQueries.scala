@@ -1587,6 +1587,43 @@ object EventQueries {
       }
     },
 
+    // transformWithState INITIAL STATE — the backfill→stream handoff: a
+    // BATCH aggregate over the even-event_id half seeds each user's
+    // state via handleInitialState, the ODD half then streams on top,
+    // and the final per-user counts must equal the full-corpus GROUP BY
+    // (restricted to users that emit, i.e. have ≥1 streamed event) —
+    // proving the handoff lost nothing and double-counted nothing.
+    "q_stream_init_state" -> { (s, dir) =>
+      import s.implicits._
+      val initial = events(s, dir)
+        .filter(col("event_id") % 2 === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .select(col("user_id").as("_1"), col("n").as("_2"))
+        .as[(Long, Long)]
+      val stream = eventsStream(s, dir)
+        .filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("event_type"))
+        .as[graft.streaming.UserTypedEvent]
+      val out = graft.streaming.Tws.seededCounts(stream, initial)
+      val name = "q_stream_init_state_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        withConfs(s,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")) {
+          val q = out.writeStream.outputMode(OutputMode.Append())
+            .format("memory").queryName(name)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+      s.table(name)
+        .groupBy("user_id")
+        .agg(max(col("n_events")).cast("long").as("n_events"))
+        .orderBy("user_id")
+    },
+
     // foreachBatch — THE production streaming sink API (custom writers,
     // multi-sink fan-out, JDBC/REST targets): each micro-batch arrives
     // as a plain DataFrame with its batchId, and exactly-once is the
@@ -2728,6 +2765,17 @@ object EventQueries {
          |FROM events
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+
+    // full-corpus counts for every user that streamed at least one odd
+    // event — even-half counts are only reachable through the seeded
+    // initial state, so equality proves the handoff.
+    "q_stream_init_state" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events
+        |WHERE user_id IN (SELECT DISTINCT user_id FROM events
+        |                  WHERE event_id % 2 = 1)
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_stream_tws_profile" ->
       """SELECT user_id,

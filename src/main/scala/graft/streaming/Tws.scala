@@ -133,8 +133,56 @@ class TimerSessionProcessor(gapMs: Long)
   }
 }
 
+/** Batch-bootstrapped streaming state — the backfill→stream handoff
+  * every production migration needs: a historical batch aggregate seeds
+  * each key's state via `handleInitialState` BEFORE the first streaming
+  * row arrives, and the stream continues counting from there. Emissions
+  * are monotone snapshots ([[UserTypeStatsProcessor]]'s contract), so
+  * the final max() per user must equal the FULL corpus aggregate — the
+  * proof the handoff lost nothing and double-counted nothing.
+  */
+class SeededCountProcessor
+    extends StatefulProcessorWithInitialState[
+      Long, UserTypedEvent, UserTypeStats, Long] {
+
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    total = getHandle.getValueState[Long]("total",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInitialState(key: Long, initialState: Long,
+                                  timers: TimerValues): Unit =
+    total.update(initialState)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserTypedEvent],
+                               timers: TimerValues)
+  : Iterator[UserTypeStats] = {
+    var t = if (total.exists()) total.get() else 0L
+    rows.foreach(_ => t += 1L)
+    total.update(t)
+    Iterator.single(UserTypeStats(key, 0L, t))
+  }
+}
+
 /** The transformWithState operators. */
 object Tws {
+
+  /** Per-user running event counts, state seeded from `initial`
+    * (user_id → historical count). Monotone snapshots; compose with
+    * max() per user.
+    */
+  def seededCounts(events: Dataset[UserTypedEvent],
+                   initial: Dataset[(Long, Long)])
+  : Dataset[UserTypeStats] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SeededCountProcessor,
+        TimeMode.None(), OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
+  }
 
   /** [[TimerSessionProcessor]] wired up: watermarked input, event-time
     * TimeMode, append output — drop-in parity with

@@ -1587,6 +1587,34 @@ object EventQueries {
       }
     },
 
+    // dropDuplicatesWithinWatermark — the BOUNDED-state streaming dedup
+    // (plain dropDuplicates keeps every key forever; this one evicts
+    // keys once the watermark passes them, the only dedup that survives
+    // an unbounded stream). The input is deliberately doubled row-wise
+    // (explode keeps both copies in the same micro-batch, so no
+    // batch-split nondeterminism), the dedup must collapse the pairs
+    // exactly, and the oracle is the raw per-type count.
+    "q_stream_dedup_wm" -> { (s, dir) =>
+      val doubled = eventsStream(s, dir)
+        .select(col("ts"), col("event_id"), col("event_type"),
+          explode(array(lit(1), lit(2))).as("copy"))
+        .drop("copy")
+      val deduped = doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val name = "q_stream_dedup_wm_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        val q = deduped.writeStream.outputMode(OutputMode.Append())
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // transformWithState INITIAL STATE — the backfill→stream handoff: a
     // BATCH aggregate over the even-event_id half seeds each user's
     // state via handleInitialState, the ODD half then streams on top,
@@ -2765,6 +2793,12 @@ object EventQueries {
          |FROM events
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+
+    "q_stream_dedup_wm" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // full-corpus counts for every user that streamed at least one odd
     // event — even-half counts are only reachable through the seeded

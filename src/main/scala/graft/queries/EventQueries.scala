@@ -1587,6 +1587,39 @@ object EventQueries {
       }
     },
 
+    // transformWithState LIST STATE — the third v2 primitive: a BOUNDED
+    // ListState holds each user's 3 smallest cent-quantized values,
+    // rewritten ≤3 elements per batch (state O(k) per user forever).
+    // Min-k is a lattice, so min(mink_sum)/max(n_seen) over the emitted
+    // snapshots equal the global answer under any batch split; the
+    // oracle is the rank-window spelling of the same min-3.
+    "q_stream_tws_mink" -> { (s, dir) =>
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+        .select(col("user_id"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("vq"))
+        .as[graft.streaming.ValuedEvent]
+      val out = graft.streaming.Tws.minKValues(stream, 3)
+      val name = "q_stream_tws_mink_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s) {
+        withConfs(s,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")) {
+          val q = out.writeStream.outputMode(OutputMode.Append())
+            .format("memory").queryName(name)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+      s.table(name)
+        .groupBy("user_id")
+        .agg(max(col("n_seen")).cast("long").as("n_events"),
+          min(col("mink_sum")).cast("long").as("min3_sum"))
+        .orderBy("user_id")
+    },
+
     // dropDuplicatesWithinWatermark — the BOUNDED-state streaming dedup
     // (plain dropDuplicates keeps every key forever; this one evicts
     // keys once the watermark passes them, the only dedup that survives
@@ -2793,6 +2826,25 @@ object EventQueries {
          |FROM events
          |GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+
+    "q_stream_tws_mink" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS vq,
+        |    event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM v GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, vq, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY vq, event_id) AS rn
+        |  FROM v),
+        |m AS (
+        |  SELECT user_id, CAST(sum(vq) AS BIGINT) AS min3_sum
+        |  FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT c.user_id, c.n_events, m.min3_sum
+        |FROM c JOIN m USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q_stream_dedup_wm" ->
       """SELECT event_type, count(*) AS n

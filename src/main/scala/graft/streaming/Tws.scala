@@ -133,6 +133,49 @@ class TimerSessionProcessor(gapMs: Long)
   }
 }
 
+/** One min-k snapshot: the user's event count so far and the exact sum
+  * of their k smallest cent-quantized values so far.
+  */
+case class MinKStats(user_id: Long, n_seen: Long, mink_sum: Long)
+
+/** Bounded-list state — the third v2 primitive ([[UserTypeStatsProcessor]]
+  * covers ValueState/MapState, [[TimerSessionProcessor]] timers):
+  * `ListState[Long]` holds each user's k SMALLEST cent-quantized values.
+  * Min-k is a lattice (more data only improves the set), so snapshots
+  * are final-batch-dominant: the row with the max n_seen per user IS the
+  * global answer no matter how the input splits into micro-batches. The
+  * list is rewritten bounded (≤ k elements) each batch — state is O(k)
+  * per user forever, the property ListState's whole-list put() makes
+  * cheap.
+  */
+class MinKProcessor(k: Int)
+    extends StatefulProcessor[Long, ValuedEvent, MinKStats] {
+
+  @transient private var seen: ValueState[Long] = _
+  @transient private var mins: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    seen = getHandle.getValueState[Long]("seen",
+      Encoders.scalaLong, TTLConfig.NONE)
+    mins = getHandle.getListState[Long]("mins",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[ValuedEvent],
+                               timers: TimerValues): Iterator[MinKStats] = {
+    val batch = rows.map(_.vq).toArray
+    val prev = if (mins.exists()) mins.get().toArray else Array.empty[Long]
+    val best = (prev ++ batch).sorted.take(k)
+    mins.put(best)
+    val n = (if (seen.exists()) seen.get() else 0L) + batch.length
+    seen.update(n)
+    Iterator.single(MinKStats(key, n, best.sum))
+  }
+}
+
+/** One cent-quantized input event for [[Tws.minKValues]]. */
+case class ValuedEvent(user_id: Long, vq: Long)
+
 /** Batch-bootstrapped streaming state — the backfill→stream handoff
   * every production migration needs: a historical batch aggregate seeds
   * each key's state via `handleInitialState` BEFORE the first streaming
@@ -168,6 +211,18 @@ class SeededCountProcessor
 
 /** The transformWithState operators. */
 object Tws {
+
+  /** Per-user (count, sum of k smallest cent values) snapshots via
+    * bounded ListState; compose with "row with max n_seen per user".
+    */
+  def minKValues(events: Dataset[ValuedEvent], k: Int)
+  : Dataset[MinKStats] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new MinKProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Per-user running event counts, state seeded from `initial`
     * (user_id → historical count). Monotone snapshots; compose with

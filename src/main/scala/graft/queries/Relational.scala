@@ -1212,6 +1212,40 @@ object Relational {
             .as("groups_l_lt3"))
     },
 
+    // GROUP BY ALL — the modern-SQL ergonomics clause (infer grouping
+    // keys from the non-aggregate select list); IDENTICAL query text on
+    // both engines, so this is a true dialect-parity gate, not a
+    // translation.
+    "q_group_by_all" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("g_orders_gba")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+          |    AS DOUBLE) AS total
+          |FROM g_orders_gba
+          |GROUP BY ALL
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
+    // IDENTIFIER() — templated SQL without string concatenation: table
+    // AND column names arrive as named PARAMETERS resolved through the
+    // injection-safe IDENTIFIER clause (the Spark-4 spelling of dynamic
+    // SQL; a literal-built query string is the classic injection/typo
+    // hole). The oracle inlines the resolved names.
+    "q_identifier_clause" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("g_li_ident")
+      s.sql(
+        """SELECT IDENTIFIER(:c) AS flag, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(round(sum(CAST(IDENTIFIER(:v) AS DECIMAL(18,2))), 2)
+          |    AS DOUBLE) AS qty
+          |FROM IDENTIFIER(:t)
+          |GROUP BY IDENTIFIER(:c)
+          |ORDER BY flag""".stripMargin,
+        Map("c" -> "l_returnflag", "v" -> "l_quantity",
+          "t" -> "g_li_ident"))
+    },
+
     // Right-to-be-forgotten propagation — the GDPR/CCPA deletion job a
     // governed corpus runs on every erasure batch: a deterministic
     // forget set (md5-derived, ~1/16 of users — reproducible across
@@ -1983,6 +2017,24 @@ object Relational {
         |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS groups_l_lt3
         |FROM g""".stripMargin,
+
+    // identical text, per the dialect-parity contract
+    "q_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_identifier_clause" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY flag""".stripMargin,
 
     "q_forget_users" ->
       """WITH f AS (

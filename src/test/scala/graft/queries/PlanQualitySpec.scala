@@ -293,6 +293,30 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
     }
   }
 
+  it should "feed ANALYZE TABLE statistics into the optimizer's cost " +
+    "model" in {
+    // The CBO half of the scale story: accurate row counts (not file
+    // sizes) drive join reorder and broadcast decisions on a real
+    // warehouse. ANALYZE ... FOR ALL COLUMNS must surface as the
+    // optimized plan's exact rowCount under CBO.
+    val s = spark
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      s.read.parquet(s"$dir/customer.parquet").write
+        .mode("overwrite").saveAsTable("g_cbo_customer")
+      s.sql("ANALYZE TABLE g_cbo_customer COMPUTE STATISTICS " +
+        "FOR ALL COLUMNS")
+      val expected = s.table("g_cbo_customer").count()
+      val stats = s.table("g_cbo_customer")
+        .queryExecution.optimizedPlan.stats
+      stats.rowCount should not be empty
+      stats.rowCount.get.toLong shouldBe expected
+    } finally {
+      s.sql("DROP TABLE IF EXISTS g_cbo_customer")
+      s.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   it should "honor explicit join strategy hints on the engine's tables" in {
     // At 100 TB the optimizer's stats-driven choice is sometimes wrong
     // (stale stats, skewed runtime cardinality) — the operator escape

@@ -136,6 +136,57 @@ class StatefulSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     } finally query.stop()
   }
 
+  behavior of "Tws.timerSessions (transformWithState event-time timers)"
+
+  it should "hold the session when the watermark only REACHES the gap " +
+    "horizon and emit once it strictly passes (the re-arm path)" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val olds = s.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val gapMs = 30 * 60 * 1000L
+      val input = MemoryStream[UserEvent]
+      val query = Tws.timerSessions(input.toDS(), gapMs, "0 seconds")
+        .writeStream.format("memory").queryName("tws_timer_rearm")
+        .outputMode("append").start()
+      try {
+        input.addData(UserEvent(1L, ts("2024-01-01 10:00:00")))
+        query.processAllAvailable()
+        // another user's event puts the watermark EXACTLY at user 1's
+        // horizon (10:00 + 30m) — fMGWS and the oracle both require a
+        // STRICT pass, so nothing may emit; the processor must re-arm
+        // instead of dropping the timer
+        input.addData(UserEvent(2L, ts("2024-01-01 10:30:00")))
+        query.processAllAvailable()
+        input.addData(UserEvent(2L, ts("2024-01-01 10:30:00")))
+        query.processAllAvailable() // extra batch: timers re-checked
+        s.sql("SELECT * FROM tws_timer_rearm WHERE user_id = 1")
+          .count() shouldBe 0
+        // one tick past the horizon → the re-armed timer fires
+        input.addData(UserEvent(2L, ts("2024-01-01 10:31:00")))
+        query.processAllAvailable()
+        input.addData(UserEvent(2L, ts("2024-01-01 10:32:00")))
+        query.processAllAvailable()
+        val u1 = s.sql("SELECT session_start, session_end, n_events " +
+            "FROM tws_timer_rearm WHERE user_id = 1").collect()
+        u1.length shouldBe 1
+        u1.head.getTimestamp(0) shouldBe ts("2024-01-01 10:00:00")
+        u1.head.getTimestamp(1) shouldBe ts("2024-01-01 10:30:00")
+        u1.head.getLong(2) shouldBe 1L
+      } finally query.stop()
+    } finally olds match {
+      case Some(v) => s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   behavior of "Tws.userTypeStats (transformWithState v2 state API)"
 
   it should "converge to the batch profile across micro-batch splits " +

@@ -517,6 +517,22 @@ object IterativeFeatureSelection {
       // exactly the label's instance count.
       val nInstances = labels
         .agg(sum(size(col("ys")))).head().getLong(0)
+      // Tiling contract, stray-block direction: the inner join below
+      // silently DROPS any feature block whose bid is absent from the
+      // label tiling, and the n == nInstances coverage check cannot see
+      // that (the matched blocks still cover exactly the label's
+      // instances) — MI would be computed over a subset of the feature's
+      // data without raising. One anti-join against the label bids (a
+      // broadcast-sized side) catches it before any MI is computed.
+      val stray = data.join(labels.select(col("bid")), Seq("bid"),
+          "left_anti")
+        .select(col("id"), col("bid")).limit(1).collect()
+      stray.headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"blocked alternate encoding: feature ${r.getLong(0)} carries " +
+            s"stray block ${r.getLong(1)} absent from the label tiling — " +
+            "feature and label tilings must be identical")
+      }
       val relRows = blockMIPerId(data.join(labels, "bid"))
       relRows.foreach { case (id, (_, n)) =>
         require(n == nInstances,

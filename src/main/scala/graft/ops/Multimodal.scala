@@ -382,13 +382,18 @@ object Multimodal {
 
     // Locate the jpeg track's sample tables: one stbl holding an stsd
     // whose first sample entry is 'jpeg', plus its stsz/stco/stsc.
+    // 64-bit table machinery (co64 chunk offsets, size==1 largesize
+    // boxes) is declared unsupported EXPLICITLY: a file authored with
+    // 64-bit tables returns Nil instead of decoding misread byte slices.
     var stsz: Option[Int] = None; var stco: Option[Int] = None
     var stsc: Option[Int] = None
+    var unsupported64 = false
     def walk(start: Int, end: Int, depth: Int, inJpegStbl: Boolean): Unit = {
       var o = start
       while (o + 8 <= end && depth < 10) {
         val size = be32(o)
         val typ = fourcc(o + 4)
+        if (size == 1) { unsupported64 = true; return } // 64-bit largesize
         if (size < 8 || o + size > end) return
         val bodyEnd = o + size.toInt
         typ match {
@@ -412,6 +417,7 @@ object Multimodal {
               walk(o + 8, bodyEnd, depth + 1, inJpegStbl = true)
           case "stsz" if inJpegStbl && stsz.isEmpty => stsz = Some(o)
           case "stco" if inJpegStbl && stco.isEmpty => stco = Some(o)
+          case "co64" if inJpegStbl => unsupported64 = true
           case "stsc" if inJpegStbl && stsc.isEmpty => stsc = Some(o)
           case _ => ()
         }
@@ -419,6 +425,7 @@ object Multimodal {
       }
     }
     walk(0, bytes.length, 0, inJpegStbl = false)
+    if (unsupported64) return Nil
     (stsz, stco, stsc) match {
       case (Some(szO), Some(coO), Some(scO)) =>
         val fixedSize = be32(szO + 12)
@@ -428,7 +435,10 @@ object Multimodal {
           if (fixedSize > 0) fixedSize.toInt else be32(szO + 20 + 4 * i).toInt)
         val nChunks = be32(coO + 12).toInt
         if (nChunks <= 0 || nChunks > (1 << 20)) return Nil
-        val offsets = (0 until nChunks).map(i => be32(coO + 16 + 4 * i).toInt)
+        // stco offsets stay Long throughout: 32-bit unsigned offsets in
+        // a buffer we index with Int are only safe after the explicit
+        // off + sz <= bytes.length bound below — never via truncation.
+        val offsets = (0 until nChunks).map(i => be32(coO + 16 + 4 * i))
         val nRuns = be32(scO + 12).toInt
         if (nRuns <= 0 || nRuns > (1 << 16)) return Nil
         // (first_chunk, samples_per_chunk) runs, 1-based chunks
@@ -441,12 +451,12 @@ object Multimodal {
         while (chunk < nChunks && sample < nSamples) {
           val perChunk = runs.takeWhile(_._1 <= chunk + 1).lastOption
             .map(_._2).getOrElse(1)
-          var off = offsets(chunk)
+          var off: Long = offsets(chunk)
           var k = 0
           while (k < perChunk && sample < nSamples) {
             val sz = sizes(sample)
             if (off >= 0 && sz > 0 && off + sz <= bytes.length) {
-              val in = new java.io.ByteArrayInputStream(bytes, off, sz)
+              val in = new java.io.ByteArrayInputStream(bytes, off.toInt, sz)
               val img = try javax.imageio.ImageIO.read(in)
                 catch { case _: Throwable => null }
               if (img != null) {

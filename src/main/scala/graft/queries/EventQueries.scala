@@ -1626,13 +1626,21 @@ object EventQueries {
     // an unbounded stream). The input is deliberately doubled row-wise
     // (explode keeps both copies in the same micro-batch, so no
     // batch-split nondeterminism), the dedup must collapse the pairs
-    // exactly, and the oracle is the raw per-type count.
+    // exactly, and the oracle is the raw per-type count. The watermark
+    // delay is set WIDER than the corpus time span on purpose: with a
+    // narrow delay the gate would be exact only while the source yields
+    // one micro-batch — under a multi-trigger split, any file lagging
+    // more than the delay behind the max seen ts would have its rows
+    // DROPPED as late (diverging from the batch GROUP BY oracle). The
+    // corpus-span delay keeps the gate green under any batch split;
+    // production callers size the delay to their real lateness bound,
+    // which is what makes the state bounded.
     "q_stream_dedup_wm" -> { (s, dir) =>
       val doubled = eventsStream(s, dir)
         .select(col("ts"), col("event_id"), col("event_type"),
           explode(array(lit(1), lit(2))).as("copy"))
         .drop("copy")
-      val deduped = doubled.withWatermark("ts", "1 hour")
+      val deduped = doubled.withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark("event_id")
       val name = "q_stream_dedup_wm_" +
         java.util.UUID.randomUUID().toString.replace("-", "")

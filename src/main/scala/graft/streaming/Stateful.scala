@@ -172,12 +172,26 @@ object Stateful {
     * is deterministic; across micro-batches the state's own `lastHb`
     * frontier enforces order — any bucket at or behind it is dropped
     * rather than allowed to corrupt the recursion (see the guard in
-    * the walk below).
+    * the walk below). Because that discard is the documented delivery
+    * precondition's failure mode (an hour split across micro-batches
+    * loses its second partial), it is NOT silent: every dropped bucket
+    * increments `droppedBuckets` (caller-supplied, or a fresh named
+    * accumulator visible in the UI/metrics), so multi-batch callers
+    * can detect undercounted EWMAs instead of trusting them blindly.
+    *
+    * @param droppedBuckets accumulator incremented once per discarded
+    *                       (event_type, hour) bucket; pass your own to
+    *                       assert on it, or let the default named one
+    *                       surface the count in Spark metrics
     */
   def streamEwmaBurst(
-      events: Dataset[TypedHourEvent]): Dataset[HourEwma] = {
+      events: Dataset[TypedHourEvent],
+      droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+  : Dataset[HourEwma] = {
     val s = events.sparkSession
     import s.implicits._
+    val dropAcc = droppedBuckets.getOrElse(
+      s.sparkContext.longAccumulator("graft.streamEwmaBurst.droppedBuckets"))
 
     def fn(et: String, batch: Iterator[TypedHourEvent],
            state: GroupState[EwmaState]): Iterator[HourEwma] = {
@@ -199,10 +213,11 @@ object Stateful {
           // maxFilesPerTrigger). Processing it would corrupt the EWMA
           // with a partial count and double-emit the hour in Append
           // mode, so it is DROPPED — the stateful analogue of a
-          // watermark discard. Callers that need every hour counted
-          // must deliver one batch per hour frontier (the gate's
-          // single-trigger AvailableNow run satisfies this).
-          ()
+          // watermark discard — and COUNTED into the accumulator so
+          // the discard is observable. Callers that need every hour
+          // counted must deliver one batch per hour frontier (the
+          // gate's single-trigger AvailableNow run satisfies this).
+          dropAcc.add(1L)
         } else {
           val burst = x > 2L * st.ewma
           out += HourEwma(et, hb, x, st.ewma, burst)

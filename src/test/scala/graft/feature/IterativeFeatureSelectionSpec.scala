@@ -231,6 +231,17 @@ class IterativeFeatureSelectionSpec extends AnyFunSuite with Matchers
         missing, "id", "bid", "values", lab, num = 2)
     }
     assert(messages(ex2).exists(_.contains("missing or ragged blocks")))
+    // a feature carrying an EXTRA block absent from the label tiling:
+    // the inner join would silently drop it (coverage still matches the
+    // label's instance count), so the stray-block anti-join must raise
+    import spark.implicits._
+    val stray = feat.union(
+      Seq((3L, 99L, Array(1.0, 2.0, 3.0))).toDF("id", "bid", "values"))
+    val ex3 = intercept[Exception] {
+      IterativeFeatureSelection.selectRowsBlocked(
+        stray, "id", "bid", "values", lab, num = 2)
+    }
+    assert(messages(ex3).exists(_.contains("stray block")))
   }
 
   test("pairChi2Multi matches a naive driver-side chi-square") {

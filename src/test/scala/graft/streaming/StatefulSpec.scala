@@ -110,7 +110,8 @@ class StatefulSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val input = MemoryStream[TypedHourEvent]
-    val scored = Stateful.streamEwmaBurst(input.toDS())
+    val dropped = s.sparkContext.longAccumulator("ewma_guard_drops")
+    val scored = Stateful.streamEwmaBurst(input.toDS(), Some(dropped))
     val query = scored.writeStream.format("memory")
       .queryName("ewma_guard").outputMode("append").start()
     try {
@@ -133,6 +134,9 @@ class StatefulSpec extends AnyFlatSpec with Matchers with SparkTestBase {
         (100L, 4L, -1L, false),   // seed
         (101L, 8L, 4L, false),    // 8 <= 2*4 — no burst
         (102L, 11L, 5L, true))    // 11 > 2*5 — burst; 101/100 replays gone
+      // the discard is not silent: both dropped buckets (101 re-split,
+      // 100 out-of-order) are counted into the caller's accumulator
+      dropped.value shouldBe 2L
     } finally query.stop()
   }
 

@@ -366,6 +366,49 @@ object IfsQueries {
         .orderBy("id")
     },
 
+    // P3 at scale (r10 verdict #1): the PUBLIC Estimator surface reaches
+    // the blocked encoding. A blocked input schema (id, bid, values —
+    // labels riding as pseudo-feature -1, the labelRowId default) is
+    // detected by encoding=auto and fit through selectRowsBlocked: no
+    // labelVector Param, no driver-side instance axis, no fence at any
+    // width. Same unrolled greedy oracle as ifs_row_model_flags.
+    "ifs_row_model_blocked" -> { (s, dir) =>
+      val blocked = rowMatrixBlocked(s, dir)
+      val model = new RowSelector()
+        .setNumTopRows(k)
+        .setIdCol("id")
+        .setFeaturesCol("values")
+        .setBlockCol("bid")
+        .setOutputCol("selected")
+        .fit(blocked)
+      model.transform(blocked)
+        .filter(col("id") >= 0L)
+        .select(col("id"), col("selected"))
+        .distinct()
+        .orderBy("id")
+    },
+
+    // P3 past the fence (r10 verdict #1, the exact repro): DEFAULT
+    // Estimator usage — vector layout + labelVector Param — with the
+    // width fence set BELOW the corpus's instance count. Instead of the
+    // old IllegalArgumentException, encoding=auto re-tiles the vectors
+    // into blocks on the fly and computes the identical selection
+    // through the scale-free path; the fence error is now reachable
+    // only via explicit encoding=vector (spec-pinned).
+    "ifs_row_model_retile" -> { (s, dir) =>
+      val model = new RowSelector()
+        .setNumTopRows(k)
+        .setIdCol("id")
+        .setFeaturesCol("features")
+        .setLabelVector(labelsRow(s, dir))
+        .setOutputCol("selected")
+        .setMaxInstances(1000) // far below every sf's instance count
+        .fit(rowMatrix(s, dir))
+      model.transform(rowMatrix(s, dir))
+        .select(col("id"), col("selected"))
+        .orderBy("id")
+    },
+
     // P1/P2: the conventional Estimator/Model surface end-to-end under
     // the oracle — fit a FeatureSelector (greedy mRMR), transform
     // (VectorSlicer projection to the selected indices, ascending), then
@@ -578,6 +621,27 @@ object IfsQueries {
     },
 
     "ifs_row_model_flags" -> {
+      val values = featureNames.zipWithIndex
+        .map { case (n, i) => s"($i, '$n')" }.mkString(", ")
+      s"""$greedyCtes
+         |SELECT CAST(v.id AS BIGINT) AS id,
+         |       v.fname IN (SELECT f FROM sel$k) AS selected
+         |FROM (VALUES $values) AS v(id, fname)
+         |ORDER BY id""".stripMargin
+    },
+
+    // Estimator-level blocked/re-tiled routing answers the SAME flags
+    // as the vector-path Estimator gate — three fits, one ground truth.
+    "ifs_row_model_blocked" -> {
+      val values = featureNames.zipWithIndex
+        .map { case (n, i) => s"($i, '$n')" }.mkString(", ")
+      s"""$greedyCtes
+         |SELECT CAST(v.id AS BIGINT) AS id,
+         |       v.fname IN (SELECT f FROM sel$k) AS selected
+         |FROM (VALUES $values) AS v(id, fname)
+         |ORDER BY id""".stripMargin
+    },
+    "ifs_row_model_retile" -> {
       val values = featureNames.zipWithIndex
         .map { case (n, i) => s"($i, '$n')" }.mkString(", ")
       s"""$greedyCtes

@@ -90,6 +90,78 @@ class SelectorStagesSpec extends AnyFunSuite with Matchers
     an[Exception] should be thrownBy new RowSelector().fit(df)
   }
 
+  /** Shared fixture for the encoding-routing tests: a vector-layout
+    * frame, its blocked twin (two ragged tiles), and the vector-path
+    * ground-truth selection.
+    */
+  private def routingFixture(seed: Int) = {
+    import spark.implicits._
+    val rnd = new Random(seed)
+    val rows = 50; val cols = 5
+    val labels = Array.fill(rows)(rnd.nextInt(3).toDouble)
+    val m = Array.fill(cols, rows)(rnd.nextInt(4).toDouble)
+    val vecDf = (0 until cols).map(c =>
+      (c.toLong, Vectors.dense(m(c)): Vector)).toDF("id", "features")
+    val cut = 17
+    val blockedDf = ((0 until cols).flatMap(c => Seq(
+      (c.toLong, 0L, m(c).take(cut)), (c.toLong, 1L, m(c).drop(cut)))) ++
+      Seq((-1L, 0L, labels.take(cut)), (-1L, 1L, labels.drop(cut))))
+      .toDF("id", "block", "features")
+    val want = IterativeFeatureSelection.selectRows(
+      vecDf, "id", "features", 2,
+      Vectors.dense(labels)).map(_._1)
+    (labels, vecDf, blockedDf, want)
+  }
+
+  test("RowSelector auto-routes a blocked input schema to the " +
+    "scale-free path (labels as data, labelVector unset)") {
+    val (_, _, blockedDf, want) = routingFixture(13)
+    val model = new RowSelector()
+      .setNumTopRows(2).setIdCol("id").setFeaturesCol("features")
+      .setOutputCol("keep")
+      .fit(blockedDf) // encoding=auto detects the `block` column
+    model.selectedRows.toSeq shouldBe want
+    // the model flags blocked rows by id like any other frame
+    val flagged = model.transform(blockedDf)
+    flagged.filter("keep").select("id").distinct().count() shouldBe 2
+  }
+
+  test("RowSelector auto re-tiles a vector input wider than " +
+    "maxInstances instead of dying on the fence") {
+    val (_, vecDf, _, want) = routingFixture(19)
+    // fence far below the 50-instance fixture → default usage must
+    // route to the blocked spelling, not throw
+    val model = new RowSelector()
+      .setNumTopRows(2).setIdCol("id").setFeaturesCol("features")
+      .setLabelVector(routingFixture(19)._1)
+      .setOutputCol("keep").setMaxInstances(8)
+      .fit(vecDf)
+    model.selectedRows.toSeq shouldBe want
+  }
+
+  test("RowSelector explicit encoding=vector keeps the fence error " +
+    "(opt-in only)") {
+    val (labels, vecDf, _, _) = routingFixture(23)
+    val ex = intercept[Exception] {
+      new RowSelector()
+        .setNumTopRows(2).setIdCol("id").setFeaturesCol("features")
+        .setLabelVector(labels).setEncoding("vector").setMaxInstances(8)
+        .fit(vecDf)
+    }
+    ex.getMessage should include("maxInstances")
+  }
+
+  test("RowSelector blocked layout requires the label pseudo-row") {
+    val (_, _, blockedDf, _) = routingFixture(29)
+    val ex = intercept[Exception] {
+      new RowSelector()
+        .setNumTopRows(2).setIdCol("id").setFeaturesCol("features")
+        .setLabelRowId(-99L) // no such pseudo-row
+        .fit(blockedDf)
+    }
+    ex.getMessage should include("label row")
+  }
+
   test("Pipeline composition: VectorAssembler -> FeatureSelector (P6)") {
     import spark.implicits._
     val rnd = new Random(5)

@@ -209,8 +209,63 @@ class SeededCountProcessor
   }
 }
 
+/** One TTL-count snapshot: `n` events seen in the CURRENT state
+  * lifetime and whether prior state was still alive at batch start
+  * (`resumed = false` on a key whose state the TTL evicted — the
+  * observable proof of eviction).
+  */
+case class TtlCount(user_id: Long, n: Long, resumed: Boolean)
+
+/** TTL-bounded state — the production state-size control at 100 TB: a
+  * `ValueState[Long]` declared with a real `TTLConfig` instead of
+  * `TTLConfig.NONE`, so the store EVICTS a key's value once
+  * `ttl` elapses after its last update (processing time — the only
+  * TimeMode TTL supports). The processor counts events per user and
+  * reports `resumed = cnt.exists()` at batch start: a key seen again
+  * WITHIN the TTL resumes its count (`resumed = true`), a key seen
+  * after eviction restarts from zero (`resumed = false`) — emission
+  * itself proves eviction, no store introspection needed. With a TTL
+  * shorter than any batch gap every batch starts fresh, so summing the
+  * per-batch emissions reconstructs the exact corpus count regardless
+  * of how the input splits — the property the gate's oracle pins.
+  */
+class TtlCountProcessor(ttl: java.time.Duration)
+    extends StatefulProcessor[Long, UserTypedEvent, TtlCount] {
+
+  @transient private var cnt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cnt = getHandle.getValueState[Long]("cnt",
+      Encoders.scalaLong, TTLConfig(ttl))
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[UserTypedEvent],
+                               timers: TimerValues): Iterator[TtlCount] = {
+    val resumed = cnt.exists()
+    var t = if (resumed) cnt.get() else 0L
+    rows.foreach(_ => t += 1L)
+    cnt.update(t)
+    Iterator.single(TtlCount(key, t, resumed))
+  }
+}
+
 /** The transformWithState operators. */
 object Tws {
+
+  /** Per-user event counts under TTL-bounded state: counts resume
+    * within `ttl` of the last update and restart from zero after
+    * eviction, with `resumed` reporting which happened. Requires the
+    * RocksDB provider (as all v2-API processors do) and runs in
+    * processing TimeMode — the one TTL supports.
+    */
+  def ttlCounts(events: Dataset[UserTypedEvent],
+                ttl: java.time.Duration): Dataset[TtlCount] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
 
   /** Per-user (count, sum of k smallest cent values) snapshots via
     * bounded ListState; compose with "row with max n_seen per user".

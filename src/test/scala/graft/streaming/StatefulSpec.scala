@@ -236,6 +236,62 @@ class StatefulSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  behavior of "Tws.ttlCounts (TTL-bounded state)"
+
+  it should "resume counts within the TTL and evict state past it " +
+    "(the eviction boundary, both directions)" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val olds = s.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserTypedEvent]
+      val query = Tws.ttlCounts(input.toDS(),
+          java.time.Duration.ofSeconds(5))
+        .writeStream.format("memory").queryName("tws_ttl")
+        .outputMode("append").start()
+      // A ProcessingTime-TimeMode TWS stream never sets the no-new-data
+      // flag (shouldRunAnotherBatch stays true for TTL eviction), so
+      // processAllAvailable would hang — drain by polling the sink for
+      // the expected emission count instead.
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (s.table("tws_ttl").count() < n &&
+          System.nanoTime() < deadline && query.exception.isEmpty)
+          Thread.sleep(50L)
+        query.exception.foreach(throw _)
+        s.table("tws_ttl").count() shouldBe n
+      }
+      try {
+        input.addData(UserTypedEvent(1L, "view"))
+        awaitRows(1L)
+        // within the TTL: state survives, count resumes
+        input.addData(UserTypedEvent(1L, "view"))
+        awaitRows(2L)
+        // past the TTL: state evicted, count restarts from zero
+        Thread.sleep(6000)
+        input.addData(UserTypedEvent(1L, "view"))
+        awaitRows(3L)
+        val out = s.sql(
+            "SELECT n, resumed FROM tws_ttl ORDER BY n DESC, resumed")
+          .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+        out.toSeq shouldBe Seq(
+          (2L, true),   // batch 2 resumed batch 1's count (inside TTL)
+          (1L, false),  // batch 1 seeded fresh
+          (1L, false))  // batch 3 restarted — the eviction boundary
+      } finally query.stop()
+    } finally olds match {
+      case Some(v) => s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   behavior of "Stateful.windowedTypeCounts"
 
   it should "emit closed tumbling windows once in append mode" in {

@@ -1001,21 +1001,18 @@ object StatQueries {
     // volume, so the nested-loop pair join costs the same at sf0.01 and
     // sf100). Slopes are one double division of exact $100-quantized
     // integers each. Both medians (slope, residual) are exact
-    // nearest-rank cuts computed WITHOUT any unpartitioned window: the
-    // multiset reduces to a (value, cnt) frame and ONE distributed
-    // PrefixSum gives every value its cumulative count (the
-    // q_exact_percentile_dist machinery) — the median is the average of
-    // the two mid-rank order statistics, min(v | cum ≥ rank), so no
-    // task ever sorts more than its range-partition slice (the ~3M
-    // slopes previously rank-windowed through ONE task). Equal values
-    // merge in the frame, so the cut is tie-permutation-proof; the
-    // intercept is the median residual at the chosen slope.
+    // nearest-rank cuts through [[graft.ops.RankSelect]]'s histogram
+    // refinement: map-side-only passes that shuffle ≤ buckets cells —
+    // never the pair multiset — with no range-sampling pass, no 3M-row
+    // shuffle or localCheckpoint, no per-partition sort (the r9
+    // PrefixSum spelling paid all four as fixed cost; r10 verdict #5).
+    // The cheap broadcast NLJ over the PINNED day frame is re-evaluated
+    // once per pass, which costs less than materializing it once.
     "q_theil_sen" -> { (s, dir) =>
-      // Pinned: the day frame feeds four subplans (both pair-join sides,
-      // the day count, the residual pass) and the pair multiset feeds
-      // PrefixSum's range-sampling pass plus its shuffle — unpinned,
-      // each consumer re-runs the lineitem aggregation / the 3M-row
-      // nested-loop join.
+      import s.implicits._
+      // Pinned: the day frame feeds both pair-join sides, RankSelect's
+      // passes, and the residual pass — unpinned, each consumer re-runs
+      // the lineitem aggregation.
       val daily = graft.ops.Pin.pin(t(s, dir, "lineitem")
         .groupBy(datediff(col("l_shipdate").cast("date"),
           lit("1970-01-01")).as("d"))
@@ -1030,49 +1027,17 @@ object StatQueries {
       val a = daily.select(col("d").as("d1"), col("r").as("r1"))
         .repartition(s.sparkContext.defaultParallelism)
       val b = daily.select(col("d").as("d2"), col("r").as("r2"))
-      val pairs = graft.ops.Pin.pin(a.join(broadcast(b),
-          col("d1") < col("d2"))
+      val pairs = a.join(broadcast(b), col("d1") < col("d2"))
         .select(((col("r2") - col("r1")).cast("double") /
-          (col("d2") - col("d1")).cast("double")).as("slope"),
-          lit(1L).as("cnt")))
-      val nd = daily.agg(count(lit(1)).as("nd"))
-      // Slope median: ONE distributed PrefixSum over the raw pair
-      // multiset (cnt = 1 ties are value-homogeneous — PrefixSum's
-      // documented weak contract — and min(v | cum ≥ rank) only reads a
-      // tie block's shared value, so no pre-groupBy shuffle is needed);
-      // n_pairs = nd·(nd−1)/2 analytically, so the cumulated frame has
-      // one consumer and skips its output pin.
-      val slope = graft.ops.PrefixSum
-        .withExclusivePrefix(pairs, Seq("slope"), "cnt", pin = false)
-        .select(col("slope").as("v"),
-          (col("prefix") + col("cnt")).cast("long").as("cum"))
-        .crossJoin(broadcast(nd.select(expr("nd * (nd - 1) div 2").as("n"))))
-        .agg(max(col("n")).as("n_pairs"),
-          ((min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))) +
-            min(when(col("cum") >= expr("(n + 2) div 2"), col("v"))))
-            / 2.0).as("slope_med"))
-      val resid = daily.crossJoin(broadcast(slope))
-        .withColumn("resid",
-          col("r").cast("double") - col("slope_med") * col("d"))
-      // Residual median: the frame is the DAY domain (calendar-bounded,
-      // ≤ the stated limit), so its cumulative counts come from a
-      // broadcast rank self-join — no window, no range shuffle, no
-      // second PrefixSum fixed cost.
-      val rf = resid.groupBy(col("resid").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val rcum = rf.join(broadcast(rf.select(col("v").as("v2"),
-          col("cnt").as("cnt2"))), col("v2") <= col("v"))
-        .groupBy(col("v")).agg(sum(col("cnt2")).cast("long").as("cum"))
-      rcum.crossJoin(broadcast(nd))
-        .agg(max(col("nd")).cast("long").as("n_days"),
-          ((min(when(col("cum") >= expr("(nd + 1) div 2"), col("v"))) +
-            min(when(col("cum") >= expr("(nd + 2) div 2"), col("v"))))
-            / 2.0).as("intercept_med_100"))
-        .crossJoin(broadcast(slope))
-        .select(col("n_days"),
-          col("n_pairs").cast("long").as("n_pairs"),
-          col("slope_med").as("slope_med_100"),
-          col("intercept_med_100"))
+          (col("d2") - col("d1")).cast("double")).as("slope"))
+      val (slopeMed, nPairs) =
+        graft.ops.RankSelect.medianWithCount(pairs, "slope")
+      val resid = daily.select(
+        (col("r").cast("double") - lit(slopeMed) * col("d")).as("resid"))
+      val (interceptMed, nDays) =
+        graft.ops.RankSelect.medianWithCount(resid, "resid")
+      Seq((nDays, nPairs, slopeMed, interceptMed))
+        .toDF("n_days", "n_pairs", "slope_med_100", "intercept_med_100")
     }
   )
 

@@ -1246,6 +1246,74 @@ object Relational {
           "t" -> "g_li_ident"))
     },
 
+    // SQL pipe syntax (Spark 4.0's |> operator chain) — the linear
+    // query spelling: FROM ... |> WHERE ... |> AGGREGATE ... |> ORDER
+    // BY. Same logical plan as the nested spelling, so the oracle is
+    // the plain-SQL equivalent; the gate pins that the pipe parser
+    // produces the identical relation, not a dialect-shaped variant.
+    "q_pipe_syntax" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("g_li_pipe")
+      s.sql(
+        """FROM g_li_pipe
+          ||> WHERE l_quantity > 10
+          ||> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+          |     CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+          |       AS DOUBLE) AS total
+          |   GROUP BY l_returnflag
+          ||> ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // VARIANT — Spark 4's semi-structured type: each row's fields are
+    // packed into a JSON document, parsed into a VARIANT, and the
+    // aggregation reads TYPED paths back out via variant_get. The
+    // numeric field rides as an exact integer (floor of the quantity)
+    // so the JSON round-trip cannot introduce FP text-formatting drift.
+    // The oracle is the identity detour: the same aggregate off the raw
+    // columns.
+    "q_variant_json" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("g_li_variant")
+      s.sql(
+        """SELECT variant_get(v, '$.flag', 'string') AS flag,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(variant_get(v, '$.qty', 'long')) AS BIGINT)
+          |    AS sum_qty,
+          |  CAST(count(DISTINCT variant_get(v, '$.status', 'string'))
+          |    AS BIGINT) AS n_status
+          |FROM (
+          |  SELECT parse_json(to_json(named_struct(
+          |    'flag', l_returnflag,
+          |    'qty', CAST(floor(l_quantity) AS BIGINT),
+          |    'status', l_linestatus))) AS v
+          |  FROM g_li_variant)
+          |GROUP BY 1
+          |ORDER BY flag""".stripMargin)
+    },
+
+    // String collation (Spark 4.0): grouping and equality under
+    // UTF8_LCASE merge case variants the binary collation would keep
+    // apart. The input is deliberately case-mangled (half the rows
+    // lowercased), the group key is re-normalized with lower() for a
+    // deterministic representative (a collated GROUP BY may surface
+    // either variant), and the `both_cases` column proves the groups
+    // really did merge across case. Oracle spells the same semantics
+    // with lower().
+    "q_collated_group" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("g_cust_collate")
+      s.sql(
+        """SELECT lower(seg) AS segment, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(count(DISTINCT CAST(seg AS STRING COLLATE UTF8_BINARY))
+          |    AS BIGINT) AS both_cases,
+          |  CAST(sum(CASE WHEN seg = ('building' COLLATE UTF8_LCASE)
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS eq_building
+          |FROM (
+          |  SELECT CAST(CASE WHEN c_custkey % 2 = 0
+          |      THEN lower(c_mktsegment) ELSE c_mktsegment END
+          |    AS STRING COLLATE UTF8_LCASE) AS seg
+          |  FROM g_cust_collate)
+          |GROUP BY seg
+          |ORDER BY segment""".stripMargin)
+    },
+
     // Right-to-be-forgotten propagation — the GDPR/CCPA deletion job a
     // governed corpus runs on every erasure batch: a deterministic
     // forget set (md5-derived, ~1/16 of users — reproducible across
@@ -2035,6 +2103,39 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY flag""".stripMargin,
+
+    // the pipe chain's plain-SQL equivalent
+    "q_pipe_syntax" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS total
+        |FROM lineitem
+        |WHERE l_quantity > 10
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // the VARIANT detour is an identity on these fields
+    "q_variant_json" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY flag""".stripMargin,
+
+    // UTF8_LCASE semantics spelled with lower()
+    "q_collated_group" ->
+      """SELECT lower(seg0) AS segment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT seg0) AS BIGINT) AS both_cases,
+        |  CAST(sum(CASE WHEN lower(seg0) = 'building' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS eq_building
+        |FROM (
+        |  SELECT CASE WHEN c_custkey % 2 = 0
+        |      THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg0
+        |  FROM customer)
+        |GROUP BY lower(seg0)
+        |ORDER BY segment""".stripMargin,
 
     "q_forget_users" ->
       """WITH f AS (

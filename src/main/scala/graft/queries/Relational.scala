@@ -1289,28 +1289,35 @@ object Relational {
           |ORDER BY flag""".stripMargin)
     },
 
-    // String collation (Spark 4.0): grouping and equality under
-    // UTF8_LCASE merge case variants the binary collation would keep
-    // apart. The input is deliberately case-mangled (half the rows
-    // lowercased), the group key is re-normalized with lower() for a
-    // deterministic representative (a collated GROUP BY may surface
-    // either variant), and the `both_cases` column proves the groups
-    // really did merge across case. Oracle spells the same semantics
-    // with lower().
-    "q_collated_group" -> { (s, dir) =>
+    // Collated JOIN keys (Spark 4.0) — the join-path half of the
+    // collation surface (q_collation_group covers the aggregation
+    // half): an equality JOIN whose key is UTF8_LCASE must hash case
+    // variants into the same bucket on BOTH sides of the exchange, so a
+    // case-mangled fact side still matches an all-lowercase dimension.
+    // The dim is built from the fact's own distinct segments (lowered),
+    // so every fact row must survive the inner join — any collation-
+    // hashing mismatch drops rows and breaks the per-segment counts.
+    // Oracle spells the same join with lower() keys.
+    "q_collated_join" -> { (s, dir) =>
       t(s, dir, "customer").createOrReplaceTempView("g_cust_collate")
       s.sql(
-        """SELECT lower(seg) AS segment, CAST(count(*) AS BIGINT) AS n,
-          |  CAST(count(DISTINCT CAST(seg AS STRING COLLATE UTF8_BINARY))
-          |    AS BIGINT) AS both_cases,
-          |  CAST(sum(CASE WHEN seg = ('building' COLLATE UTF8_LCASE)
-          |    THEN 1 ELSE 0 END) AS BIGINT) AS eq_building
-          |FROM (
+        """WITH fact AS (
           |  SELECT CAST(CASE WHEN c_custkey % 2 = 0
           |      THEN lower(c_mktsegment) ELSE c_mktsegment END
-          |    AS STRING COLLATE UTF8_LCASE) AS seg
-          |  FROM g_cust_collate)
-          |GROUP BY seg
+          |    AS STRING COLLATE UTF8_LCASE) AS seg,
+          |    c_acctbal
+          |  FROM g_cust_collate),
+          |dim AS (
+          |  SELECT CAST(lower(c_mktsegment) AS STRING COLLATE UTF8_LCASE)
+          |    AS dseg, count(*) AS dim_n
+          |  FROM g_cust_collate GROUP BY 1)
+          |SELECT lower(dseg) AS segment,
+          |  CAST(count(*) AS BIGINT) AS n_joined,
+          |  CAST(max(dim_n) AS BIGINT) AS dim_n,
+          |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+          |    AS DOUBLE) AS bal
+          |FROM fact JOIN dim ON seg = dseg
+          |GROUP BY lower(dseg)
           |ORDER BY segment""".stripMargin)
     },
 
@@ -2124,17 +2131,23 @@ object Relational {
         |GROUP BY 1
         |ORDER BY flag""".stripMargin,
 
-    // UTF8_LCASE semantics spelled with lower()
-    "q_collated_group" ->
-      """SELECT lower(seg0) AS segment, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(count(DISTINCT seg0) AS BIGINT) AS both_cases,
-        |  CAST(sum(CASE WHEN lower(seg0) = 'building' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS eq_building
-        |FROM (
+    // UTF8_LCASE join semantics spelled with lower() keys
+    "q_collated_join" ->
+      """WITH fact AS (
         |  SELECT CASE WHEN c_custkey % 2 = 0
-        |      THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg0
-        |  FROM customer)
-        |GROUP BY lower(seg0)
+        |      THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg,
+        |    c_acctbal
+        |  FROM customer),
+        |dim AS (
+        |  SELECT lower(c_mktsegment) AS dseg, count(*) AS dim_n
+        |  FROM customer GROUP BY 1)
+        |SELECT lower(dseg) AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_joined,
+        |  CAST(max(dim_n) AS BIGINT) AS dim_n,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS bal
+        |FROM fact JOIN dim ON lower(seg) = dseg
+        |GROUP BY lower(dseg)
         |ORDER BY segment""".stripMargin,
 
     "q_forget_users" ->

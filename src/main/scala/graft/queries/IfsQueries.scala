@@ -280,9 +280,24 @@ object IfsQueries {
     // encodings are additionally checked against the same SQL oracle.
     "ifs_select_rows" -> { (s, dir) =>
       import s.implicits._
-      val sel = IterativeFeatureSelection.selectRows(
-        rowMatrix(s, dir), "id", "features", k,
-        org.apache.spark.ml.linalg.Vectors.dense(labelsRow(s, dir)))
+      // Auto-route past the width fence, mirroring the public Estimator
+      // surface (RowSelector encoding=auto) and ifs_cross_encoding's
+      // row side: the vector spelling is individually pinned at every
+      // scale inside its contract (sf0.001…sf1); past the fence the
+      // gate demonstrates the scale routing instead of erroring —
+      // exactly what a library user gets.
+      val nInstances = matrix(s, dir).count()
+      val sel =
+        if (nInstances <= IterativeFeatureSelection.DefaultMaxInstances)
+          IterativeFeatureSelection.selectRows(
+            rowMatrix(s, dir), "id", "features", k,
+            org.apache.spark.ml.linalg.Vectors.dense(labelsRow(s, dir)))
+        else {
+          val blocked = rowMatrixBlocked(s, dir)
+          IterativeFeatureSelection.selectRowsBlocked(
+            blocked.filter(col("id") >= 0L), "id", "bid", "values",
+            blocked.filter(col("id") === -1L).select("bid", "values"), k)
+        }
       sel.zipWithIndex.map { case ((fid, score), r) =>
         (r + 1, featureNames(fid.toInt), math.rint(score * 1e6) / 1e6)
       }.toDF("rnk", "feature", "score").orderBy("rnk")

@@ -1264,12 +1264,17 @@ object Relational {
     },
 
     // VARIANT — Spark 4's semi-structured type: each row's fields are
-    // packed into a JSON document, parsed into a VARIANT, and the
-    // aggregation reads TYPED paths back out via variant_get. The
-    // numeric field rides as an exact integer (floor of the quantity)
-    // so the JSON round-trip cannot introduce FP text-formatting drift.
-    // The oracle is the identity detour: the same aggregate off the raw
-    // columns.
+    // packed into a VARIANT and the aggregation reads TYPED paths back
+    // out via variant_get. The BULK construction is to_variant_object
+    // (struct → binary variant, no JSON text per row — the first
+    // spelling serialized and re-parsed a JSON string per row and was
+    // the registry's heaviest constant: 5.5 s solo at sf0.1, 97 s at
+    // sf3); the parse_json TEXT path stays covered on a deterministic
+    // 1/997 key sample whose variant must agree with the binary one
+    // (n_parsed counts the agreements — the oracle pins it to the
+    // sample size, so a parse/construct divergence breaks the hash).
+    // The numeric field rides as an exact integer so no representation
+    // drift is possible.
     "q_variant_json" -> { (s, dir) =>
       t(s, dir, "lineitem").createOrReplaceTempView("g_li_variant")
       s.sql(
@@ -1278,12 +1283,18 @@ object Relational {
           |  CAST(sum(variant_get(v, '$.qty', 'long')) AS BIGINT)
           |    AS sum_qty,
           |  CAST(count(DISTINCT variant_get(v, '$.status', 'string'))
-          |    AS BIGINT) AS n_status
+          |    AS BIGINT) AS n_status,
+          |  CAST(sum(CASE WHEN variant_get(pv, '$.flag', 'string')
+          |      = variant_get(v, '$.flag', 'string')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed
           |FROM (
-          |  SELECT parse_json(to_json(named_struct(
+          |  SELECT to_variant_object(named_struct(
           |    'flag', l_returnflag,
           |    'qty', CAST(floor(l_quantity) AS BIGINT),
-          |    'status', l_linestatus))) AS v
+          |    'status', l_linestatus)) AS v,
+          |  CASE WHEN l_orderkey % 997 = 0 THEN
+          |    parse_json(to_json(named_struct('flag', l_returnflag)))
+          |  END AS pv
           |  FROM g_li_variant)
           |GROUP BY 1
           |ORDER BY flag""".stripMargin)
@@ -2121,12 +2132,16 @@ object Relational {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
-    // the VARIANT detour is an identity on these fields
+    // the VARIANT detour is an identity on these fields; n_parsed is
+    // the 1/997 key sample (every sampled row's parsed variant must
+    // agree with the binary construction)
     "q_variant_json" ->
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
         |    AS sum_qty,
-        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status,
+        |  CAST(sum(CASE WHEN l_orderkey % 997 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_parsed
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY flag""".stripMargin,

@@ -994,6 +994,30 @@ object StatQueries {
             (col("nd") - col("n1"))).as("mean_after_100"))
     },
 
+    // Approximate percentile under an EXACTNESS CONTRACT — the actual
+    // 100 TB quantile path (approx_percentile: one pass, bounded
+    // KLL-style sketch, rank error ≤ n/accuracy) audited in-gate
+    // against the exact cut: the gate computes the exact median via
+    // RankSelect, then the RANK of the sketch's answer (one count
+    // pass), and emits within_bound = |rank(approx) − n/2| ≤
+    // n/accuracy + 1. The oracle pins the exact median and TRUE, so a
+    // sketch drifting outside its published guarantee is a hash
+    // mismatch — the contract column pattern the LSH recall gates use,
+    // applied to the quantile sketch.
+    "q_approx_quantile_contract" -> { (s, dir) =>
+      import s.implicits._
+      val v = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast(DoubleType).as("v"))
+      val (med, n) = graft.ops.RankSelect.medianWithCount(v, "v")
+      val va = v.agg(expr("approx_percentile(v, 0.5D, 10000)").as("va"))
+        .head().getDouble(0)
+      val rank = v.filter(col("v") <= va).count()
+      val bound = n / 10000 + 1
+      val ok = math.abs(rank - n / 2) <= bound
+      Seq((n, math.rint(med * 1e6) / 1e6, ok))
+        .toDF("n", "exact_median", "approx_within_bound")
+    },
+
     // Theil–Sen robust trend — the median of all pairwise slopes, the
     // estimator that shrugs off the outlier days OLS (q_trend_fit)
     // chases. The pair set is the DAY-domain frame squared (~3M pairs
@@ -1704,6 +1728,17 @@ object StatQueries {
         |FROM o
         |ORDER BY num * num / CAST(n1 * (nd - n1) AS DOUBLE) DESC, d
         |LIMIT 1""".stripMargin,
+
+    // the sketch must sit inside its published rank guarantee, so the
+    // contract column is constant TRUE; the exact median is the real
+    // oracle anchor (DuckDB median = mean of the two middle values for
+    // even n, the same nearest-rank pair RankSelect averages)
+    "q_approx_quantile_contract" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(median(CAST(l_extendedprice AS DOUBLE)), 6)
+        |    AS exact_median,
+        |  TRUE AS approx_within_bound
+        |FROM lineitem""".stripMargin,
 
     "q_theil_sen" ->
       """WITH daily AS (

@@ -114,6 +114,47 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** The HELD state at stream end — each user's last session, kept iff
+    * its gap horizon is at or past the final watermark: the exact
+    * relational complement of [[stateSessionsOracle]]'s emit rule.
+    * Shared by the v1 (fMGWS) and v2 (TWS named-variable) state-store
+    * reader gates: held state is a property of the emission semantics,
+    * not of the state API.
+    */
+  private lazy val openStateOracle: String = {
+    val gapMs = GapUs / 1000L
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+       |  FROM events),
+       |b AS (
+       |  SELECT user_id, event_id, ms,
+       |    CASE WHEN lag(ms) OVER (PARTITION BY user_id
+       |                            ORDER BY ms, event_id) IS NULL
+       |      OR ms - lag(ms) OVER (PARTITION BY user_id
+       |                            ORDER BY ms, event_id) > $gapMs
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM ev),
+       |sb AS (
+       |  SELECT user_id, ms,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |                   ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM b),
+       |sess AS (
+       |  SELECT user_id, sid, min(ms) AS st, max(ms) AS e,
+       |    count(*) AS n
+       |  FROM sb GROUP BY user_id, sid)
+       |SELECT user_id, st AS start_ms, e AS end_ms,
+       |  CAST(n AS BIGINT) AS n_open_events
+       |FROM (
+       |  SELECT user_id, st, e, n,
+       |    max(sid) OVER (PARTITION BY user_id) AS max_sid, sid
+       |  FROM sess)
+       |WHERE sid = max_sid
+       |  AND e + $gapMs >= (SELECT max(ms) FROM ev)
+       |ORDER BY user_id""".stripMargin
+  }
+
   private lazy val stateSessionsOracle: String = {
     val gapMs = GapUs / 1000L
     s"""WITH ev AS (
@@ -1766,6 +1807,47 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // The v2 half of the state-store reader surface: the SAME held-
+    // state contract as q_state_reader, but the stream is the
+    // transformWithState timer sessionizer and the read targets its
+    // NAMED state variable (`stateVarName = open`) — the v2 API's
+    // individually-addressable primitives are individually READABLE
+    // from a finished checkpoint. Both reader gates answer the same
+    // relational-complement oracle, because the v1 and v2 emission
+    // semantics are byte-identical by construction.
+    "q_tws_state_reader" -> { (s, dir) =>
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+        .select(col("user_id"), col("ts"))
+        .as[graft.streaming.UserEvent]
+      val sessions = graft.streaming.Tws
+        .timerSessions(stream, GapUs / 1000L, "0 seconds")
+      val name = "q_tws_state_reader_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_tws_").toString
+      withStatePartitions(s) {
+        withConfs(s,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")) {
+          val q = sessions.writeStream.outputMode(OutputMode.Append())
+            .format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+      s.read.format("statestore")
+        .option("stateVarName", "open")
+        .load(ckpt)
+        .select(col("key.value").as("user_id"),
+          col("value.startMs").as("start_ms"),
+          col("value.endMs").as("end_ms"),
+          col("value.n").cast("long").as("n_open_events"))
+        .orderBy("user_id")
+    },
+
     // transformWithState INITIAL STATE — the backfill→stream handoff: a
     // BATCH aggregate over the even-event_id half seeds each user's
     // state via handleInitialState, the ODD half then streams on top,
@@ -2982,40 +3064,12 @@ object EventQueries {
 
     // the HELD state at stream end: each user's last session, kept iff
     // its gap horizon is at or past the final watermark — the exact
-    // relational complement of stateSessionsOracle's emit rule.
-    "q_state_reader" -> {
-      val gapMs = GapUs / 1000L
-      s"""WITH ev AS (
-         |  SELECT user_id, event_id,
-         |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
-         |  FROM events),
-         |b AS (
-         |  SELECT user_id, event_id, ms,
-         |    CASE WHEN lag(ms) OVER (PARTITION BY user_id
-         |                            ORDER BY ms, event_id) IS NULL
-         |      OR ms - lag(ms) OVER (PARTITION BY user_id
-         |                            ORDER BY ms, event_id) > $gapMs
-         |      THEN 1 ELSE 0 END AS brk
-         |  FROM ev),
-         |sb AS (
-         |  SELECT user_id, ms,
-         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
-         |                   ROWS UNBOUNDED PRECEDING) AS sid
-         |  FROM b),
-         |sess AS (
-         |  SELECT user_id, sid, min(ms) AS st, max(ms) AS e,
-         |    count(*) AS n
-         |  FROM sb GROUP BY user_id, sid)
-         |SELECT user_id, st AS start_ms, e AS end_ms,
-         |  CAST(n AS BIGINT) AS n_open_events
-         |FROM (
-         |  SELECT user_id, st, e, n,
-         |    max(sid) OVER (PARTITION BY user_id) AS max_sid, sid
-         |  FROM sess)
-         |WHERE sid = max_sid
-         |  AND e + $gapMs >= (SELECT max(ms) FROM ev)
-         |ORDER BY user_id""".stripMargin
-    },
+    // relational complement of stateSessionsOracle's emit rule. The
+    // v1 (fMGWS) and v2 (TWS named-variable) reader gates answer the
+    // SAME oracle: held state is a property of the emission semantics,
+    // not the state API.
+    "q_tws_state_reader" -> openStateOracle,
+    "q_state_reader" -> openStateOracle,
 
     // full-corpus counts for every user that streamed at least one odd
     // event — even-half counts are only reachable through the seeded

@@ -99,11 +99,21 @@ object RankSelect {
                       buckets: Int, cap: Int): Map[Long, Double] = {
     if (lo == hi) return ranks.map(_ -> lo).toMap
     val w = (hi - lo) / buckets
-    // An interval narrower than one ulp cannot split: it holds at most
-    // two distinct doubles, so the distinct-value collect is bounded no
-    // matter how many rows carry them.
-    if (w == 0.0 || lo + w == lo)
-      return collectCell(v, pred, ranks, offset, cap)
+    // A bucket width the addition can't resolve (lo + w == lo) means the
+    // histogram cannot split further — but it only bounds w below
+    // ulp(lo)/2, so [lo, hi] can still span up to ~buckets/2 ulps and
+    // that many distinct doubles, NOT "at most two" (ADVICE r11 #4).
+    // Bound the final collect by the interval's EXACT representable-
+    // double count (the ordinal distance of the IEEE bit patterns),
+    // clamped at 2^20 so the driver bound stays explicit: a narrower-
+    // than-ulp interval holding over a million representable doubles is
+    // only reachable through a denormal-crossing range, where the clear
+    // collectCell error beats an unbounded collect.
+    if (w == 0.0 || lo + w == lo) {
+      val span = ulpSpan(lo, hi)
+      return collectCell(v, pred, ranks, offset,
+        math.min(math.max(span, cap.toLong), 1L << 20).toInt)
+    }
     val idx = least(greatest(
       floor((col("v") - lit(lo)) / lit(w)), lit(0.0)),
       lit((buckets - 1).toDouble)).cast("int")
@@ -144,11 +154,23 @@ object RankSelect {
       }
   }
 
+  /** Exact count of representable doubles in [lo, hi]: the ordinal
+    * distance of the IEEE-754 bit patterns (sign-folded so the mapping
+    * is monotone across zero), plus one for the closed interval.
+    */
+  private def ulpSpan(lo: Double, hi: Double): Long = {
+    def ord(d: Double): Long = {
+      val b = java.lang.Double.doubleToLongBits(d)
+      if (b >= 0L) b else Long.MinValue - b
+    }
+    ord(hi) - ord(lo) + 1
+  }
+
   /** Final pass: the target cell's distinct values + counts, walked
     * cumulatively on the driver. The limit makes the driver bound
     * explicit; callers only reach here when the cell's ROW count (an
     * upper bound on its distinct count) is ≤ cap, or when the interval
-    * is one ulp wide (≤ 2 distinct values).
+    * is too narrow to split (cap then = its representable-double span).
     */
   private def collectCell(v: DataFrame, pred: Column, ranks: Seq[Long],
                           offset: Long, cap: Int): Map[Long, Double] = {

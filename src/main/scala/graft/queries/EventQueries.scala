@@ -84,6 +84,32 @@ object EventQueries {
     }
   }
 
+  /** Drain a ProcessingTime-TimeMode TWS stream: such an operator always
+    * reports shouldRunAnotherBatch = true (TTL state may need eviction),
+    * so Trigger.AvailableNow never terminates and the no-new-data flag
+    * processAllAvailable waits on is never set (measured: 5,000+ empty
+    * micro-batches) — the bounded run instead polls the memory sink for
+    * the EXACT expected emission count, then stops the query. `expected`
+    * is computable because the TTL'd gates force one micro-batch per
+    * input file (maxFilesPerTrigger = 1) and every processor emits
+    * exactly one row per (key, batch-containing-its-rows).
+    */
+  private def drainTws(s: SparkSession, name: String, expected: Long)
+                      (start: => org.apache.spark.sql.streaming
+                        .StreamingQuery): Unit = {
+    val q = start
+    try {
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      while (s.table(name).count() < expected &&
+        System.nanoTime() < deadline && q.exception.isEmpty)
+        Thread.sleep(100L)
+      q.exception.foreach(throw _)
+      require(s.table(name).count() == expected,
+        s"$name: sink has ${s.table(name).count()} rows, " +
+          s"expected $expected within the drain deadline")
+    } finally q.stop()
+  }
+
   /** The custom-state gap-sessionization pipeline shared by
     * q_stream_state_sessions (default HDFS-backed store) and
     * q_stream_rocksdb_sessions (RocksDB provider): run the stateful
@@ -1633,25 +1659,35 @@ object EventQueries {
     // rewritten ≤3 elements per batch (state O(k) per user forever).
     // Min-k is a lattice, so min(mink_sum)/max(n_seen) over the emitted
     // snapshots equal the global answer under any batch split; the
-    // oracle is the rank-window spelling of the same min-3.
+    // oracle is the rank-window spelling of the same min-3. Runs the
+    // PRODUCTION state posture (r11 verdict #4): default TTL-bounded
+    // state in processing TimeMode — inside the 30-day horizon the
+    // emissions are bit-identical to the untimed spelling (the oracle is
+    // unchanged), and the run drains by expected-count polling because
+    // ProcessingTime TimeMode never terminates AvailableNow (see
+    // drainTws). One micro-batch per input file makes the expected
+    // emission count exact: one row per (user, file).
     "q_stream_tws_mink" -> { (s, dir) =>
       import s.implicits._
-      val stream = eventsStream(s, dir)
+      val stream = eventsStream(s, dir, Map("maxFilesPerTrigger" -> "1"))
         .select(col("user_id"),
           expr("CAST(floor(value * 100) AS BIGINT)").as("vq"))
         .as[graft.streaming.ValuedEvent]
       val out = graft.streaming.Tws.minKValues(stream, 3)
       val name = "q_stream_tws_mink_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
+      val expected = events(s, dir)
+        .select(col("user_id"), input_file_name().as("f"))
+        .distinct().count()
       withStatePartitions(s) {
         withConfs(s,
           "spark.sql.streaming.stateStore.providerClass" ->
             ("org.apache.spark.sql.execution.streaming.state." +
               "RocksDBStateStoreProvider")) {
-          val q = out.writeStream.outputMode(OutputMode.Append())
-            .format("memory").queryName(name)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
+          drainTws(s, name, expected) {
+            out.writeStream.outputMode(OutputMode.Append())
+              .format("memory").queryName(name).start()
+          }
         }
       }
       s.table(name)
@@ -1735,30 +1771,16 @@ object EventQueries {
           "spark.sql.streaming.stateStore.providerClass" ->
             ("org.apache.spark.sql.execution.streaming.state." +
               "RocksDBStateStoreProvider")) {
-          // NOT AvailableNow, and NOT processAllAvailable either: a TWS
-          // operator in ProcessingTime TimeMode reports
-          // shouldRunAnotherBatch = true as long as TTL state might
-          // need eviction, so AvailableNow never terminates and the
-          // no-new-data flag processAllAvailable waits on is never set
-          // (measured: 5,000+ empty micro-batches). The bounded run
-          // polls the sink for the EXACT expected emission count — one
-          // row per (user, file-batch) group, computable from the two
-          // written halves — then stops the query.
+          // ProcessingTime TimeMode → drain by the EXACT expected
+          // emission count — one row per (user, file-batch) group,
+          // computable from the two written halves (see drainTws).
           val expected = s.read.parquet(base)
             .select(col("user_id"), input_file_name().as("f"))
             .select(col("user_id"), col("f")).distinct().count()
-          val q = out.writeStream.outputMode(OutputMode.Append())
-            .format("memory").queryName(name).start()
-          try {
-            val deadline = System.nanoTime() + 180L * 1000000000L
-            while (s.table(name).count() < expected &&
-              System.nanoTime() < deadline && q.exception.isEmpty)
-              Thread.sleep(100L)
-            q.exception.foreach(throw _)
-            require(s.table(name).count() == expected,
-              s"q_stream_tws_ttl: sink has ${s.table(name).count()} rows, " +
-                s"expected $expected within the drain deadline")
-          } finally q.stop()
+          drainTws(s, name, expected) {
+            out.writeStream.outputMode(OutputMode.Append())
+              .format("memory").queryName(name).start()
+          }
         }
       }
       s.table(name)
@@ -1861,22 +1883,29 @@ object EventQueries {
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .select(col("user_id").as("_1"), col("n").as("_2"))
         .as[(Long, Long)]
-      val stream = eventsStream(s, dir)
+      val stream = eventsStream(s, dir, Map("maxFilesPerTrigger" -> "1"))
         .filter(col("event_id") % 2 === 1)
         .select(col("user_id"), col("event_type"))
         .as[graft.streaming.UserTypedEvent]
       val out = graft.streaming.Tws.seededCounts(stream, initial)
       val name = "q_stream_init_state_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
+      // Production TTL'd state posture (r11 verdict #4) → ProcessingTime
+      // TimeMode → drain by expected count (see drainTws): one emission
+      // per (user-with-odd-events, file-batch).
+      val expected = events(s, dir)
+        .filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), input_file_name().as("f"))
+        .distinct().count()
       withStatePartitions(s) {
         withConfs(s,
           "spark.sql.streaming.stateStore.providerClass" ->
             ("org.apache.spark.sql.execution.streaming.state." +
               "RocksDBStateStoreProvider")) {
-          val q = out.writeStream.outputMode(OutputMode.Append())
-            .format("memory").queryName(name)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
+          drainTws(s, name, expected) {
+            out.writeStream.outputMode(OutputMode.Append())
+              .format("memory").queryName(name).start()
+          }
         }
       }
       s.table(name)
@@ -1965,26 +1994,32 @@ object EventQueries {
     // successor to flatMapGroupsWithState): per-user event-type
     // profiling with point-wise MapState updates. Emissions are
     // monotone snapshots, so the downstream max() per user is the final
-    // profile no matter how AvailableNow batches the input; the oracle
-    // is the plain batch GROUP BY the stream must converge to.
+    // profile no matter how the input batches; the oracle is the plain
+    // batch GROUP BY the stream must converge to. Runs the PRODUCTION
+    // state posture (r11 verdict #4): default TTL-bounded state in
+    // processing TimeMode, drained by expected-count polling (one row
+    // per (user, file-batch) — see drainTws and q_stream_tws_mink).
     "q_stream_tws_profile" -> { (s, dir) =>
       import s.implicits._
-      val stream = eventsStream(s, dir)
+      val stream = eventsStream(s, dir, Map("maxFilesPerTrigger" -> "1"))
         .select(col("user_id"), col("event_type"))
         .as[graft.streaming.UserTypedEvent]
       val out = graft.streaming.Tws.userTypeStats(stream)
       val name = "q_stream_tws_profile_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
+      val expected = events(s, dir)
+        .select(col("user_id"), input_file_name().as("f"))
+        .distinct().count()
       withStatePartitions(s) {
         // the v2 state API only runs on the RocksDB provider
         withConfs(s,
           "spark.sql.streaming.stateStore.providerClass" ->
             ("org.apache.spark.sql.execution.streaming.state." +
               "RocksDBStateStoreProvider")) {
-          val q = out.writeStream.outputMode(OutputMode.Append())
-            .format("memory").queryName(name)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
+          drainTws(s, name, expected) {
+            out.writeStream.outputMode(OutputMode.Append())
+              .format("memory").queryName(name).start()
+          }
         }
       }
       s.table(name)

@@ -198,6 +198,29 @@ object IfsQueries {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, SparkSession, String), AnyRef]
 
+  /** Instance count of the matrix (memoized per session+dir): the fence
+    * probe every alternate-encoding gate runs before choosing a fixture —
+    * one column-pruned scan, paid once per scale.
+    */
+  private def instanceCount(s: SparkSession, dir: String): Long =
+    cache.getOrElseUpdate(("instanceCount", s, dir),
+      java.lang.Long.valueOf(matrix(s, dir).count())
+    ).asInstanceOf[java.lang.Long].longValue()
+
+  /** True when the corpus is inside the vector layout's width contract —
+    * the gate-level routing switch: within it, gates exercise the
+    * reference's vector-alternate spelling (O(instances)-wide records, a
+    * driver-held labelVector); past it they fit through the BLOCKED
+    * fixture, which is what the engine itself routes users to at that
+    * width. The routing is a FIXTURE choice, not an engine fence: the
+    * r11 sf3 ledger needed a 48 GiB driver heap solely because the
+    * vector fixture built 144 MB-per-record rows at 18M instances
+    * (r11 verdict #2) — the layout whose whole point is to not exist at
+    * that scale.
+    */
+  private def vectorFixtureFits(s: SparkSession, dir: String): Boolean =
+    instanceCount(s, dir) <= IterativeFeatureSelection.DefaultMaxInstances
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O3+O4: MI(feature, label) for every feature — one distributed job.
     "ifs_mi_relevance" -> { (s, dir) =>
@@ -286,9 +309,8 @@ object IfsQueries {
       // scale inside its contract (sf0.001…sf1); past the fence the
       // gate demonstrates the scale routing instead of erroring —
       // exactly what a library user gets.
-      val nInstances = matrix(s, dir).count()
       val sel =
-        if (nInstances <= IterativeFeatureSelection.DefaultMaxInstances)
+        if (vectorFixtureFits(s, dir))
           IterativeFeatureSelection.selectRows(
             rowMatrix(s, dir), "id", "features", k,
             org.apache.spark.ml.linalg.Vectors.dense(labelsRow(s, dir)))
@@ -344,9 +366,8 @@ object IfsQueries {
       // erroring. Both spellings are individually oracle-pinned
       // (ifs_select_rows / ifs_blocked_rows); this gate is the
       // cross-encoding agreement invariant.
-      val nInstances = matrix(s, dir).count()
       val rowSel =
-        if (nInstances <= IterativeFeatureSelection.DefaultMaxInstances)
+        if (vectorFixtureFits(s, dir))
           IterativeFeatureSelection.selectRows(
             rowMatrix(s, dir), "id", "features", k,
             org.apache.spark.ml.linalg.Vectors.dense(labelsRow(s, dir)))
@@ -368,17 +389,40 @@ object IfsQueries {
 
     // P3/P4: the ML Estimator/Model surface — fit a RowSelector, flag the
     // selected feature-rows (boolean outputCol), same oracle winners.
+    // Past the vector contract the gate fits through the BLOCKED fixture
+    // (r11 verdict #2): the vector fixture + labelVector Param would hold
+    // O(instances) driver state and O(instances)-wide records — the exact
+    // cost the engine's own routing exists to avoid — and turned the r11
+    // sf3 ledger into a 48 GiB-heap run. The vector spelling stays
+    // individually pinned at sf0.001…sf1 (6M ≤ the 10M fence); the
+    // selection is layout-invariant, so the oracle is unchanged.
     "ifs_row_model_flags" -> { (s, dir) =>
-      val model = new RowSelector()
-        .setNumTopRows(k)
-        .setIdCol("id")
-        .setFeaturesCol("features")
-        .setLabelVector(labelsRow(s, dir))
-        .setOutputCol("selected")
-        .fit(rowMatrix(s, dir))
-      model.transform(rowMatrix(s, dir))
-        .select(col("id"), col("selected"))
-        .orderBy("id")
+      if (vectorFixtureFits(s, dir)) {
+        val model = new RowSelector()
+          .setNumTopRows(k)
+          .setIdCol("id")
+          .setFeaturesCol("features")
+          .setLabelVector(labelsRow(s, dir))
+          .setOutputCol("selected")
+          .fit(rowMatrix(s, dir))
+        model.transform(rowMatrix(s, dir))
+          .select(col("id"), col("selected"))
+          .orderBy("id")
+      } else {
+        val blocked = rowMatrixBlocked(s, dir)
+        val model = new RowSelector()
+          .setNumTopRows(k)
+          .setIdCol("id")
+          .setFeaturesCol("values")
+          .setBlockCol("bid")
+          .setOutputCol("selected")
+          .fit(blocked)
+        model.transform(blocked)
+          .filter(col("id") >= 0L)
+          .select(col("id"), col("selected"))
+          .distinct()
+          .orderBy("id")
+      }
     },
 
     // P3 at scale (r10 verdict #1): the PUBLIC Estimator surface reaches
@@ -409,19 +453,42 @@ object IfsQueries {
     // old IllegalArgumentException, encoding=auto re-tiles the vectors
     // into blocks on the fly and computes the identical selection
     // through the scale-free path; the fence error is now reachable
-    // only via explicit encoding=vector (spec-pinned).
+    // only via explicit encoding=vector (spec-pinned). The re-tile
+    // demonstration needs a vector-layout INPUT to re-tile, so it runs
+    // wherever that fixture fits (sf0.001…sf1 — up to 6M-instance
+    // records, well past the 1000-instance fence being demonstrated);
+    // beyond the vector contract the gate fits the blocked fixture like
+    // every other alternate-encoding gate (r11 verdict #2) — there is
+    // no honest way to demonstrate vector re-tiling at a width where
+    // building the vector input is itself the out-of-memory bug.
     "ifs_row_model_retile" -> { (s, dir) =>
-      val model = new RowSelector()
-        .setNumTopRows(k)
-        .setIdCol("id")
-        .setFeaturesCol("features")
-        .setLabelVector(labelsRow(s, dir))
-        .setOutputCol("selected")
-        .setMaxInstances(1000) // far below every sf's instance count
-        .fit(rowMatrix(s, dir))
-      model.transform(rowMatrix(s, dir))
-        .select(col("id"), col("selected"))
-        .orderBy("id")
+      if (vectorFixtureFits(s, dir)) {
+        val model = new RowSelector()
+          .setNumTopRows(k)
+          .setIdCol("id")
+          .setFeaturesCol("features")
+          .setLabelVector(labelsRow(s, dir))
+          .setOutputCol("selected")
+          .setMaxInstances(1000) // far below every sf's instance count
+          .fit(rowMatrix(s, dir))
+        model.transform(rowMatrix(s, dir))
+          .select(col("id"), col("selected"))
+          .orderBy("id")
+      } else {
+        val blocked = rowMatrixBlocked(s, dir)
+        val model = new RowSelector()
+          .setNumTopRows(k)
+          .setIdCol("id")
+          .setFeaturesCol("values")
+          .setBlockCol("bid")
+          .setOutputCol("selected")
+          .fit(blocked)
+        model.transform(blocked)
+          .filter(col("id") >= 0L)
+          .select(col("id"), col("selected"))
+          .distinct()
+          .orderBy("id")
+      }
     },
 
     // P1/P2: the conventional Estimator/Model surface end-to-end under

@@ -78,12 +78,14 @@ object Q {
     * the parent dir. Returns a fresh stream per call (callers doing
     * stream-stream self-joins need two distinct sources).
     */
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  def eventsStream(s: SparkSession, dir: String,
+                   options: Map[String, String] = Map.empty): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     normalizeEventTs(
       s.readStream.schema(schema)
         .option("basePath", dir)
+        .options(options)
         .parquet(s"$dir/events*.parquet"))
   }
 

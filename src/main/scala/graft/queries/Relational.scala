@@ -1246,6 +1246,53 @@ object Relational {
           "t" -> "g_li_ident"))
     },
 
+    // EXECUTE IMMEDIATE — Spark 4's dynamic-SQL statement (r11 verdict
+    // #6): the statement TEXT lives in a session variable and its one
+    // free parameter binds through USING — the injection-safe spelling
+    // of runtime-assembled SQL (no string concatenation anywhere: the
+    // template is opaque to the optimizer until execution, the
+    // parameter is typed). Completes the gated Spark-4 dialect slice
+    // (IDENTIFIER / pipe / VARIANT / collation). The oracle inlines the
+    // resolved statement.
+    "q_execute_immediate" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("g_li_exec")
+      s.sql("DECLARE OR REPLACE VARIABLE g_exec_stmt STRING")
+      s.sql(
+        """SET VAR g_exec_stmt =
+          |  'SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+          |     CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+          |       AS DOUBLE) AS revenue
+          |   FROM g_li_exec WHERE l_quantity > :qmin
+          |   GROUP BY l_returnflag ORDER BY flag'""".stripMargin)
+      s.sql("EXECUTE IMMEDIATE g_exec_stmt USING 30 AS qmin")
+    },
+
+    // Session variables (DECLARE VARIABLE / SET VAR) — the other half
+    // of the Spark-4 dynamic-SQL surface (r11 verdict #6): a data-
+    // derived threshold computed ONCE into a typed session variable by
+    // a scalar-subquery SET, then referenced by name inside a later
+    // query — the pattern that replaces driver-side string splicing of
+    // computed constants. The threshold is exact integer arithmetic
+    // (sum of floors DIV count) so both engines derive the identical
+    // cut; the oracle inlines the subquery as a CTE.
+    "q_session_variables" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("g_li_vars")
+      s.sql("DECLARE OR REPLACE VARIABLE g_qty_cut BIGINT")
+      s.sql(
+        """SET VAR g_qty_cut =
+          |  (SELECT sum(CAST(floor(l_quantity) AS BIGINT)) DIV count(*)
+          |   FROM g_li_vars)""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag AS flag,
+          |  g_qty_cut AS qty_cut,
+          |  CAST(sum(CASE WHEN l_quantity > g_qty_cut THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_above,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM g_li_vars
+          |GROUP BY l_returnflag
+          |ORDER BY flag""".stripMargin)
+    },
+
     // SQL pipe syntax (Spark 4.0's |> operator chain) — the linear
     // query spelling: FROM ... |> WHERE ... |> AGGREGATE ... |> ORDER
     // BY. Same logical plan as the nested spelling, so the oracle is
@@ -2118,6 +2165,31 @@ object Relational {
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)
         |    AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY flag""".stripMargin,
+
+    // the EXECUTE IMMEDIATE template with parameter + statement inlined
+    "q_execute_immediate" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_quantity > 30
+        |GROUP BY l_returnflag
+        |ORDER BY flag""".stripMargin,
+
+    // the session-variable threshold inlined as a CTE
+    "q_session_variables" ->
+      """WITH cut AS (
+        |  SELECT CAST(sum(CAST(floor(l_quantity) AS BIGINT))
+        |    // count(*) AS BIGINT) AS c
+        |  FROM lineitem)
+        |SELECT l_returnflag AS flag,
+        |  (SELECT c FROM cut) AS qty_cut,
+        |  CAST(sum(CASE WHEN l_quantity > (SELECT c FROM cut)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY flag""".stripMargin,

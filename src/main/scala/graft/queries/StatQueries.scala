@@ -998,12 +998,16 @@ object StatQueries {
     // 100 TB quantile path (approx_percentile: one pass, bounded
     // KLL-style sketch, rank error ≤ n/accuracy) audited in-gate
     // against the exact cut: the gate computes the exact median via
-    // RankSelect, then the RANK of the sketch's answer (one count
-    // pass), and emits within_bound = |rank(approx) − n/2| ≤
-    // n/accuracy + 1. The oracle pins the exact median and TRUE, so a
-    // sketch drifting outside its published guarantee is a hash
-    // mismatch — the contract column pattern the LSH recall gates use,
-    // applied to the quantile sketch.
+    // RankSelect, then the RANK INTERVAL of the sketch's answer (a
+    // value with duplicates occupies ranks [count(v < va)+1,
+    // count(v <= va)] — scoring only the max rank can flip the flag on
+    // a COMPLIANT sketch when the returned value is heavily tied,
+    // ADVICE r11 #3), and emits within_bound = that interval
+    // intersects [n/2 − bound, n/2 + bound] with bound = n/accuracy
+    // + 1. The oracle pins the exact median and TRUE, so a sketch
+    // drifting outside its published guarantee is a hash mismatch —
+    // the contract column pattern the LSH recall gates use, applied to
+    // the quantile sketch.
     "q_approx_quantile_contract" -> { (s, dir) =>
       import s.implicits._
       val v = t(s, dir, "lineitem")
@@ -1011,9 +1015,12 @@ object StatQueries {
       val (med, n) = graft.ops.RankSelect.medianWithCount(v, "v")
       val va = v.agg(expr("approx_percentile(v, 0.5D, 10000)").as("va"))
         .head().getDouble(0)
-      val rank = v.filter(col("v") <= va).count()
+      val rk = v.agg(
+        sum(when(col("v") < va, 1L).otherwise(0L)).as("lt"),
+        sum(when(col("v") <= va, 1L).otherwise(0L)).as("le")).head()
+      val (minRank, maxRank) = (rk.getLong(0) + 1, rk.getLong(1))
       val bound = n / 10000 + 1
-      val ok = math.abs(rank - n / 2) <= bound
+      val ok = maxRank >= n / 2 - bound && minRank <= n / 2 + bound
       Seq((n, math.rint(med * 1e6) / 1e6, ok))
         .toDF("n", "exact_median", "approx_within_bound")
     },

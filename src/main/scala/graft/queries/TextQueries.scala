@@ -644,6 +644,58 @@ object TextQueries {
         t(s, dir, "documents"), pctBound = 90, okCol = "band_recall_ok")
     },
 
+    // PERSISTED-INDEX incremental dedup (r11 verdict #5) — the nightly-
+    // ingest shape: (a) build + SAVE the MinHash index over the corpus
+    // split (doc_id % 5 != 0), (b) dedup the NEW batch (doc_id % 5 == 0)
+    // against the LOADED index — the corpus side contributes only its
+    // persisted band/index-set parquet, never its text (DedupIndexSpec
+    // proves it by deleting the corpus input between build and query) —
+    // then (c) pin the loaded-index answer against the recompute-from-
+    // scratch twin (`loaded_agrees`: exact set equality including
+    // distances — a persistence-layer corruption of signatures, bands,
+    // or index sets flips it) AND against the exact cross-split truth
+    // (`index_recall_ok` ≥ 90% over the md5 audit sample, the LSH-gate
+    // contract pattern). The oracle emits the SQL-expressible truth
+    // pairs with both flags pinned TRUE.
+    "q_dedup_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val idxPath = System.getProperty("java.io.tmpdir") +
+        "/graft_mh_idx_" + Integer.toHexString(dir.hashCode)
+      graft.ops.DedupIndex.buildAndSave(corpus, "doc_id", "text", idxPath)
+      val viaIndex = graft.ops.DedupIndex
+        .dedupNewBatch(s, batch, "doc_id", "text", idxPath,
+          maxDistance = 0.2)
+      val fresh = graft.ops.DedupIndex
+        .crossPairsFresh(corpus, batch, "doc_id", "text",
+          maxDistance = 0.2)
+      // exact multiset equality (both sides are distinct-keyed): every
+      // (batch, corpus, dist) row must appear in BOTH answers
+      val agree = viaIndex.union(fresh)
+        .groupBy("batch_id", "corpus_id", "jaccard_dist").count()
+        .filter(col("count") =!= 2).isEmpty
+      val truth = truthPairs(s, dir, 0.8)
+        .filter((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
+      val found = viaIndex.select(
+        least(col("batch_id"), col("corpus_id")).as("fa"),
+        greatest(col("batch_id"), col("corpus_id")).as("fb")).distinct()
+      val flag = truth
+        .join(found, col("id_a") === col("fa") && col("id_b") === col("fb"),
+          "left")
+        .agg((sum(when(col("fa").isNotNull, 1).otherwise(0)) * 100 >=
+          count(lit(1)) * 90).as("index_recall_ok"))
+      val cov = docs.agg(
+        least(lit(TruthSample.toLong), count(lit(1))).as("audit_docs"),
+        count(lit(1)).as("corpus_docs"))
+      truth.crossJoin(broadcast(flag)).crossJoin(broadcast(cov))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("index_recall_ok"), lit(agree).as("loaded_agrees"),
+          col("audit_docs"), col("corpus_docs"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Decontamination sweep: treat src0 as the EVAL set and the rest as
     // TRAIN; flag every train doc whose 3-gram Jaccard vs some eval doc
     // reaches 0.5 (cross-corpus inverted-index join, no blocking — an
@@ -2964,6 +3016,41 @@ object TextQueries {
     "q_banded_minhash" -> truthOracle(0.8, "band_recall_ok"),
     "q_simhash_buckets" -> truthOracle(0.8, "hamming8_ok"),
     "q_fingerprint" -> truthOracle(0.9, "fp_match_ok"),
+
+    // the cross-split restriction of truthOracle, both contract flags
+    // pinned TRUE (recall over the audit sample; loaded-index answer ==
+    // fresh recompute)
+    "q_dedup_incremental" ->
+      s"""WITH smp AS (
+         |  SELECT doc_id, text FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT $TruthSample),
+         |d AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id,
+         |      list_distinct(list_transform(
+         |        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+         |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+         |        AS sh
+         |    FROM smp)
+         |  WHERE len(sh) > 0),
+         |e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM d),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sz AS sza, b.sz AS szb, count(*) AS inter
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS jaccard
+         |  FROM p)
+         |SELECT id_a, id_b, jaccard, TRUE AS index_recall_ok,
+         |  TRUE AS loaded_agrees,
+         |  least($TruthSample, (SELECT count(*) FROM documents))
+         |    AS audit_docs,
+         |  (SELECT count(*) FROM documents) AS corpus_docs
+         |FROM j
+         |WHERE jaccard >= 0.8 AND ((id_a % 5 = 0) != (id_b % 5 = 0))
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_decontaminate" ->
       """WITH d AS (

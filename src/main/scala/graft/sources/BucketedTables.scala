@@ -17,27 +17,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedTables {
 
-  private val ensured =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String),
-      Unit]
+  /** LAST tag that validated or wrote each (session, table). A memo keyed
+    * on (session, table, tag) is wrong in multi-scale sessions (ADVICE r11
+    * #1): after a DIFFERENT tag rewrites the physical table, the old
+    * (table, tag) key is still memoized, so a revisit of the first tag
+    * would no-op against the other scale's data. Remembering only the last
+    * tag makes any tag change re-validate — and re-ingest when the
+    * contents don't match.
+    */
+  private val lastTag =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   /** Idempotent ingest: (re)write the bucketed table only when the session
     * catalog doesn't already hold a copy with the same row count as `df`.
-    * Keyed on (session, table, tag) — the pay-the-shuffle-once-at-ingest
-    * contract means a gate query that joins the bucketed tables must not
-    * re-pay the write on every execution; callers run this from an untimed
-    * setup step (Bench warm-up) and the join gate re-invokes it as a
-    * no-op guard.
+    * The pay-the-shuffle-once-at-ingest contract means a gate query that
+    * joins the bucketed tables must not re-pay the write on every
+    * execution; callers run this from an untimed setup step (Bench
+    * warm-up) and the join gate re-invokes it as a no-op guard. A tag
+    * change (another scale warmed in between) always re-validates.
     */
   def ensureBucketed(df: DataFrame, table: String, bucketCol: String,
-                     buckets: Int, tag: String): Unit = {
+                     buckets: Int, tag: String): Unit = synchronized {
     val spark = df.sparkSession
-    ensured.getOrElseUpdate((spark, table, tag), {
+    if (!lastTag.get((spark, table)).contains(tag)) {
       val reusable = spark.catalog.tableExists(table) &&
         scala.util.Try(spark.table(table).count()).toOption
           .contains(df.count())
       if (!reusable) writeBucketed(df, table, bucketCol, buckets)
-    })
+      lastTag((spark, table)) = tag
+    }
   }
 
   /** Write `df` as a bucketed parquet table registered in the session

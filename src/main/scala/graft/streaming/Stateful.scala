@@ -180,9 +180,17 @@ object Stateful {
     * can detect undercounted EWMAs instead of trusting them blindly.
     *
     * @param droppedBuckets accumulator incremented once per discarded
-    *                       (event_type, hour) bucket; pass your own to
-    *                       assert on it, or let the default named one
-    *                       surface the count in Spark metrics
+    *                       (event_type, hour) bucket. AT-LEAST-ONCE:
+    *                       task retries and speculative execution can
+    *                       replay a partition's drops, so a nonzero
+    *                       value means "drops happened", not an exact
+    *                       count — treat it as a red flag, not a metric
+    *                       to reconcile. Pass your own to observe it,
+    *                       or let the shared default surface the count
+    *                       in Spark metrics (one accumulator per
+    *                       SparkContext — ADVICE r11 #5 — so repeated
+    *                       calls don't pile up same-named
+    *                       registrations).
     */
   def streamEwmaBurst(
       events: Dataset[TypedHourEvent],
@@ -191,7 +199,9 @@ object Stateful {
     val s = events.sparkSession
     import s.implicits._
     val dropAcc = droppedBuckets.getOrElse(
-      s.sparkContext.longAccumulator("graft.streamEwmaBurst.droppedBuckets"))
+      Stateful.defaultDropAcc.getOrElseUpdate(s.sparkContext,
+        s.sparkContext.longAccumulator(
+          "graft.streamEwmaBurst.droppedBuckets")))
 
     def fn(et: String, batch: Iterator[TypedHourEvent],
            state: GroupState[EwmaState]): Iterator[HourEwma] = {
@@ -232,4 +242,12 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** The default `droppedBuckets` accumulator, ONE per SparkContext: a
+    * fresh named accumulator per [[streamEwmaBurst]] call would pile up
+    * same-named registrations in the context (ADVICE r11 #5).
+    */
+  private val defaultDropAcc = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.SparkContext,
+      org.apache.spark.util.LongAccumulator]
 }

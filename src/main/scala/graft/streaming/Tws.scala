@@ -28,12 +28,22 @@ case class UserTypeStats(user_id: Long, n_types: Long, n_events: Long)
   * on local disk, not executor heap), which is exactly the production
   * posture the q_stream_rocksdb_sessions twin gates.
   *
+  * STATE TTL (r11 verdict #4): both state variables are declared with
+  * the caller's `ttl` (default [[Tws.DefaultStateTtl]]) — the production
+  * state-size control: a user idle past the TTL has their profile
+  * EVICTED instead of pinned in the store forever. Spark only supports
+  * state TTL in processing TimeMode ([[Tws]] wrappers pick the mode from
+  * the ttl), and eviction is processing-time-relative, so inside one run
+  * whose wall time is far below the TTL the semantics are bit-identical
+  * to the untimed spelling (spec-pinned). `ttl = None` opts out for
+  * bounded-replay/backfill jobs (TimeMode.None, AvailableNow-terminable).
+  *
   * Emission is a MONOTONE snapshot per (user, batch): both counters only
-  * grow, so a downstream `max()` per user yields the final profile
-  * regardless of how AvailableNow splits the input into micro-batches —
-  * the batch-split-proof emission contract.
+  * grow within a state lifetime, so a downstream `max()` per user yields
+  * the final profile regardless of how the input splits into
+  * micro-batches — the batch-split-proof emission contract.
   */
-class UserTypeStatsProcessor
+class UserTypeStatsProcessor(ttl: Option[java.time.Duration])
     extends StatefulProcessor[Long, UserTypedEvent, UserTypeStats] {
 
   @transient private var total: ValueState[Long] = _
@@ -41,9 +51,9 @@ class UserTypeStatsProcessor
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     total = getHandle.getValueState[Long]("total",
-      Encoders.scalaLong, TTLConfig.NONE)
+      Encoders.scalaLong, Tws.ttlConfig(ttl))
     types = getHandle.getMapState[String, Long]("types",
-      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      Encoders.STRING, Encoders.scalaLong, Tws.ttlConfig(ttl))
   }
 
   override def handleInputRows(key: Long, rows: Iterator[UserTypedEvent],
@@ -75,6 +85,16 @@ class UserTypeStatsProcessor
   * re-arming at +1 ms if the watermark has only REACHED the horizon —
   * so the v1 (fMGWS), v2 (TWS), and relational-oracle emission rules are
   * bit-identical.
+  *
+  * NO STATE TTL here, by API constraint, not omission: Spark rejects a
+  * non-NONE TTLConfig outside processing TimeMode
+  * (`StateStoreErrors.cannotProvideTTLConfigForTimeMode` — spec-pinned
+  * in TwsTtlSpec), and this processor is event-time by definition. The
+  * state-size control in event TimeMode is the TIMER LIFECYCLE itself:
+  * every key's state is cleared when its session closes (a later event
+  * arrives, or the gap timer fires one tick past the watermark horizon),
+  * so no key outlives its gap horizon + watermark lateness — the
+  * event-time analogue of a TTL, driven by the same store machinery.
   */
 class TimerSessionProcessor(gapMs: Long)
     extends StatefulProcessor[Long, UserEvent, ClosedSession] {
@@ -146,9 +166,11 @@ case class MinKStats(user_id: Long, n_seen: Long, mink_sum: Long)
   * global answer no matter how the input splits into micro-batches. The
   * list is rewritten bounded (≤ k elements) each batch — state is O(k)
   * per user forever, the property ListState's whole-list put() makes
-  * cheap.
+  * cheap. Both state variables carry the caller's `ttl` (default
+  * [[Tws.DefaultStateTtl]]) — see [[UserTypeStatsProcessor]] for the
+  * TTL/TimeMode contract.
   */
-class MinKProcessor(k: Int)
+class MinKProcessor(k: Int, ttl: Option[java.time.Duration])
     extends StatefulProcessor[Long, ValuedEvent, MinKStats] {
 
   @transient private var seen: ValueState[Long] = _
@@ -156,9 +178,9 @@ class MinKProcessor(k: Int)
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     seen = getHandle.getValueState[Long]("seen",
-      Encoders.scalaLong, TTLConfig.NONE)
+      Encoders.scalaLong, Tws.ttlConfig(ttl))
     mins = getHandle.getListState[Long]("mins",
-      Encoders.scalaLong, TTLConfig.NONE)
+      Encoders.scalaLong, Tws.ttlConfig(ttl))
   }
 
   override def handleInputRows(key: Long, rows: Iterator[ValuedEvent],
@@ -182,9 +204,11 @@ case class ValuedEvent(user_id: Long, vq: Long)
   * row arrives, and the stream continues counting from there. Emissions
   * are monotone snapshots ([[UserTypeStatsProcessor]]'s contract), so
   * the final max() per user must equal the FULL corpus aggregate — the
-  * proof the handoff lost nothing and double-counted nothing.
+  * proof the handoff lost nothing and double-counted nothing. State
+  * carries the caller's `ttl` (default [[Tws.DefaultStateTtl]]) — see
+  * [[UserTypeStatsProcessor]] for the TTL/TimeMode contract.
   */
-class SeededCountProcessor
+class SeededCountProcessor(ttl: Option[java.time.Duration])
     extends StatefulProcessorWithInitialState[
       Long, UserTypedEvent, UserTypeStats, Long] {
 
@@ -192,7 +216,7 @@ class SeededCountProcessor
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     total = getHandle.getValueState[Long]("total",
-      Encoders.scalaLong, TTLConfig.NONE)
+      Encoders.scalaLong, Tws.ttlConfig(ttl))
   }
 
   override def handleInitialState(key: Long, initialState: Long,
@@ -216,18 +240,19 @@ class SeededCountProcessor
   */
 case class TtlCount(user_id: Long, n: Long, resumed: Boolean)
 
-/** TTL-bounded state — the production state-size control at 100 TB: a
-  * `ValueState[Long]` declared with a real `TTLConfig` instead of
-  * `TTLConfig.NONE`, so the store EVICTS a key's value once
-  * `ttl` elapses after its last update (processing time — the only
-  * TimeMode TTL supports). The processor counts events per user and
-  * reports `resumed = cnt.exists()` at batch start: a key seen again
-  * WITHIN the TTL resumes its count (`resumed = true`), a key seen
-  * after eviction restarts from zero (`resumed = false`) — emission
-  * itself proves eviction, no store introspection needed. With a TTL
-  * shorter than any batch gap every batch starts fresh, so summing the
-  * per-batch emissions reconstructs the exact corpus count regardless
-  * of how the input splits — the property the gate's oracle pins.
+/** TTL-bounded state at its most observable — the demonstration twin of
+  * the production processors above (which carry the same TTL machinery
+  * behind a long default): a `ValueState[Long]` declared with a real
+  * `TTLConfig`, so the store EVICTS a key's value once `ttl` elapses
+  * after its last update (processing time — the only TimeMode TTL
+  * supports). The processor counts events per user and reports
+  * `resumed = cnt.exists()` at batch start: a key seen again WITHIN the
+  * TTL resumes its count (`resumed = true`), a key seen after eviction
+  * restarts from zero (`resumed = false`) — emission itself proves
+  * eviction, no store introspection needed. With a TTL shorter than any
+  * batch gap every batch starts fresh, so summing the per-batch
+  * emissions reconstructs the exact corpus count regardless of how the
+  * input splits — the property the gate's oracle pins.
   */
 class TtlCountProcessor(ttl: java.time.Duration)
     extends StatefulProcessor[Long, UserTypedEvent, TtlCount] {
@@ -249,8 +274,48 @@ class TtlCountProcessor(ttl: java.time.Duration)
   }
 }
 
-/** The transformWithState operators. */
+/** The transformWithState operators.
+  *
+  * '''TTL contract''' (r11 verdict #4): every non-event-time processor
+  * declares its state with a TTL, defaulting to [[DefaultStateTtl]] —
+  * an idle key's state is evicted instead of accumulating forever,
+  * which is the difference between bounded and unbounded state at
+  * 100 TB of keys. Spark's constraints, honored by the wrappers:
+  *
+  *   - TTL is processing-time-only: a non-NONE TTLConfig outside
+  *     `TimeMode.ProcessingTime` throws (spec-pinned), so `ttl` also
+  *     selects the TimeMode.
+  *   - In processing TimeMode the operator always reports
+  *     `shouldRunAnotherBatch = true` (TTL state may need eviction), so
+  *     `Trigger.AvailableNow` never terminates and
+  *     `processAllAvailable()` never returns — callers drain by polling
+  *     the sink for the expected emission count (the gates' pattern),
+  *     or pass `ttl = None` for a bounded replay/backfill where
+  *     AvailableNow termination matters (TimeMode.None, no TTL).
+  *   - The event-time [[timerSessions]] cannot carry a TTL at all (see
+  *     [[TimerSessionProcessor]]) — there, the timer lifecycle is the
+  *     state bound.
+  */
 object Tws {
+
+  /** Default state TTL of the processing-time processors: long enough
+    * that any in-session stream sees identical semantics to untimed
+    * state (eviction is processing-time-relative), short enough that an
+    * abandoned key's state does not outlive a month of idleness.
+    */
+  val DefaultStateTtl: java.time.Duration = java.time.Duration.ofDays(30)
+
+  /** The TTLConfig spelling of an optional duration. */
+  private[streaming] def ttlConfig(
+      ttl: Option[java.time.Duration]): TTLConfig =
+    ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+
+  /** TimeMode implied by the ttl: TTL needs processing time; no TTL
+    * wants TimeMode.None (bounded replays then terminate under
+    * AvailableNow).
+    */
+  private def timeModeFor(ttl: Option[java.time.Duration]): TimeMode =
+    if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
 
   /** Per-user event counts under TTL-bounded state: counts resume
     * within `ttl` of the last update and restart from zero after
@@ -269,28 +334,33 @@ object Tws {
 
   /** Per-user (count, sum of k smallest cent values) snapshots via
     * bounded ListState; compose with "row with max n_seen per user".
+    * State is TTL-bounded by default (see the object doc for the
+    * TTL/TimeMode/drain contract).
     */
-  def minKValues(events: Dataset[ValuedEvent], k: Int)
+  def minKValues(events: Dataset[ValuedEvent], k: Int,
+                 ttl: Option[java.time.Duration] = Some(DefaultStateTtl))
   : Dataset[MinKStats] = {
     val s = events.sparkSession
     import s.implicits._
     events.groupByKey(_.user_id)
-      .transformWithState(new MinKProcessor(k),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new MinKProcessor(k, ttl),
+        timeModeFor(ttl), OutputMode.Append())
   }
 
   /** Per-user running event counts, state seeded from `initial`
     * (user_id → historical count). Monotone snapshots; compose with
-    * max() per user.
+    * max() per user. State is TTL-bounded by default (see the object
+    * doc for the TTL/TimeMode/drain contract).
     */
   def seededCounts(events: Dataset[UserTypedEvent],
-                   initial: Dataset[(Long, Long)])
+                   initial: Dataset[(Long, Long)],
+                   ttl: Option[java.time.Duration] = Some(DefaultStateTtl))
   : Dataset[UserTypeStats] = {
     val s = events.sparkSession
     import s.implicits._
     events.groupByKey(_.user_id)
-      .transformWithState(new SeededCountProcessor,
-        TimeMode.None(), OutputMode.Append(),
+      .transformWithState(new SeededCountProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Append(),
         initial.groupByKey(_._1).mapValues(_._2))
   }
 
@@ -310,14 +380,18 @@ object Tws {
 
   /** Per-user (distinct types, total events) profile snapshots; compose
     * with `groupBy(user).agg(max(...))` for the final profile (the
-    * snapshots are monotone).
+    * snapshots are monotone within a state lifetime). State is
+    * TTL-bounded by default (see the object doc for the
+    * TTL/TimeMode/drain contract).
     */
   def userTypeStats(
-      events: Dataset[UserTypedEvent]): Dataset[UserTypeStats] = {
+      events: Dataset[UserTypedEvent],
+      ttl: Option[java.time.Duration] = Some(DefaultStateTtl))
+  : Dataset[UserTypeStats] = {
     val s = events.sparkSession
     import s.implicits._
     events.groupByKey(_.user_id)
-      .transformWithState(new UserTypeStatsProcessor,
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new UserTypeStatsProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Append())
   }
 }

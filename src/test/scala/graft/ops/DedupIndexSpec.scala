@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** The persisted-index contract (r11 verdict #5):
+  *
+  *   1. dedupNewBatch against the LOADED index equals the recompute-
+  *      from-scratch cross pairs exactly (ids AND distances);
+  *   2. the query side never touches the corpus text — proven the
+  *      strongest way available: the corpus parquet is DELETED between
+  *      buildAndSave and dedupNewBatch, and the answer is unchanged;
+  *   3. the load is deterministic: two independent query runs against
+  *      the same index agree.
+  */
+class DedupIndexSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  behavior of "DedupIndex (persisted MinHash index)"
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  it should "dedup a new batch against the loaded index without the " +
+    "corpus text, matching the fresh recompute" in {
+    val s = spark
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dedup_idx_spec").toString
+    // corpus: two near-dup families + noise; batch: one member of each
+    // family (near-dup across the split) + one novel doc
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again tomorrow",
+      3L -> "entirely different content about distributed query engines",
+      4L -> "spark catalyst optimizer rewrites logical plans into physical",
+      5L -> "a b c d e f g h i j k l m n o p")
+    val batch = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog again today",
+      101L -> "spark catalyst optimizer rewrites logical plans into action",
+      102L -> "nothing remotely similar lives in this novel document text")
+
+    // write corpus to parquet so it can be DELETED after the build
+    docsDf(corpus).write.mode("overwrite").parquet(s"$base/corpus")
+    val corpusFromDisk = s.read.parquet(s"$base/corpus")
+    DedupIndex.buildAndSave(corpusFromDisk, "doc_id", "text",
+      s"$base/idx")
+
+    // fresh recompute BEFORE the deletion (it needs the corpus)
+    val fresh = DedupIndex.crossPairsFresh(corpusFromDisk,
+        docsDf(batch), "doc_id", "text", maxDistance = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    // delete the corpus: the loaded-index query must not notice
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$base/corpus"))
+
+    def queryOnce() = DedupIndex.dedupNewBatch(s, docsDf(batch),
+        "doc_id", "text", s"$base/idx", maxDistance = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    val viaIndex = queryOnce()
+    viaIndex shouldBe fresh
+    viaIndex shouldBe queryOnce() // deterministic load
+    // the cross-split near-dups were actually found
+    viaIndex.map(t => (t._1, t._2)) should contain allOf(
+      (100L, 1L), (101L, 4L))
+    // exact duplicate across the split has distance 0
+    viaIndex.find(t => t._1 == 100L && t._2 == 1L).get._3 shouldBe 0.0
+    // the novel doc matched nothing
+    viaIndex.map(_._1) should not contain 102L
+  }
+
+  it should "persist and reload the shingle/hash config" in {
+    val s = spark
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dedup_idx_cfg").toString
+    val cfg = DedupIndex.MinHashConfig(n = 2, numHashTables = 6,
+      seed = 7L, numFeatures = 1 << 12)
+    DedupIndex.buildAndSave(
+      docsDf(Seq(1L -> "alpha beta gamma delta epsilon")),
+      "doc_id", "text", s"$base/idx", cfg)
+    DedupIndex.loadConfig(s, s"$base/idx") shouldBe cfg
+  }
+}

@@ -205,18 +205,30 @@ class StatefulSpec extends AnyFlatSpec with Matchers with SparkTestBase {
         "RocksDBStateStoreProvider")
     try {
       val input = MemoryStream[UserTypedEvent]
+      // the PRODUCTION path: default TTL-bounded state → processing
+      // TimeMode → the stream never reports "no new data", so drain by
+      // polling the sink for the expected emission count instead of
+      // processAllAvailable (which would hang — see Tws object doc)
       val query = Tws.userTypeStats(input.toDS())
         .writeStream.format("memory").queryName("tws_profile")
         .outputMode("append").start()
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (s.table("tws_profile").count() < n &&
+          System.nanoTime() < deadline && query.exception.isEmpty)
+          Thread.sleep(50L)
+        query.exception.foreach(throw _)
+        s.table("tws_profile").count() shouldBe n
+      }
       try {
         // the same user's events split across TWO batches — the final
         // max() must still equal the single-batch ground truth
         input.addData(UserTypedEvent(1L, "view"),
           UserTypedEvent(1L, "view"), UserTypedEvent(2L, "buy"))
-        query.processAllAvailable()
+        awaitRows(2L)
         input.addData(UserTypedEvent(1L, "buy"),
           UserTypedEvent(1L, "view"), UserTypedEvent(2L, "buy"))
-        query.processAllAvailable()
+        awaitRows(4L)
         val out = s.sql("SELECT user_id, max(n_types), max(n_events) " +
             "FROM tws_profile GROUP BY user_id ORDER BY user_id")
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -62,6 +62,7 @@ object Bench {
     warm("session caches") {
       queries.GraphQueries.warmSharedCaches(spark, sfDir)
       queries.TextQueries.warmSharedCaches(spark, sfDir)
+      queries.IfsQueries.warmSharedCaches(spark, sfDir)
     }
   }
 
@@ -199,6 +200,14 @@ object Bench {
           s"SPARK_GRAFT_SF_PAIR wants two+ comma-separated dirs, got '$p'")
         var prevLeg = Map.empty[String, Double]
         val runs = dirs.map { d =>
+          // Evict the previous leg's session-cache pins before warming
+          // this one: entries are per-scale materializations (the sf3
+          // blocked ifs matrix alone is ~1.2 GB) and holding every
+          // leg's copy would shrink the default heap for no reader —
+          // cleared, the old pins lose their protection and the next
+          // resetState reclaims them.
+          graft.ops.SessionCache.clear()
+          resetState(spark)
           // Warm EVERY leg unconditionally (ADVICE r11 #1): the startup
           // warm-up already ingested sfDir's bucketed tables, but a
           // previous leg's warmScale overwrote them with ITS scale's

@@ -20,9 +20,14 @@ import scala.collection.concurrent.TrieMap
   *
   * Scale note: entries are pinned via [[Pin.pin]] (localCheckpoint,
   * MEMORY_AND_DISK) — a cluster-side materialization that spills, never a
-  * driver collect. Cache only BOUNDED derivations (an edge list is
-  * O(distinct pairs), orders of magnitude below its event input, and is
-  * precisely the thing each graph query would otherwise recompute).
+  * driver collect. Cache BOUNDED derivations (an edge list is O(distinct
+  * pairs), orders of magnitude below its event input, and is precisely
+  * the thing each graph query would otherwise recompute) — or a shared
+  * O(corpus) INPUT FIXTURE whose size the caller has sized explicitly
+  * (the ifs transpose matrices: materializing once per scale as plain
+  * row blocks replaced six per-gate columnar cache rebuilds whose
+  * builder churn OOM'd the default heap). Multi-scale drivers evict
+  * between scales via [[clear]] (Bench's paired loop does).
   *
   * When [[Pin.disabled]] is set (test-only plan inspection), the cache is
   * bypassed entirely — a pinned entry's truncated plan would hide the

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** PERSISTED IVF index for approximate-nearest-neighbor serving — the
+  * ANN half of the incremental-corpus story ([[DedupIndex]] is the dedup
+  * half, r11 verdict #5): train the coarse quantizer and assign the
+  * corpus into inverted cells ONCE, persist, then serve every future
+  * query batch against the LOADED cells without touching the corpus
+  * embeddings again. This is the layout a billion-vector serving tier
+  * actually deploys: the index build is the nightly batch job; queries
+  * only ever read centroids (tiny) plus ~nProbe/nList of the cell data.
+  *
+  * Artifacts at `path`:
+  *
+  *   - `meta/`      — (n_list, seed, sample_size): the build config;
+  *   - `centroids/` — (cell, c: array&lt;double&gt;): the coarse
+  *     quantizer, ≤ nList rows — collected to the driver at query time
+  *     exactly like the in-memory operator broadcasts it;
+  *   - `cells/`     — (cell, nid, nu: array&lt;double&gt;): the
+  *     inverted file — unit-normalized corpus vectors keyed by their
+  *     nearest-centroid cell. Parquet, so a query's probed cells reach
+  *     the join as an equi-key read.
+  *
+  * Query semantics are EXACTLY [[Similarity.ivfTopK]] (same training
+  * sample, same seeded spherical k-means, same argmax-dot assignment,
+  * same probe order and tie rules), so the loaded-index answer must be
+  * bit-identical to the in-memory operator's — the gate pins that
+  * equality, plus the usual exact-recall contract.
+  */
+object AnnIndex {
+
+  /** Build the IVF index over `emb` and persist it at `path`
+    * (overwriting a previous index — the nightly-rebuild spelling).
+    */
+  def buildAndSaveIvf(emb: DataFrame, idCol: String, embCol: String,
+                      path: String, nList: Int = 16, seed: Long = 42L,
+                      sampleSize: Int = 4096): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val corpus = Similarity.unitVectors(emb, idCol, embCol, "nid", "nu")
+      .cache()
+    try {
+      val sample = Similarity.trainSample(corpus, sampleSize)
+      val cents = Similarity.sphericalKMeans(sample, nList, iters = 5,
+        seed = seed)
+      val bc = s.sparkContext.broadcast(cents)
+      Seq((nList, seed, sampleSize))
+        .toDF("n_list", "seed", "sample_size")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/meta")
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "c")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      corpus.as[(Long, Array[Double])]
+        .map { case (id, u) => (Similarity.argmaxDot(u, bc.value), id, u) }
+        .toDF("cell", "nid", "nu")
+        .write.mode("overwrite").parquet(s"$path/cells")
+    } finally { corpus.unpersist(); () }
+  }
+
+  /** Top-k cosine neighbors of each `queries` row against the INDEXED
+    * corpus, reading only the persisted centroids and cells (provable by
+    * deleting the corpus input after the build — AnnIndexSpec does).
+    * Output contract matches [[Similarity.ivfTopK]]:
+    * (qid, rnk, idCol, sim).
+    */
+  def queryIvf(spark: SparkSession, queries: DataFrame, idCol: String,
+               embCol: String, path: String, k: Int,
+               nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // ≤ nList rows — the same driver-side footprint the in-memory
+    // operator's broadcast has.
+    val cents = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    val nP = nProbe
+    val probed = Similarity.unitVectors(queries, idCol, embCol,
+        "qid", "qu")
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qu) =>
+        val cs = bc.value
+        cs.indices.map(c => (c, Similarity.dotArr(qu, cs(c))))
+          .sortBy { case (c, d) => (-d, c) }
+          .take(nP).map { case (c, _) => (qid, qu, c) }
+      }
+      .toDF("qid", "qu", "cell")
+    val rankW = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("nid"))
+    spark.read.parquet(s"$path/cells")
+      .join(broadcast(probed), "cell")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim",
+        round(Similarity.dot(col("nu"), col("qu")), 6))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("nid").as(idCol), col("sim"))
+      .transform(Pin.pin) // small: ≤ k rows per query
+  }
+}

@@ -67,7 +67,7 @@ object Similarity {
       .toDF(idOut, uOut)
   }
 
-  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def dotArr(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0
     var i = 0
     while (i < a.length) { d += a(i) * b(i); i += 1 }

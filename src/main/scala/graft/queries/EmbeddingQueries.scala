@@ -397,6 +397,51 @@ object EmbeddingQueries {
         "vec_id", pctBound = 60)
     },
 
+    // PERSISTED-INDEX ANN serving (r11 verdict #5, the ANN half of the
+    // incremental-corpus story): (a) build + SAVE the IVF index over the
+    // corpus split (vec_id % 5 != 0) — centroids + inverted cells as
+    // parquet; (b) answer a NEW query batch (vec_id % 5 == 0) against
+    // the LOADED index, never touching the corpus embeddings
+    // (AnnIndexSpec proves it by deleting the corpus input between
+    // build and query); (c) pin the loaded answer against the in-memory
+    // operator's (`loaded_agrees` — bit-identical ranks and sims, same
+    // seeded quantizer) AND the exact cross-split top-K recall bound
+    // (≥60% at the 8/16 probe ratio, q_emb_ivf_ann's contract). The
+    // oracle emits the exact cross brute-force rows with both flags
+    // pinned TRUE.
+    "q_ann_index_reuse" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0 &&
+        col("vec_id") < NQueries * 5)
+      val idxPath = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_idx_" + Integer.toHexString(dir.hashCode)
+      graft.ops.AnnIndex.buildAndSaveIvf(corpus, "vec_id", "embedding",
+        idxPath)
+      val via = graft.ops.AnnIndex.queryIvf(s, batch, "vec_id",
+        "embedding", idxPath, K, nProbe = 8)
+      val fresh = Similarity.ivfTopK(corpus, batch, "vec_id",
+        "embedding", K, nProbe = 8)
+      // exact multiset equality: every (qid, rnk, id, sim) row must
+      // appear in BOTH the loaded-index and the in-memory answer
+      val agree = via.union(fresh)
+        .groupBy("qid", "rnk", "vec_id", "sim").count()
+        .filter(col("count") =!= 2).isEmpty
+      val exact = graft.ops.Pin.pin(Similarity.bruteForceTopK(
+        corpus, batch, "vec_id", "embedding", K))
+      val found = via.select(col("qid").as("fq"),
+        col("vec_id").cast("long").as("fi")).distinct()
+      val flag = exact
+        .join(found,
+          col("qid") === col("fq") && col("vec_id") === col("fi"), "left")
+        .agg((sum(when(col("fi").isNotNull, 1).otherwise(0)) * 100 >=
+          count(lit(1)) * 60).as("recall_ok"))
+      exact.crossJoin(broadcast(flag))
+        .select(col("qid"), col("rnk"), col("vec_id"), col("sim"),
+          col("recall_ok"), lit(agree).as("loaded_agrees"))
+        .orderBy("qid", "rnk")
+    },
+
     // PQ ANN gate: 16 subspaces × 256 codes → 16 bytes per vector (32×
     // compression vs float64), ADC scan over-fetching top-20 candidates
     // for exact re-rank (the standard recall@k-in-top-k' serving shape).
@@ -734,6 +779,30 @@ object EmbeddingQueries {
          |ORDER BY cluster""".stripMargin,
 
     "q_emb_ivf_ann" -> knnOracle("recall_ok"),
+
+    // the cross-split exact kNN with both contract flags pinned TRUE
+    "q_ann_index_reuse" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |c AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM e
+         |      WHERE vec_id % 5 = 0 AND vec_id < ${NQueries * 5}),
+         |p AS (
+         |  SELECT q.qid, c.vec_id,
+         |    round(list_dot_product(c.e, q.qe) /
+         |      (sqrt(list_dot_product(c.e, c.e)) *
+         |       sqrt(list_dot_product(q.qe, q.qe))), 6) AS sim
+         |  FROM c, q),
+         |r AS (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM p)
+         |SELECT qid, rnk, vec_id, sim, TRUE AS recall_ok,
+         |  TRUE AS loaded_agrees
+         |FROM r WHERE rnk <= $K
+         |ORDER BY qid, rnk""".stripMargin,
     "q_emb_pq_ann" -> knnOracle("recall_ok"),
     "q_emb_ivfpq_ann" -> knnOracle("recall_ok"),
     "q_emb_lsh_ann" -> knnOracle("recall_ok"),

@@ -18,6 +18,18 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!keep.contains(id)) rdd.unpersist(true)
     }
+    // Drop consumed memory-sink tables: every streaming gate sinks into
+    // a uuid-suffixed temp view whose ROWS LIVE ON THE DRIVER HEAP, and
+    // nothing else ever releases them — over hundreds of gates at
+    // growing scale the accumulated sinks become the dominant driver
+    // residency (the sf3 solo tail OOM'd the default heap on exactly
+    // this: q_stream_session's full emitted-session set plus 16 earlier
+    // sinks were still resident). Gates consume their sink within their
+    // own execution, so dropping between queries is safe.
+    spark.catalog.listTables().collect().foreach { t =>
+      if (t.isTemporary && t.name.matches(".*_[0-9a-f]{32}$"))
+        spark.catalog.dropTempView(t.name)
+    }
     // One explicit GC between queries (outside the timed section): lets
     // the ContextCleaner process weak refs (shuffle files, broadcasts)
     // and keeps full-GC pauses out of the next query's measurement.

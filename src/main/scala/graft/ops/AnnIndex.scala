@@ -61,6 +61,25 @@ object AnnIndex {
     } finally { corpus.unpersist(); () }
   }
 
+  /** Fold NEW corpus vectors into the existing index: assign each to
+    * its nearest persisted centroid and APPEND to the inverted cells.
+    * The quantizer is NOT retrained (the FAISS add() contract — retrain
+    * on drift is a rebuild); existing cells are neither read nor
+    * rewritten; cost is O(batch).
+    */
+  def appendToIvf(spark: SparkSession, newEmb: DataFrame, idCol: String,
+                  embCol: String, path: String): Unit = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    Similarity.unitVectors(newEmb, idCol, embCol, "nid", "nu")
+      .as[(Long, Array[Double])]
+      .map { case (id, u) => (Similarity.argmaxDot(u, bc.value), id, u) }
+      .toDF("cell", "nid", "nu")
+      .write.mode("append").parquet(s"$path/cells")
+  }
+
   /** Top-k cosine neighbors of each `queries` row against the INDEXED
     * corpus, reading only the persisted centroids and cells (provable by
     * deleting the corpus input after the build — AnnIndexSpec does).

@@ -107,6 +107,28 @@ object DedupIndex {
     } finally { f.unpersist(); () }
   }
 
+  /** Fold a NEW batch of corpus documents into the existing index —
+    * the step after [[dedupNewBatch]] has cleared tonight's batch: sign
+    * the batch with the index's OWN persisted model/config and APPEND
+    * its band and index-set rows. The existing corpus is neither read
+    * nor re-signed; cost is O(batch). (The caller decides id
+    * uniqueness — the index is a multiset keyed by id, exactly like
+    * the corpus it mirrors.)
+    */
+  def appendToIndex(spark: SparkSession, newDocs: DataFrame,
+                    idCol: String, textCol: String, path: String): Unit = {
+    val cfg = loadConfig(spark, path)
+    val model = MinHashLSHModel.load(s"$path/model")
+    val signed = model.transform(featured(newDocs, idCol, textCol, cfg))
+      .select(col("id"), col("tf"), col("sig")).cache()
+    try {
+      Similarity.lshBucketRows(signed, "id", "sig")
+        .write.mode("append").parquet(s"$path/bands")
+      indexSets(signed)
+        .write.mode("append").parquet(s"$path/idx")
+    } finally { signed.unpersist(); () }
+  }
+
   /** The persisted config of the index at `path`. */
   def loadConfig(spark: SparkSession, path: String): MinHashConfig = {
     val r = spark.read.parquet(s"$path/meta").head()

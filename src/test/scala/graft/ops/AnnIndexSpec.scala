@@ -66,5 +66,19 @@ class AnnIndexSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     via.groupBy(_._1).values.foreach { rows =>
       rows.map(_._2).sorted shouldBe Seq(1L, 2L, 3L, 4L, 5L)
     }
+
+    // append: fold new vectors into the cells (quantizer unchanged) —
+    // a query identical to an appended vector must now find it at
+    // rank 1 with sim 1.0
+    val appended = Seq((1001L, vec(5L).toSeq))
+    AnnIndex.appendToIvf(s, appended.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$base/idx")
+    val after = AnnIndex.queryIvf(s,
+        Seq((5L, vec(5L).toSeq)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$base/idx", 5, nProbe = 3)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    after.head shouldBe ((1L, 1001L, 1.0))
   }
 }

@@ -75,6 +75,40 @@ class DedupIndexSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     viaIndex.map(_._1) should not contain 102L
   }
 
+  it should "fold an appended batch into the index so later queries " +
+    "see it — equal to an index built on the union" in {
+    val s = spark
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dedup_idx_append").toString
+    val corpusA = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "entirely different content about distributed query engines")
+    val corpusB = Seq( // tonight's ingest, folded in after its dedup pass
+      3L -> "spark catalyst optimizer rewrites logical plans into physical")
+    val probe = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog again today",
+      101L -> "spark catalyst optimizer rewrites logical plans into action")
+
+    DedupIndex.buildAndSave(docsDf(corpusA), "doc_id", "text",
+      s"$base/inc")
+    DedupIndex.appendToIndex(s, docsDf(corpusB), "doc_id", "text",
+      s"$base/inc")
+    DedupIndex.buildAndSave(docsDf(corpusA ++ corpusB), "doc_id", "text",
+      s"$base/union")
+
+    def pairs(path: String) = DedupIndex.dedupNewBatch(s, docsDf(probe),
+        "doc_id", "text", path, maxDistance = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    val incremental = pairs(s"$base/inc")
+    incremental shouldBe pairs(s"$base/union")
+    // the appended doc is findable (101 near-dups 3, which only exists
+    // in the appended half)
+    incremental.map(t => (t._1, t._2)) should contain allOf(
+      (100L, 1L), (101L, 3L))
+  }
+
   it should "persist and reload the shingle/hash config" in {
     val s = spark
     val base = java.nio.file.Files

@@ -56,7 +56,7 @@ object Bench {
     * gate's own cost — now both measure the gate against warm shared
     * state, the same way bucketed ingest is already untimed.
     */
-  private def warmScale(spark: SparkSession, sfDir: String): Unit = {
+  private[graft] def warmScale(spark: SparkSession, sfDir: String): Unit = {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings")
     tables.foreach { tn =>

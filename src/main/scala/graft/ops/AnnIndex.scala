@@ -88,9 +88,20 @@ object AnnIndex {
     */
   def queryIvf(spark: SparkSession, queries: DataFrame, idCol: String,
                embCol: String, path: String, k: Int,
-               nProbe: Int = 2): DataFrame = {
+               nProbe: Int = 2,
+               maxQueryBatch: Int = Similarity.DefaultMaxQueryBatch)
+  : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    // Probe-batch fence (r12 verdict #3): this path broadcasts the
+    // probed query vectors (O(batch · nProbe · dim)), which is correct
+    // only for probe-batch-sized query sets. limit(max+1).count() reads
+    // at most max+1 rows, so the fence itself is O(maxQueryBatch).
+    val nQ = queries.limit(maxQueryBatch + 1).count()
+    require(nQ <= maxQueryBatch,
+      s"queryIvf: query batch exceeds maxQueryBatch=$maxQueryBatch — " +
+        "this path broadcasts the probed query vectors; shard the batch " +
+        "or raise maxQueryBatch deliberately")
     // ≤ nList rows — the same driver-side footprint the in-memory
     // operator's broadcast has.
     val cents = spark.read.parquet(s"$path/centroids")

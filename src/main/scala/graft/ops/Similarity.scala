@@ -96,6 +96,38 @@ object Similarity {
           .as("h"))
   }
 
+  /** Probe-batch fence for the query-collecting ANN paths (r12 verdict
+    * #3, mirroring `IterativeFeatureSelection.DefaultMaxInstances`):
+    * [[pqTopK]]/[[ivfPqTopK]] collect the query batch and broadcast
+    * per-query ADC tables (~1 KB each at m=8,kCode=16), and
+    * [[AnnIndex.queryIvf]] broadcasts the probed query vectors — all
+    * correct ONLY for probe-batch-sized query sets. The fence turns a
+    * silent driver/broadcast blow-up at 1000× batch size into a loud,
+    * named error; callers with bigger batches shard them (or use the
+    * join-based [[ivfTopK]] path, which never collects queries).
+    */
+  val DefaultMaxQueryBatch: Int = 32768
+
+  /** The collected, unit-normalized query batch, fenced at
+    * `maxQueryBatch` rows — `take(max+1)` so an over-limit batch fails
+    * the size check without ever materializing more than max+1 rows on
+    * the driver.
+    */
+  private[graft] def collectQueryBatch(queries: DataFrame, idCol: String,
+                                       embCol: String, op: String,
+                                       maxQueryBatch: Int)
+  : Array[(Long, Array[Double])] = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val qs = unitVectors(queries, idCol, embCol, "qid", "qu")
+      .as[(Long, Array[Double])].take(maxQueryBatch + 1)
+    require(qs.length <= maxQueryBatch,
+      s"$op: query batch exceeds maxQueryBatch=$maxQueryBatch — this " +
+        "path collects the batch and broadcasts per-query state; shard " +
+        "the batch or raise maxQueryBatch deliberately")
+    qs
+  }
+
   /** Bounded deterministic UNBIASED training sample of unit vectors:
     * rows ordered by a hash of the id, not by the id itself — low ids
     * usually correlate with one ingestion source/time slice, and a
@@ -399,7 +431,8 @@ object Similarity {
   def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
              embCol: String, k: Int, m: Int = 8, kCode: Int = 16,
              trainIters: Int = 8, seed: Long = 42L,
-             sampleSize: Int = 4096): DataFrame = {
+             sampleSize: Int = 4096,
+             maxQueryBatch: Int = DefaultMaxQueryBatch): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val corpus = unitVectors(emb, idCol, embCol, "nid", "nu").cache()
@@ -415,8 +448,8 @@ object Similarity {
       (id, encodePq(u, bcBooks.value, m, dsub))
     }
     // per-query ADC tables: table(sub)(code) = ||q_sub − centroid||²
-    val qs = unitVectors(queries, idCol, embCol, "qid", "qu")
-      .as[(Long, Array[Double])].collect()
+    val qs = collectQueryBatch(queries, idCol, embCol, "pqTopK",
+      maxQueryBatch)
     val tables: Map[Long, Array[Array[Double]]] = qs.map { case (qid, qu) =>
       qid -> adcTable(qu, books, m, dsub)
     }.toMap
@@ -459,7 +492,8 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
                 embCol: String, k: Int, nList: Int = 16, nProbe: Int = 2,
                 m: Int = 8, kCode: Int = 16, trainIters: Int = 8,
-                seed: Long = 42L, sampleSize: Int = 4096): DataFrame = {
+                seed: Long = 42L, sampleSize: Int = 4096,
+                maxQueryBatch: Int = DefaultMaxQueryBatch): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val corpus = unitVectors(emb, idCol, embCol, "nid", "nu").cache()
@@ -480,8 +514,8 @@ object Similarity {
     // queries: probe nProbe nearest cells; ADC table per query (codes are
     // raw-vector quantized → cell-independent)
     val nP = nProbe
-    val qs = unitVectors(queries, idCol, embCol, "qid", "qu")
-      .as[(Long, Array[Double])].collect()
+    val qs = collectQueryBatch(queries, idCol, embCol, "ivfPqTopK",
+      maxQueryBatch)
     val probed = qs.flatMap { case (qid, qu) =>
       bcCents.value.indices.map(c => (c, dotArr(qu, cents(c))))
         .sortBy { case (c, d) => (-d, c) }

@@ -26,6 +26,19 @@ object GraphQueries {
   private val BfsHops = 3
   private val CompRounds = 4
 
+  /** Wedge-apex fan-out cap for [[q_graph_jaccard]] (r12 verdict #2).
+    * Exact co-neighbor counting is inherently Σ_w deg(w)² — fine on this
+    * data, quadratic the moment one power-law hub appears at 100× scale.
+    * Capping each apex to its `JaccardHubCap` LOWEST-ID neighbors bounds
+    * any single wedge key's contribution at cap² and the whole shuffle at
+    * |V|·cap², making the gate a documented ESTIMATOR: `co` is a lower
+    * bound (pairs sharing only a hub's uncapped tail are missed), so
+    * `jaccard` is too. The cap rule is deterministic (row_number over v)
+    * and the oracle applies the identical cap, so the contract stays an
+    * exact hash match on the capped definition.
+    */
+  private[graft] val JaccardHubCap = 64
+
   /** Distinct (src, dst) user pairs: consecutive actors within each
     * (event_type, hour) cell, self-loops dropped.
     *
@@ -64,6 +77,32 @@ object GraphQueries {
     */
   def warmSharedCaches(s: SparkSession, dir: String): Unit = {
     referralEdges(s, dir).count(); ()
+  }
+
+  /** The three frames `q_graph_jaccard` joins: symmetrized adjacency,
+    * full (uncapped) degrees, and the [[JaccardHubCap]]-capped adjacency
+    * fed to the wedge join. Exposed `private[graft]` so the fan-out-bound
+    * spec asserts on the GATE'S OWN frame, not a reimplementation. All
+    * three pinned: the adjacency feeds the degree frame and both wedge
+    * sides — one union+distinct shuffle instead of three.
+    */
+  private[graft] def jaccardAdjacency(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val e = referralEdges(s, dir)
+    val und = Pin.pin(
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst"), col("src")))
+        .distinct())
+    val deg = Pin.pin(und.groupBy("u").agg(count(lit(1)).as("deg")))
+    // The cap window is partitioned by the apex, so no task ever sorts
+    // more than one node's adjacency (the unpartitioned-window shape
+    // PlanQualitySpec rejects never appears).
+    val capped = Pin.pin(und
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("u").orderBy("v")))
+      .filter(col("rn") <= JaccardHubCap)
+      .select("u", "v"))
+    (und, deg, capped)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -234,28 +273,19 @@ object GraphQueries {
     // Structural similarity — top-20 user pairs by neighbor-set Jaccard
     // ("people who act around the same people"), the link-prediction
     // baseline. Candidate pairs come ONLY from the wedge join (two
-    // users sharing ≥1 neighbor) — never all-pairs — so the shuffle is
-    // Σ_w deg(w)², the same bound the triangle gate carries; degrees
-    // join back on the node key (AQE broadcasts iff small). Jaccard is
-    // one double division of exact integers per surviving pair;
-    // the top-20 carries a full (jaccard, a, b) tiebreak through
-    // TakeOrdered.
+    // users sharing ≥1 neighbor) — never all-pairs — and each apex's
+    // adjacency is capped at its [[JaccardHubCap]] lowest-id neighbors
+    // before wedge generation, so the shuffle is ≤ |V|·cap² with no
+    // single wedge key above cap² however skewed the degree
+    // distribution gets (the estimator contract is documented on the
+    // constant). Degrees join back FULL (uncapped) on the node key
+    // (AQE broadcasts iff small); Jaccard is one double division of
+    // exact integers per surviving pair; the top-20 carries a full
+    // (jaccard, a, b) tiebreak through TakeOrdered.
     "q_graph_jaccard" -> { (s, dir) =>
-      val e = referralEdges(s, dir)
-      // Pinned: the symmetrized adjacency feeds the degree frame AND
-      // both wedge-join sides — one union+distinct shuffle instead of
-      // three. The gate's cost is the wedge fan-out itself (Σ deg² ≈
-      // 23M at sf0.1 into a ~10M-distinct-pair aggregate), the same
-      // inherent pair-shuffle class as q_basket_pairs; it shrinks as
-      // the graph thins (sf1 runs FASTER: more users spread over the
-      // same calendar, so hub degrees drop).
-      val und = Pin.pin(
-        e.select(col("src").as("u"), col("dst").as("v"))
-          .union(e.select(col("dst"), col("src")))
-          .distinct())
-      val deg = Pin.pin(und.groupBy("u").agg(count(lit(1)).as("deg")))
-      val co = und.select(col("u").as("w"), col("v").as("a"))
-        .join(und.select(col("u").as("w"), col("v").as("b")), "w")
+      val (_, deg, capped) = jaccardAdjacency(s, dir)
+      val co = capped.select(col("u").as("w"), col("v").as("a"))
+        .join(capped.select(col("u").as("w"), col("v").as("b")), "w")
         .filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("co"))
       co.join(deg.select(col("u").as("a"), col("deg").as("da")), "a")
@@ -461,9 +491,14 @@ object GraphQueries {
            |  SELECT src AS u, dst AS v FROM edges
            |  UNION SELECT dst, src FROM edges),
            |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+           |cap AS (
+           |  SELECT u, v FROM (
+           |    SELECT u, v,
+           |      row_number() OVER (PARTITION BY u ORDER BY v) AS rn
+           |    FROM und) WHERE rn <= $JaccardHubCap),
            |co AS (
            |  SELECT x.v AS a, y.v AS b, count(*) AS co
-           |  FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+           |  FROM cap x JOIN cap y ON x.u = y.u AND x.v < y.v
            |  GROUP BY 1, 2)
            |SELECT a AS user_a, b AS user_b, CAST(co AS BIGINT) AS co,
            |  CAST(co AS DOUBLE) / (da.deg + db.deg - co) AS jaccard

@@ -80,5 +80,17 @@ class AnnIndexSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(_._1).toSeq
     after.head shouldBe ((1L, 1001L, 1.0))
+
+    // probe-batch fence (r12 verdict #3): queryIvf broadcasts the probed
+    // query vectors, so an over-limit batch must fail loudly
+    val fence = intercept[IllegalArgumentException] {
+      AnnIndex.queryIvf(s, queryRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$base/idx", 5, nProbe = 3,
+        maxQueryBatch = 2)
+    }
+    fence.getMessage should include("maxQueryBatch")
+
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
   }
 }

@@ -207,6 +207,26 @@ class SimilaritySpec extends AnyFlatSpec with Matchers with SparkTestBase {
     run() shouldBe run()
   }
 
+  it should "fence an over-limit query batch loudly (maxQueryBatch)" in {
+    // r12 verdict #3: the PQ paths collect the query batch and broadcast
+    // per-query ADC tables — correct for probe batches only. The fence
+    // must throw a named error, never silently blow the driver.
+    val queries = emb.filter(col("vec_id") < 5) // 5 queries
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, queries, "vec_id", "embedding", 3,
+        m = 4, maxQueryBatch = 4)
+    }
+    e1.getMessage should include("maxQueryBatch")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 3,
+        nList = 6, m = 4, maxQueryBatch = 4)
+    }
+    e2.getMessage should include("maxQueryBatch")
+    // at the limit exactly, both run
+    Similarity.pqTopK(emb, queries, "vec_id", "embedding", 3,
+      m = 4, maxQueryBatch = 5).count() should be > 0L
+  }
+
   behavior of "mmrTopK"
 
   it should "pick the top-1 first, then diversify across clusters" in {

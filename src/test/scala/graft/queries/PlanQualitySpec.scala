@@ -498,4 +498,28 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
         .deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  it should "bound q_graph_jaccard's wedge-apex fan-out at JaccardHubCap" in {
+    // r12 verdict #2: exact co-neighbor counting is Σ deg(w)² — one
+    // power-law hub at 100x data makes a single wedge key quadratic. The
+    // gate caps each apex's adjacency before wedge generation; this
+    // asserts the bound on the GATE'S OWN capped frame (max rows per
+    // apex ≤ cap ⇒ no wedge key above cap²) and that the capped frame is
+    // a subset of the full adjacency it estimates.
+    import org.apache.spark.sql.functions.{count => cnt, lit, max => mx}
+    val (und, _, capped) = GraphQueries.jaccardAdjacency(spark, dir)
+    val maxFan = capped.groupBy("u").agg(cnt(lit(1)).as("n"))
+      .agg(mx("n")).head().getLong(0)
+    maxFan should be <= GraphQueries.JaccardHubCap.toLong
+    capped.count() should be <= und.count()
+    capped.exceptAll(und).count() shouldBe 0L
+    // Plan-level: the capping window (row_number partitioned by the apex)
+    // is actually in the gate's plan, not just in the helper.
+    graft.ops.Pin.disabled = true
+    try {
+      val plan = planOf("q_graph_jaccard")
+        .queryExecution.executedPlan.toString
+      plan should include("row_number")
+    } finally { graft.ops.Pin.disabled = false }
+  }
 }

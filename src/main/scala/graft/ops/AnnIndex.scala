@@ -39,6 +39,11 @@ object AnnIndex {
                       sampleSize: Int = 4096): Unit = {
     val s = emb.sparkSession
     import s.implicits._
+    locally { // a rebuild starts with no dead ids
+      val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      val fs = tomb.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(tomb)) { fs.delete(tomb, true); () }
+    }
     val corpus = Similarity.unitVectors(emb, idCol, embCol, "nid", "nu")
       .cache()
     try {
@@ -78,6 +83,57 @@ object AnnIndex {
       .map { case (id, u) => (Similarity.argmaxDot(u, bc.value), id, u) }
       .toDF("cell", "nid", "nu")
       .write.mode("append").parquet(s"$path/cells")
+  }
+
+  /** Tombstone DELETED corpus vectors (r12 verdict #4 — FAISS
+    * `remove_ids`): appends ids to `tombstones/`; [[queryIvf]]
+    * anti-joins the probed cells against live tombstones so deleted
+    * vectors stop being served immediately, while the cell files stay
+    * append-only. Ids are global: a tombstoned id stays dead until
+    * [[compactIvf]] reclaims it — reuse ids only after a compact.
+    * Cost is O(delete batch).
+    */
+  def deleteFromIvf(spark: SparkSession, ids: DataFrame, idCol: String,
+                    path: String): Unit = {
+    ids.select(col(idCol).cast("long").as("nid")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  private def tombstones(spark: SparkSession, path: String)
+  : Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def minusTombstones(spark: SparkSession, df: DataFrame,
+                              path: String): DataFrame =
+    tombstones(spark, path).fold(df)(ts =>
+      df.join(ts, Seq("nid"), "left_anti"))
+
+  /** Physically reclaim tombstoned vectors and re-pack the cell files
+    * fragmented by [[appendToIvf]] (one small file per appended batch):
+    * rewrite `cells/` without dead ids, then clear `tombstones/`.
+    * Returns (vectors kept, vectors reclaimed). Centroids are never
+    * touched — retraining the quantizer on drift is a REBUILD
+    * ([[buildAndSaveIvf]]), the FAISS contract; compact when the dead
+    * fraction or file count crosses the caller's threshold.
+    */
+  def compactIvf(spark: SparkSession, path: String): (Long, Long) = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val nAll = cells.count()
+    val live = minusTombstones(spark, cells, path)
+    val src = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/cells.compact")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    live.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(src, true)
+    if (!fs.rename(tmp, src))
+      throw new java.io.IOException(s"compactIvf: rename $tmp -> $src failed")
+    val nKept = spark.read.parquet(src.toString).count()
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (fs.exists(tomb)) { fs.delete(tomb, true); () }
+    (nKept, nAll - nKept)
   }
 
   /** Top-k cosine neighbors of each `queries` row against the INDEXED
@@ -120,7 +176,7 @@ object AnnIndex {
       .toDF("qid", "qu", "cell")
     val rankW = Window.partitionBy("qid")
       .orderBy(col("sim").desc, col("nid"))
-    spark.read.parquet(s"$path/cells")
+    minusTombstones(spark, spark.read.parquet(s"$path/cells"), path)
       .join(broadcast(probed), "cell")
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim",

@@ -88,6 +88,7 @@ object DedupIndex {
                    cfg: MinHashConfig = MinHashConfig()): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    clearTombstones(spark, path) // a rebuild starts with no dead ids
     val f = featured(corpus, idCol, textCol, cfg).cache()
     try {
       val model = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
@@ -105,6 +106,12 @@ object DedupIndex {
       indexSets(signed)
         .write.mode("overwrite").parquet(s"$path/idx")
     } finally { f.unpersist(); () }
+  }
+
+  private def clearTombstones(spark: SparkSession, path: String): Unit = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb)) { fs.delete(tomb, true); () }
   }
 
   /** Fold a NEW batch of corpus documents into the existing index —
@@ -129,6 +136,80 @@ object DedupIndex {
     } finally { signed.unpersist(); () }
   }
 
+  /** Tombstone DELETED corpus docs (r12 verdict #4 — the FAISS
+    * `remove_ids` analogue, the missing third of the nightly
+    * build/append/delete cycle): appends the ids to `tombstones/`;
+    * every query-side read ([[dedupNewBatch]]) anti-joins the corpus
+    * band/index rows against the live tombstones, so deleted docs stop
+    * matching IMMEDIATELY while the (immutable, append-friendly)
+    * band/idx files stay untouched. Cost is O(delete batch).
+    *
+    * Semantics are global by id, like FAISS: a tombstoned id stays dead
+    * until [[compactIndex]] physically reclaims it — re-adding the same
+    * id before compacting would still read as deleted, so reuse ids
+    * only after a compact.
+    */
+  def deleteFromIndex(spark: SparkSession, ids: DataFrame, idCol: String,
+                      path: String): Unit = {
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Live tombstone ids, or None when nothing was ever deleted. */
+  private def tombstones(spark: SparkSession, path: String)
+  : Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** `df` minus tombstoned ids (left-anti on `idName`); identity when no
+    * tombstones exist.
+    */
+  private def minusTombstones(spark: SparkSession, df: DataFrame,
+                              idName: String, path: String): DataFrame =
+    tombstones(spark, path).fold(df) { ts =>
+      df.join(ts.withColumnRenamed("id", idName), Seq(idName), "left_anti")
+    }
+
+  /** Physically reclaim tombstoned docs and consolidate append
+    * fragmentation: rewrite `bands/` and `idx/` without dead ids (one
+    * pass each — appends leave one small file per batch; the rewrite
+    * re-packs them), then clear `tombstones/`. Returns
+    * (docs kept, docs reclaimed). The model/config are never touched —
+    * retraining on drift is a REBUILD ([[buildAndSave]]), exactly the
+    * FAISS contract. Run it when the tombstone fraction or the file
+    * count crosses the caller's threshold.
+    */
+  def compactIndex(spark: SparkSession, path: String): (Long, Long) = {
+    val idxAll = spark.read.parquet(s"$path/idx")
+    val nAll = idxAll.select("id").distinct().count()
+    val nDead = tombstones(spark, path).fold(0L)(ts =>
+      idxAll.select("id").distinct()
+        .join(ts, Seq("id"), "left_semi").count())
+    rewriteMinusTombstones(spark, s"$path/bands", "id", path)
+    rewriteMinusTombstones(spark, s"$path/idx", "id", path)
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb)) { fs.delete(tomb, true); () }
+    (nAll - nDead, nDead)
+  }
+
+  /** Rewrite one parquet artifact minus tombstones via tmp-dir + rename
+    * (a direct overwrite would delete its own input mid-read).
+    */
+  private def rewriteMinusTombstones(spark: SparkSession, dir: String,
+                                     idName: String, path: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    minusTombstones(spark, spark.read.parquet(dir), idName, path)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(src, true)
+    if (!fs.rename(tmp, src))
+      throw new java.io.IOException(s"compactIndex: rename $tmp -> $src failed")
+  }
+
   /** The persisted config of the index at `path`. */
   def loadConfig(spark: SparkSession, path: String): MinHashConfig = {
     val r = spark.read.parquet(s"$path/meta").head()
@@ -149,12 +230,58 @@ object DedupIndex {
                     maxDistance: Double): DataFrame = {
     val cfg = loadConfig(spark, path)
     val model = MinHashLSHModel.load(s"$path/model")
-    val corpusBands = spark.read.parquet(s"$path/bands")
-    val corpusIdx = spark.read.parquet(s"$path/idx")
+    val corpusBands =
+      minusTombstones(spark, spark.read.parquet(s"$path/bands"), "id", path)
+    val corpusIdx =
+      minusTombstones(spark, spark.read.parquet(s"$path/idx"), "id", path)
     crossVerify(
       model.transform(featured(batch, idCol, textCol, cfg))
         .select(col("id"), col("tf"), col("sig")),
       corpusBands, corpusIdx, maxDistance)
+  }
+
+  /** [[buildAndSave]] + [[crossPairsFresh]] from ONE corpus signing
+    * (r12 verdict #7): the incremental-dedup gate runs both — persist
+    * the index AND derive the in-memory twin the loaded answer is pinned
+    * against — and signing the corpus twice was the gate's dominant
+    * cost. The returned frame is the fresh cross-pair twin computed from
+    * the exact in-memory band/index frames that were just persisted, so
+    * equality with [[dedupNewBatch]]'s answer still proves precisely the
+    * persistence layer (write + read round trip); the from-scratch refit
+    * path stays covered by [[crossPairsFresh]] and DedupIndexSpec's
+    * determinism contract.
+    */
+  def buildSaveAndCrossFresh(corpus: DataFrame, batch: DataFrame,
+                             idCol: String, textCol: String, path: String,
+                             maxDistance: Double,
+                             cfg: MinHashConfig = MinHashConfig())
+  : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    clearTombstones(spark, path) // a rebuild starts with no dead ids
+    val f = featured(corpus, idCol, textCol, cfg).cache()
+    try {
+      val model = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
+        .setNumHashTables(cfg.numHashTables).setSeed(cfg.seed)
+        .fit(f)
+      model.write.overwrite().save(s"$path/model")
+      Seq((cfg.n, cfg.numHashTables, cfg.seed, cfg.numFeatures))
+        .toDF("n", "num_hash_tables", "seed", "num_features")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/meta")
+      val signed = model.transform(f)
+        .select(col("id"), col("tf"), col("sig")).cache()
+      try {
+        val bands = Similarity.lshBucketRows(signed, "id", "sig")
+        bands.write.mode("overwrite").parquet(s"$path/bands")
+        val idx = indexSets(signed)
+        idx.write.mode("overwrite").parquet(s"$path/idx")
+        crossVerify(
+          model.transform(featured(batch, idCol, textCol, cfg))
+            .select(col("id"), col("tf"), col("sig")),
+          bands, idx, maxDistance)
+      } finally { signed.unpersist(); () }
+    } finally { f.unpersist(); () }
   }
 
   /** The recompute-from-scratch twin of [[dedupNewBatch]]: the same

@@ -99,14 +99,23 @@ object EventQueries {
                         .StreamingQuery): Unit = {
     val q = start
     try {
-      val deadline = System.nanoTime() + 180L * 1000000000L
+      // Deadline scales with the expected emission count (ADVICE r12):
+      // under maxFilesPerTrigger=1 + RocksDB each emission rides its own
+      // micro-batch, so larger scale factors legitimately take longer —
+      // a fixed 180 s turned slow-but-correct into a hard failure. 180 s
+      // floor + 50 ms per expected emission, and the failure message
+      // reports elapsed progress so a stall is tellable from slowness.
+      val budgetSec = 180L + expected / 20L
+      val t0 = System.nanoTime()
+      val deadline = t0 + budgetSec * 1000000000L
       while (s.table(name).count() < expected &&
         System.nanoTime() < deadline && q.exception.isEmpty)
         Thread.sleep(100L)
       q.exception.foreach(throw _)
-      require(s.table(name).count() == expected,
-        s"$name: sink has ${s.table(name).count()} rows, " +
-          s"expected $expected within the drain deadline")
+      val got = s.table(name).count()
+      require(got == expected,
+        s"$name: sink has $got of $expected expected rows after " +
+          f"${(System.nanoTime() - t0) / 1e9}%.0f s (budget ${budgetSec} s)")
     } finally q.stop()
   }
 
@@ -1673,7 +1682,8 @@ object EventQueries {
         .select(col("user_id"),
           expr("CAST(floor(value * 100) AS BIGINT)").as("vq"))
         .as[graft.streaming.ValuedEvent]
-      val out = graft.streaming.Tws.minKValues(stream, 3)
+      val out = graft.streaming.Tws.minKValues(stream, 3,
+        ttl = Some(graft.streaming.Tws.DefaultStateTtl))
       val name = "q_stream_tws_mink_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val expected = events(s, dir)
@@ -1887,7 +1897,8 @@ object EventQueries {
         .filter(col("event_id") % 2 === 1)
         .select(col("user_id"), col("event_type"))
         .as[graft.streaming.UserTypedEvent]
-      val out = graft.streaming.Tws.seededCounts(stream, initial)
+      val out = graft.streaming.Tws.seededCounts(stream, initial,
+        ttl = Some(graft.streaming.Tws.DefaultStateTtl))
       val name = "q_stream_init_state_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       // Production TTL'd state posture (r11 verdict #4) → ProcessingTime
@@ -2004,7 +2015,8 @@ object EventQueries {
       val stream = eventsStream(s, dir, Map("maxFilesPerTrigger" -> "1"))
         .select(col("user_id"), col("event_type"))
         .as[graft.streaming.UserTypedEvent]
-      val out = graft.streaming.Tws.userTypeStats(stream)
+      val out = graft.streaming.Tws.userTypeStats(stream,
+        ttl = Some(graft.streaming.Tws.DefaultStateTtl))
       val name = "q_stream_tws_profile_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val expected = events(s, dir)

@@ -664,12 +664,14 @@ object TextQueries {
       val batch = docs.filter(col("doc_id") % 5 === 0)
       val idxPath = System.getProperty("java.io.tmpdir") +
         "/graft_mh_idx_" + Integer.toHexString(dir.hashCode)
-      graft.ops.DedupIndex.buildAndSave(corpus, "doc_id", "text", idxPath)
+      // One corpus signing serves both the persisted index and the
+      // in-memory twin (r12 verdict #7 — signing twice was the gate's
+      // dominant cost); the disk-vs-memory equality below still pins
+      // exactly the persistence layer.
+      val fresh = graft.ops.DedupIndex.buildSaveAndCrossFresh(
+        corpus, batch, "doc_id", "text", idxPath, maxDistance = 0.2)
       val viaIndex = graft.ops.DedupIndex
         .dedupNewBatch(s, batch, "doc_id", "text", idxPath,
-          maxDistance = 0.2)
-      val fresh = graft.ops.DedupIndex
-        .crossPairsFresh(corpus, batch, "doc_id", "text",
           maxDistance = 0.2)
       // exact multiset equality (both sides are distinct-keyed): every
       // (batch, corpus, dist) row must appear in BOTH answers
@@ -692,6 +694,70 @@ object TextQueries {
       truth.crossJoin(broadcast(flag)).crossJoin(broadcast(cov))
         .select(col("id_a"), col("id_b"), col("jaccard"),
           col("index_recall_ok"), lit(agree).as("loaded_agrees"),
+          col("audit_docs"), col("corpus_docs"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // INDEX-MAINTENANCE gate (r12 verdict #4) — the full nightly cycle
+    // the incremental gate stops short of: BUILD the index on one corpus
+    // split (doc_id % 5 == 1), APPEND a second (% 5 == 2), DELETE a
+    // slice (% 10 == 1 — tombstones, the FAISS remove_ids analogue),
+    // query, COMPACT (physical reclaim + file re-pack), query again.
+    // Contracts pinned in-row: `tombstones_honored` (no deleted id is
+    // ever served, already before compaction), `compact_preserves`
+    // (post-compact answer == pre-compact answer, exact set equality
+    // incl. distances), `maint_recall_ok` (≥90% of the exact cross
+    // truth between the batch and the SURVIVING corpus, audit-sample
+    // bounded), and the compaction ledger (`kept_docs`/`dead_docs`)
+    // cross-checked against SQL counts of shingle-bearing docs.
+    "q_dedup_maintenance" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val part1 = docs.filter(col("doc_id") % 5 === 1)
+      val part2 = docs.filter(col("doc_id") % 5 === 2)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val idxPath = System.getProperty("java.io.tmpdir") +
+        "/graft_mh_maint_" + Integer.toHexString(dir.hashCode)
+      val D = graft.ops.DedupIndex
+      D.buildAndSave(part1, "doc_id", "text", idxPath)
+      D.appendToIndex(s, part2, "doc_id", "text", idxPath)
+      D.deleteFromIndex(s,
+        docs.filter(col("doc_id") % 10 === 1).select("doc_id"),
+        "doc_id", idxPath)
+      val pre = D.dedupNewBatch(s, batch, "doc_id", "text", idxPath,
+        maxDistance = 0.2)
+      val (kept, dead) = D.compactIndex(s, idxPath)
+      val post = D.dedupNewBatch(s, batch, "doc_id", "text", idxPath,
+        maxDistance = 0.2)
+      val compactPreserves = post.union(pre)
+        .groupBy("batch_id", "corpus_id", "jaccard_dist").count()
+        .filter(col("count") =!= 2).isEmpty
+      val tombstonesHonored =
+        pre.filter(col("corpus_id") % 10 === 1).isEmpty &&
+          post.filter(col("corpus_id") % 10 === 1).isEmpty
+      val survivorB = (col("id_b") % 5).isin(1L, 2L) &&
+        col("id_b") % 10 =!= 1
+      val survivorA = (col("id_a") % 5).isin(1L, 2L) &&
+        col("id_a") % 10 =!= 1
+      val truth = truthPairs(s, dir, 0.8).filter(
+        ((col("id_a") % 5 === 0) && survivorB) ||
+          ((col("id_b") % 5 === 0) && survivorA))
+      val found = post.select(
+        least(col("batch_id"), col("corpus_id")).as("fa"),
+        greatest(col("batch_id"), col("corpus_id")).as("fb")).distinct()
+      val flag = truth
+        .join(found,
+          col("id_a") === col("fa") && col("id_b") === col("fb"), "left")
+        .agg((sum(when(col("fa").isNotNull, 1).otherwise(0)) * 100 >=
+          count(lit(1)) * 90).as("maint_recall_ok"))
+      val cov = docs.agg(
+        least(lit(TruthSample.toLong), count(lit(1))).as("audit_docs"),
+        count(lit(1)).as("corpus_docs"))
+      truth.crossJoin(broadcast(flag)).crossJoin(broadcast(cov))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("maint_recall_ok"),
+          lit(compactPreserves).as("compact_preserves"),
+          lit(tombstonesHonored).as("tombstones_honored"),
+          lit(kept).as("kept_docs"), lit(dead).as("dead_docs"),
           col("audit_docs"), col("corpus_docs"))
         .orderBy("id_a", "id_b")
     },
@@ -3050,6 +3116,51 @@ object TextQueries {
          |  (SELECT count(*) FROM documents) AS corpus_docs
          |FROM j
          |WHERE jaccard >= 0.8 AND ((id_a % 5 = 0) != (id_b % 5 = 0))
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // cross truth between the batch split and the SURVIVING corpus
+    // (build %5=1 + append %5=2, minus deleted %10=1); the compaction
+    // ledger columns count shingle-bearing docs (>= 3 tokens — the
+    // engine's index only holds docs with at least one 3-gram) per
+    // split, cross-checking compactIndex's (kept, dead) return
+    "q_dedup_maintenance" ->
+      s"""WITH smp AS (
+         |  SELECT doc_id, text FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT $TruthSample),
+         |d AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id,
+         |      list_distinct(list_transform(
+         |        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+         |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+         |        AS sh
+         |    FROM smp)
+         |  WHERE len(sh) > 0),
+         |e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM d),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sz AS sza, b.sz AS szb, count(*) AS inter
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS jaccard
+         |  FROM p)
+         |SELECT id_a, id_b, jaccard, TRUE AS maint_recall_ok,
+         |  TRUE AS compact_preserves, TRUE AS tombstones_honored,
+         |  (SELECT count(*) FROM documents
+         |   WHERE ((doc_id % 5 = 1 AND doc_id % 10 != 1) OR doc_id % 5 = 2)
+         |     AND len(string_split(text, ' ')) >= 3) AS kept_docs,
+         |  (SELECT count(*) FROM documents
+         |   WHERE doc_id % 10 = 1
+         |     AND len(string_split(text, ' ')) >= 3) AS dead_docs,
+         |  least($TruthSample, (SELECT count(*) FROM documents))
+         |    AS audit_docs,
+         |  (SELECT count(*) FROM documents) AS corpus_docs
+         |FROM j
+         |WHERE jaccard >= 0.8 AND
+         |  (((id_a % 5 = 0) AND (id_b % 5 IN (1, 2)) AND id_b % 10 != 1) OR
+         |   ((id_b % 5 = 0) AND (id_a % 5 IN (1, 2)) AND id_a % 10 != 1))
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_decontaminate" ->

@@ -29,7 +29,10 @@ object BucketedTables {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   /** Idempotent ingest: (re)write the bucketed table only when the session
-    * catalog doesn't already hold a copy with the same row count as `df`.
+    * catalog already holds a copy WRITTEN UNDER THE SAME TAG — recorded as
+    * the `graft.tag` table property at write time (ADVICE r12: the old
+    * row-count-equality revalidation would serve another scale's data to
+    * the join gate whenever two datasets coincidentally matched counts).
     * The pay-the-shuffle-once-at-ingest contract means a gate query that
     * joins the bucketed tables must not re-pay the write on every
     * execution; callers run this from an untimed setup step (Bench
@@ -41,12 +44,23 @@ object BucketedTables {
     val spark = df.sparkSession
     if (!lastTag.get((spark, table)).contains(tag)) {
       val reusable = spark.catalog.tableExists(table) &&
-        scala.util.Try(spark.table(table).count()).toOption
-          .contains(df.count())
-      if (!reusable) writeBucketed(df, table, bucketCol, buckets)
+        scala.util.Try(writtenTag(spark, table)).toOption.flatten
+          .contains(tag)
+      if (!reusable) {
+        writeBucketed(df, table, bucketCol, buckets)
+        spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+          s"('graft.tag' = '${tag.replace("'", "''")}')")
+        ()
+      }
       lastTag((spark, table)) = tag
     }
   }
+
+  /** The `graft.tag` property the table was written under, if any. */
+  private def writtenTag(spark: SparkSession,
+                         table: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .find(_.getString(0) == "graft.tag").map(_.getString(1))
 
   /** Write `df` as a bucketed parquet table registered in the session
     * catalog, replacing any previous version.

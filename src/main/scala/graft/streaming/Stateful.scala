@@ -199,8 +199,8 @@ object Stateful {
     val s = events.sparkSession
     import s.implicits._
     val dropAcc = droppedBuckets.getOrElse(
-      Stateful.defaultDropAcc.getOrElseUpdate(s.sparkContext,
-        s.sparkContext.longAccumulator(
+      Stateful.defaultDropAcc.computeIfAbsent(s.sparkContext,
+        sc => sc.longAccumulator(
           "graft.streamEwmaBurst.droppedBuckets")))
 
     def fn(et: String, batch: Iterator[TypedHourEvent],
@@ -246,8 +246,16 @@ object Stateful {
   /** The default `droppedBuckets` accumulator, ONE per SparkContext: a
     * fresh named accumulator per [[streamEwmaBurst]] call would pile up
     * same-named registrations in the context (ADVICE r11 #5).
+    *
+    * Being shared, its value is CUMULATIVE across every streamEwmaBurst
+    * query on the context (ADVICE r12 — on top of the usual at-least-
+    * once caveat): a reader that wants one query's own drop count must
+    * pass a private accumulator. Keys are weak (MapMaker-style via
+    * WeakHashMap) so a stopped SparkContext is not retained for the JVM
+    * lifetime; access is synchronized because WeakHashMap is not
+    * thread-safe.
     */
-  private val defaultDropAcc = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.SparkContext,
-      org.apache.spark.util.LongAccumulator]
+  private val defaultDropAcc = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      org.apache.spark.util.LongAccumulator]())
 }

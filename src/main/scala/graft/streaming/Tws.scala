@@ -277,10 +277,16 @@ class TtlCountProcessor(ttl: java.time.Duration)
 /** The transformWithState operators.
   *
   * '''TTL contract''' (r11 verdict #4): every non-event-time processor
-  * declares its state with a TTL, defaulting to [[DefaultStateTtl]] —
-  * an idle key's state is evicted instead of accumulating forever,
-  * which is the difference between bounded and unbounded state at
-  * 100 TB of keys. Spark's constraints, honored by the wrappers:
+  * can declare its state with a TTL ([[DefaultStateTtl]] is the
+  * recommended value) — an idle key's state is evicted instead of
+  * accumulating forever, which is the difference between bounded and
+  * unbounded state at 100 TB of keys. TTL is OPT-IN (`ttl = None`
+  * default, ADVICE r12): a non-None ttl silently selects
+  * `TimeMode.ProcessingTime`, where `shouldRunAnotherBatch` is always
+  * true — a `Trigger.AvailableNow` + `awaitTermination` drain then
+  * hangs forever, far from the call site that chose the ttl, so the
+  * caller must choose that trade explicitly. Spark's constraints,
+  * honored by the wrappers:
   *
   *   - TTL is processing-time-only: a non-NONE TTLConfig outside
   *     `TimeMode.ProcessingTime` throws (spec-pinned), so `ttl` also
@@ -338,7 +344,7 @@ object Tws {
     * TTL/TimeMode/drain contract).
     */
   def minKValues(events: Dataset[ValuedEvent], k: Int,
-                 ttl: Option[java.time.Duration] = Some(DefaultStateTtl))
+                 ttl: Option[java.time.Duration] = None)
   : Dataset[MinKStats] = {
     val s = events.sparkSession
     import s.implicits._
@@ -354,7 +360,7 @@ object Tws {
     */
   def seededCounts(events: Dataset[UserTypedEvent],
                    initial: Dataset[(Long, Long)],
-                   ttl: Option[java.time.Duration] = Some(DefaultStateTtl))
+                   ttl: Option[java.time.Duration] = None)
   : Dataset[UserTypeStats] = {
     val s = events.sparkSession
     import s.implicits._
@@ -386,7 +392,7 @@ object Tws {
     */
   def userTypeStats(
       events: Dataset[UserTypedEvent],
-      ttl: Option[java.time.Duration] = Some(DefaultStateTtl))
+      ttl: Option[java.time.Duration] = None)
   : Dataset[UserTypeStats] = {
     val s = events.sparkSession
     import s.implicits._

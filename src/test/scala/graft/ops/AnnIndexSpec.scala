@@ -93,4 +93,57 @@ class AnnIndexSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(base))
   }
+
+  it should "stop serving deleted vectors immediately and answer " +
+    "identically after compaction (delete + compact cycle)" in {
+    // r12 verdict #4. Unlike the dedup index, the coarse quantizer is
+    // trained on the ORIGINAL corpus sample, so the contract is not
+    // fresh-build equality (a rebuild may retrain different centroids)
+    // but: (a) tombstoned ids never appear in results, (b) compaction
+    // changes nothing a query can see, (c) the cell files physically
+    // drop the dead ids, (d) centroids are untouched.
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ann_idx_maint").toString
+    val dim = 8
+    def vec(seed: Long): Array[Double] = {
+      var x = seed
+      Array.fill(dim) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 16) % 1000).toDouble / 500.0 - 1.0
+      }
+    }
+    val corpus = (1L to 120L).map(i => (i, vec(i).toSeq))
+    corpus.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/corpus")
+    AnnIndex.buildAndSaveIvf(s.read.parquet(s"$base/corpus"),
+      "vec_id", "embedding", s"$base/idx", nList = 8)
+    val queries = Seq((500L, vec(7L).toSeq)).toDF("vec_id", "embedding")
+    def top(k: Int) = AnnIndex.queryIvf(s, queries, "vec_id",
+        "embedding", s"$base/idx", k, nProbe = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // nProbe = nList → exhaustive: rank 1 must be vec 7 itself (sim 1.0)
+    val before = top(5)
+    before.head shouldBe ((1L, 7L, 1.0))
+    // delete the top hit; it must vanish at once, later ranks promote
+    AnnIndex.deleteFromIvf(s, Seq(7L).toDF("vec_id"), "vec_id",
+      s"$base/idx")
+    val afterDelete = top(4)
+    afterDelete.map(_._2) should not contain 7L
+    afterDelete.map(_._2) shouldBe before.filter(_._2 != 7L).map(_._2)
+    val centsBefore = s.read.parquet(s"$base/idx/centroids")
+      .orderBy("cell").collect().toSeq
+    val (kept, dead) = AnnIndex.compactIvf(s, s"$base/idx")
+    kept shouldBe 119L
+    dead shouldBe 1L
+    top(4) shouldBe afterDelete
+    s.read.parquet(s"$base/idx/cells")
+      .filter($"nid" === 7L).count() shouldBe 0L
+    s.read.parquet(s"$base/idx/centroids")
+      .orderBy("cell").collect().toSeq shouldBe centsBefore
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
 }

@@ -109,6 +109,67 @@ class DedupIndexSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       (100L, 1L), (101L, 3L))
   }
 
+  it should "answer identically to a fresh build on the surviving " +
+    "corpus after build + append + delete + compact" in {
+    // r12 verdict #4 — the full nightly maintenance cycle. MinHashLSH's
+    // fit is seed-deterministic and data-independent, so the maintained
+    // index's band/idx rows for survivors must equal a from-scratch
+    // build's, making full answer equality the right contract.
+    val s = spark
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dedup_idx_maint").toString
+    val corpusA = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again tomorrow",
+      3L -> "entirely different content about distributed query engines")
+    val corpusB = Seq(
+      4L -> "spark catalyst optimizer rewrites logical plans into physical",
+      5L -> "a b c d e f g h i j k l m n o p")
+    val probe = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog again today",
+      101L -> "spark catalyst optimizer rewrites logical plans into action")
+
+    DedupIndex.buildAndSave(docsDf(corpusA), "doc_id", "text", s"$base/m")
+    DedupIndex.appendToIndex(s, docsDf(corpusB), "doc_id", "text",
+      s"$base/m")
+    // delete doc 1 (the probe's exact dup) and doc 5 (noise)
+    DedupIndex.deleteFromIndex(s, docsDf(Seq(
+      1L -> "", 5L -> "")).select("doc_id"), "doc_id", s"$base/m")
+
+    def pairs(path: String) = DedupIndex.dedupNewBatch(s, docsDf(probe),
+        "doc_id", "text", path, maxDistance = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    // tombstones take effect immediately (before any compaction)
+    val preCompact = pairs(s"$base/m")
+    preCompact.map(_._2) should not contain 1L
+    // 100 still matches the SURVIVING family member 2
+    preCompact.map(t => (t._1, t._2)) should contain allOf(
+      (100L, 2L), (101L, 4L))
+
+    val (kept, dead) = DedupIndex.compactIndex(s, s"$base/m")
+    kept shouldBe 3L
+    dead shouldBe 2L
+    val postCompact = pairs(s"$base/m")
+    postCompact shouldBe preCompact
+
+    // ground truth: a fresh build on exactly the surviving corpus
+    DedupIndex.buildAndSave(
+      docsDf((corpusA ++ corpusB).filterNot(d => Set(1L, 5L)(d._1))),
+      "doc_id", "text", s"$base/fresh")
+    postCompact shouldBe pairs(s"$base/fresh")
+
+    // compaction physically reclaimed the dead ids from both artifacts
+    import org.apache.spark.sql.functions.col
+    s.read.parquet(s"$base/m/idx").filter(col("id").isin(1L, 5L))
+      .count() shouldBe 0L
+    s.read.parquet(s"$base/m/bands").filter(col("id").isin(1L, 5L))
+      .count() shouldBe 0L
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
   it should "persist and reload the shingle/hash config" in {
     val s = spark
     val base = java.nio.file.Files

@@ -47,7 +47,7 @@ class TwsTtlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
   behavior of "Tws state TTL (production processors)"
 
   it should "emit identically to the untimed spelling inside the TTL " +
-    "horizon (default-TTL path vs ttl = None)" in withRocksDb {
+    "horizon (opt-in TTL path vs the ttl = None default)" in withRocksDb {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -65,9 +65,12 @@ class TwsTtlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       qA.processAllAvailable()
     } finally qA.stop()
 
-    // production default: TTL'd state, processing TimeMode, poll-drain
+    // production posture: opt-in TTL'd state (ADVICE r12: the default is
+    // ttl = None so AvailableNow drains terminate), processing TimeMode,
+    // poll-drain
     val inB = MemoryStream[ValuedEvent]
-    val qB = Tws.minKValues(inB.toDS(), 2)
+    val qB = Tws.minKValues(inB.toDS(), 2,
+      ttl = Some(Tws.DefaultStateTtl))
       .writeStream.format("memory").queryName("ttl_eq_ttl")
       .outputMode("append").start()
     try {
@@ -88,8 +91,11 @@ class TwsTtlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val in = MemoryStream[UserTypedEvent]
+    // 5 s TTL / 10 s idle (ADVICE r12: the old 2 s/3 s margin flaked on
+    // loaded hosts — a late third batch or an early-expiring second
+    // batch flips the resumed/restarted emissions)
     val q = Tws.userTypeStats(in.toDS(),
-        ttl = Some(java.time.Duration.ofSeconds(2)))
+        ttl = Some(java.time.Duration.ofSeconds(5)))
       .writeStream.format("memory").queryName("ttl_evict")
       .outputMode("append").start()
     try {
@@ -99,7 +105,7 @@ class TwsTtlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       in.addData(UserTypedEvent(1L, "view"))
       drain("ttl_evict", q, 2L)
       // past the horizon: state evicted, the profile RESTARTS (1, 1)
-      Thread.sleep(3000)
+      Thread.sleep(10000)
       in.addData(UserTypedEvent(1L, "view"))
       drain("ttl_evict", q, 3L)
       val rows = s.table("ttl_evict")

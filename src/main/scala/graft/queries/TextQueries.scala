@@ -611,6 +611,53 @@ object TextQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Perceptual image dedup (r12 verdict #6): REAL PNGs are synthesized
+    // per doc from a 64-bit target hash (family base hash ⊕ up to 3
+    // id-derived noise bits), ImageIO-decoded, dHashed (integer-exact
+    // 9×8 box-average grid), and near-dup'd through the Hamming-banded
+    // candidate join — never all-pairs. Because the synth→decode→hash
+    // round trip is bit-exact (ImageHashSpec) and families sit ≥ 12 bits
+    // apart (min cross-family base distance 18, ≤ ±6 noise), the exact
+    // pair set is pure id arithmetic: the oracle recomputes every
+    // within-family Hamming distance from the noise-bit positions alone
+    // — an integer-exact SQL oracle over an image-pipeline operator.
+    // `roundtrip_ok` pins decode-hash == target for every image in-row.
+    "q_image_dedup" -> { (s, dir) =>
+      import s.implicits._
+      def splitmix(x0: Long): Long = {
+        var x = x0 + 0x9e3779b97f4a7c15L
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        x ^ (x >>> 31)
+      }
+      val targets = Pin.pin(
+        t(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") % 5 === 0).orderBy("doc_id").limit(400)
+          .as[Long].map { id =>
+            val d5 = id / 5
+            var tgt = splitmix(d5 % 40)
+            var j = 0
+            while (j < (d5 % 4).toInt) {
+              tgt ^= 1L << (((d5 * 7 + j * 13) % 64).toInt)
+              j += 1
+            }
+            (id, tgt)
+          }.toDF("id", "target"))
+      def media = targets.as[(Long, Long)].map { case (id, tgt) =>
+        graft.ops.MediaFile(id, "png",
+          graft.ops.ImageHash.buildGrayPng(tgt))
+      }
+      val pairs = graft.ops.ImageHash
+        .perceptualNearDupPairs(media, maxHamming = 4)
+      val roundtripOk = graft.ops.ImageHash.dHashes(media)
+        .join(targets, Seq("id"))
+        .filter(col("dhash") =!= col("target")).isEmpty
+      pairs
+        .withColumn("roundtrip_ok", lit(roundtripOk))
+        .withColumn("n_images", lit(targets.count()))
+        .orderBy("id_a", "id_b")
+    },
+
     // MinHash-LSH near-dup gate: the seeded LSH candidate join + exact
     // verify runs over the full corpus; the query proves it against the
     // exact unblocked truth (md5 audit sample) at Jaccard ≥ 0.8 and emits the truth pairs
@@ -3077,6 +3124,29 @@ object TextQueries {
         |FROM chunks ch LEFT JOIN shared s ON ch.chash = s.chash
         |GROUP BY ch.doc_id
         |ORDER BY ch.doc_id""".stripMargin,
+
+    // within-family Hamming distances from the noise-bit positions alone
+    // (|S_a Δ S_b| — the images' target hashes differ in exactly those
+    // bits; cross-family pairs sit ≥ 12 bits apart, above the radius)
+    "q_image_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id // 5 AS d5 FROM documents
+        |  WHERE doc_id % 5 = 0 ORDER BY doc_id LIMIT 400),
+        |m AS (
+        |  SELECT doc_id, d5 % 40 AS fam,
+        |    list_transform(range(d5 % 4),
+        |      j -> (d5 * 7 + j * 13) % 64) AS pos
+        |  FROM ids),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(a.pos) + len(b.pos)
+        |      - 2 * len(list_intersect(a.pos, b.pos)) AS hamming
+        |  FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming,
+        |  TRUE AS roundtrip_ok,
+        |  (SELECT count(*) FROM ids) AS n_images
+        |FROM p WHERE hamming <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_minhash_neardup" -> truthOracle(0.8, "minhash_recall_ok"),
     "q_banded_minhash" -> truthOracle(0.8, "band_recall_ok"),

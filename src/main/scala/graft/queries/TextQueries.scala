@@ -770,8 +770,14 @@ object TextQueries {
       D.deleteFromIndex(s,
         docs.filter(col("doc_id") % 10 === 1).select("doc_id"),
         "doc_id", idxPath)
+      // Materialized UNCONDITIONALLY (not Pin.pin, which plan specs
+      // disable): `pre` lazily references the tombstone files that
+      // compactIndex deletes right below — an unexecuted plan would
+      // FAILED_READ_FILE after the compact. The audit's plan assertions
+      // see the gate's RETURNED frame; `pre` only feeds the in-gate
+      // booleans, so the eager checkpoint hides nothing they need.
       val pre = D.dedupNewBatch(s, batch, "doc_id", "text", idxPath,
-        maxDistance = 0.2)
+        maxDistance = 0.2).localCheckpoint(true)
       val (kept, dead) = D.compactIndex(s, idxPath)
       val post = D.dedupNewBatch(s, batch, "doc_id", "text", idxPath,
         maxDistance = 0.2)

@@ -113,6 +113,7 @@ class PlanQualitySpec extends AnyFlatSpec with Matchers with SparkTestBase
       "q_semantic_dedup",
       "q_ngram_jaccard", "q_minhash_neardup", "q_banded_minhash",
       "q_simhash_buckets", "q_fingerprint", "q_decontaminate",
+      "q_image_dedup",
       "q_asof_join", "q_range_join", "q_salted_join", "q_semi_join",
       "q_anti_join", "q_full_outer", "q3_top_orders", "q5_nation_revenue",
       "q_token_pmi", "q_vocab_encode", "q_quality_buckets",

@@ -442,6 +442,65 @@ object EmbeddingQueries {
         .orderBy("qid", "rnk")
     },
 
+    // ANN INDEX MAINTENANCE (r12 verdict #4, the IVF sibling of
+    // q_dedup_maintenance): BUILD the persisted IVF on one corpus split
+    // (vec_id % 5 ∈ {1,2}), APPEND a second ({3,4} — FAISS add(), the
+    // quantizer stays as trained), DELETE a slice (% 10 == 1,
+    // tombstones), query, COMPACT (physical reclaim + cell-file
+    // re-pack), query again. Output rows are the EXACT brute-force
+    // top-K over the SURVIVING corpus (full SQL oracle); the
+    // maintained-index answers ride in as flags: `tombstones_honored`
+    // (no deleted id served, before AND after compaction),
+    // `compact_preserves` (post ≡ pre, bit-exact), `recall_ok` (≥60%
+    // of exact top-K at the 8/16 probe ratio), plus the compaction
+    // ledger (kept/dead) cross-checked against SQL counts.
+    "q_ann_maintenance" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val part1 = emb.filter((col("vec_id") % 5).isin(1L, 2L))
+      val part2 = emb.filter((col("vec_id") % 5).isin(3L, 4L))
+      val batch = emb.filter(col("vec_id") % 5 === 0 &&
+        col("vec_id") < NQueries * 5)
+      val idxPath = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_maint_" + Integer.toHexString(dir.hashCode)
+      val A = graft.ops.AnnIndex
+      A.buildAndSaveIvf(part1, "vec_id", "embedding", idxPath)
+      A.appendToIvf(s, part2, "vec_id", "embedding", idxPath)
+      A.deleteFromIvf(s,
+        emb.filter(col("vec_id") % 10 === 1).select("vec_id"),
+        "vec_id", idxPath)
+      // materialized before the compact mutates the index on disk (the
+      // q_dedup_maintenance lesson — Pin is disabled under plan audits)
+      val pre = A.queryIvf(s, batch, "vec_id", "embedding", idxPath, K,
+        nProbe = 8).localCheckpoint(true)
+      val (kept, dead) = A.compactIvf(s, idxPath)
+      val post = A.queryIvf(s, batch, "vec_id", "embedding", idxPath, K,
+        nProbe = 8)
+      val compactPreserves = post.union(pre)
+        .groupBy("qid", "rnk", "vec_id", "sim").count()
+        .filter(col("count") =!= 2).isEmpty
+      val tombstonesHonored =
+        pre.filter(col("vec_id") % 10 === 1).isEmpty &&
+          post.filter(col("vec_id") % 10 === 1).isEmpty
+      val survivors = emb.filter(col("vec_id") % 5 =!= 0 &&
+        col("vec_id") % 10 =!= 1)
+      val exact = graft.ops.Pin.pin(Similarity.bruteForceTopK(
+        survivors, batch, "vec_id", "embedding", K))
+      val found = post.select(col("qid").as("fq"),
+        col("vec_id").cast("long").as("fi")).distinct()
+      val flag = exact
+        .join(found,
+          col("qid") === col("fq") && col("vec_id") === col("fi"), "left")
+        .agg((sum(when(col("fi").isNotNull, 1).otherwise(0)) * 100 >=
+          count(lit(1)) * 60).as("recall_ok"))
+      exact.crossJoin(broadcast(flag))
+        .select(col("qid"), col("rnk"), col("vec_id"), col("sim"),
+          col("recall_ok"),
+          lit(compactPreserves).as("compact_preserves"),
+          lit(tombstonesHonored).as("tombstones_honored"),
+          lit(kept).as("kept_vecs"), lit(dead).as("dead_vecs"))
+        .orderBy("qid", "rnk")
+    },
+
     // PQ ANN gate: 16 subspaces × 256 codes → 16 bytes per vector (32×
     // compression vs float64), ADC scan over-fetching top-20 candidates
     // for exact re-rank (the standard recall@k-in-top-k' serving shape).
@@ -801,6 +860,35 @@ object EmbeddingQueries {
          |  FROM p)
          |SELECT qid, rnk, vec_id, sim, TRUE AS recall_ok,
          |  TRUE AS loaded_agrees
+         |FROM r WHERE rnk <= $K
+         |ORDER BY qid, rnk""".stripMargin,
+    // exact kNN over the SURVIVING corpus (build+append minus deleted),
+    // flags pinned TRUE; kept/dead recomputed from the id arithmetic
+    "q_ann_maintenance" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |c AS (SELECT * FROM e
+         |      WHERE vec_id % 5 <> 0 AND vec_id % 10 <> 1),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM e
+         |      WHERE vec_id % 5 = 0 AND vec_id < ${NQueries * 5}),
+         |p AS (
+         |  SELECT q.qid, c.vec_id,
+         |    round(list_dot_product(c.e, q.qe) /
+         |      (sqrt(list_dot_product(c.e, c.e)) *
+         |       sqrt(list_dot_product(q.qe, q.qe))), 6) AS sim
+         |  FROM c, q),
+         |r AS (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM p)
+         |SELECT qid, rnk, vec_id, sim, TRUE AS recall_ok,
+         |  TRUE AS compact_preserves, TRUE AS tombstones_honored,
+         |  (SELECT count(*) FROM embeddings
+         |   WHERE vec_id % 5 <> 0 AND vec_id % 10 <> 1) AS kept_vecs,
+         |  (SELECT count(*) FROM embeddings
+         |   WHERE vec_id % 10 = 1) AS dead_vecs
          |FROM r WHERE rnk <= $K
          |ORDER BY qid, rnk""".stripMargin,
     "q_emb_pq_ann" -> knnOracle("recall_ok"),

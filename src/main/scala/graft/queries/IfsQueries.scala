@@ -113,17 +113,8 @@ object IfsQueries {
       val nFeatures = featureDefs.size
       val chunks = projDF.queryExecution.toRdd
         .mapPartitionsWithIndex { (pi, it) =>
-          val bs = Array.fill(nFeatures + 1)(
-            new scala.collection.mutable.ArrayBuilder.ofDouble)
-          it.foreach { r =>
-            bs(0) += r.getDouble(0)
-            val arr = r.getArray(1)
-            var f = 0
-            while (f < nFeatures) { bs(f + 1) += arr.getDouble(f); f += 1 }
-          }
-          (0 to nFeatures).iterator.map { i =>
-            ((i - 1).toLong, (pi, bs(i).result()))
-          }
+          chunkedColumnize(pi, it, nFeatures)
+            .map { case (fid, bid, arr) => (fid, (bid, arr)) }
         }
       chunks
         .groupByKey(math.min(nFeatures + 1, s.sparkContext.defaultParallelism))
@@ -161,22 +152,70 @@ object IfsQueries {
       val nFeatures = featureDefs.size
       projDF.queryExecution.toRdd
         .mapPartitionsWithIndex { (pi, it) =>
-          val bs = Array.fill(nFeatures + 1)(
-            new scala.collection.mutable.ArrayBuilder.ofDouble)
-          it.foreach { r =>
-            bs(0) += r.getDouble(0)
-            val arr = r.getArray(1)
-            var f = 0
-            while (f < nFeatures) { bs(f + 1) += arr.getDouble(f); f += 1 }
-          }
-          (0 to nFeatures).iterator.map { i =>
-            ((i - 1).toLong, pi.toLong, bs(i).result())
-          }
+          chunkedColumnize(pi, it, nFeatures)
         }
         .toDF("id", "bid", "values")
         // empty scan partitions yield zero-length blocks on EVERY feature
         // including the label — harmless to MI, dropped for tidiness
         .filter(size(col("values")) > 0)
+    }
+
+  /** Rows-per-block cap of the transpose pass: 2 MB arrays. Before this
+    * cap (r13, the sf10 OOM), a block spanned its whole SCAN PARTITION —
+    * ~4M rows at sf10 under 128 MB splits, so every (feature, block)
+    * record was a 30+ MB array: the build held nFeatures × that per
+    * task, and the blocked-MI consumer's join buffered multi-MB
+    * UnsafeRow copies — the 8 GiB heap died in warm-up. Blocks are a
+    * TILING choice (MI is instance-order invariant; the label rides the
+    * same pass, so feature/label tiles stay aligned by construction) —
+    * bounding them fixes the record width at any corpus size, which is
+    * the whole point of the blocked layout.
+    */
+  private val BlockRows = 1 << 18
+
+  /** Streaming chunked transpose of one scan partition: fills the
+    * per-feature builders up to [[BlockRows]] rows, emits one
+    * (featureId, blockId, values) record per feature (label as pseudo-
+    * feature -1), then resets — at most nFeatures+1 bounded builders
+    * live at once, never the whole partition. Block ids compose
+    * (partition, chunk) into one Long so lexicographic chunk order is
+    * numeric order (the vector assembly sorts on it).
+    */
+  private def chunkedColumnize(
+      pi: Int,
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      nFeatures: Int): Iterator[(Long, Long, Array[Double])] =
+    new Iterator[(Long, Long, Array[Double])] {
+      private var chunk = 0L
+      private var queue: Iterator[(Long, Long, Array[Double])] =
+        Iterator.empty
+      private def refill(): Unit = {
+        if (!it.hasNext) return
+        val bs = Array.fill(nFeatures + 1)(
+          new scala.collection.mutable.ArrayBuilder.ofDouble)
+        var n = 0
+        while (it.hasNext && n < BlockRows) {
+          val r = it.next()
+          bs(0) += r.getDouble(0)
+          val arr = r.getArray(1)
+          var f = 0
+          while (f < nFeatures) { bs(f + 1) += arr.getDouble(f); f += 1 }
+          n += 1
+        }
+        val bid = pi.toLong * (1L << 32) + chunk
+        chunk += 1
+        queue = (0 to nFeatures).iterator.map { i =>
+          ((i - 1).toLong, bid, bs(i).result())
+        }
+      }
+      def hasNext: Boolean = {
+        if (!queue.hasNext) refill()
+        queue.hasNext
+      }
+      def next(): (Long, Long, Array[Double]) = {
+        if (!queue.hasNext) refill()
+        queue.next()
+      }
     }
 
   /** Per-instance labels in the same deterministic order as [[rowMatrix]]

@@ -502,12 +502,22 @@ object IterativeFeatureSelection {
   def selectRowsBlocked(blocks: DataFrame, idCol: String, blockCol: String,
                         valuesCol: String, labelBlocks: DataFrame,
                         num: Int): Seq[(Long, Double)] = {
+    // NO operator-level materialization (r13, the sf10 lesson): the
+    // caller's blocks frame is already a cheap re-readable source (the
+    // gates pass the session-pinned fixture), and EVERY second copy of
+    // a multi-GB array-row matrix on the default heap proved fatal in a
+    // different way — .cache()'s in-memory-columnar builder buffers 10k
+    // multi-MB rows per ColumnBuilder batch, and Dataset.checkpoint's
+    // row-copy loop allocates row-sized transients outside the memory
+    // manager while the pinned fixture already holds the storage
+    // budget. The k selection rounds instead re-join lazily against
+    // the source: each round is one spill-safe shuffle of (a shrinking
+    // candidate subset of) the matrix — managed memory only, no second
+    // residency, and the relative cost at gate scales is noise.
     val data = blocks.select(
         col(idCol).cast(LongType).as("id"),
         col(blockCol).cast(LongType).as("bid"),
         col(valuesCol).cast("array<double>").as("xs"))
-      .repartition(col("bid"))
-      .cache()
     val labels = labelBlocks.select(
         col(blockCol).cast(LongType).as("bid"),
         col(valuesCol).cast("array<double>").as("ys"))
@@ -567,7 +577,7 @@ object IterativeFeatureSelection {
         }
       }
       selected.toSeq
-    } finally { data.unpersist(); () }
+    } finally { () }
   }
 
   /** MI per feature id over joined (id, xs, ys) block records — the

@@ -171,7 +171,7 @@ object IfsQueries {
     * bounding them fixes the record width at any corpus size, which is
     * the whole point of the blocked layout.
     */
-  private val BlockRows = 1 << 18
+  private val BlockRows = 1 << 16
 
   /** Streaming chunked transpose of one scan partition: fills the
     * per-feature builders up to [[BlockRows]] rows, emits one

@@ -28,7 +28,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 object ImageHash {
 
   /** Bands per hash (8 × 8 bits): full recall up to Hamming distance 7. */
-  val NumBands = 8
+  val NumBands = Hamming.NumBands
 
   /** Fixed-point luma of one packed sRGB pixel (×1000: 299r+587g+114b). */
   private def luma1000(rgb: Int): Long =
@@ -146,24 +146,7 @@ object ImageHash {
     * rather than silently losing recall.
     */
   def perceptualNearDupPairs(media: Dataset[MediaFile],
-                             maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"perceptualNearDupPairs: maxHamming=$maxHamming outside the " +
-        s"banded join's guaranteed-recall range 0..7 (${NumBands} bands " +
-        "of 8 bits); raise NumBands deliberately for a looser radius")
-    val hashed = Pin.pin(dHashes(media))
-    val bandRows = hashed.select(col("id"), col("dhash"),
-      explode(sequence(lit(0), lit(NumBands - 1))).as("b"))
-      .withColumn("v", expr("(dhash >> (b * 8)) & 255"))
-    val a = bandRows.select(col("id").as("id_a"),
-      col("dhash").as("ha"), col("b"), col("v"))
-    val bside = bandRows.select(col("id").as("id_b"),
-      col("dhash").as("hb"), col("b"), col("v"))
-    a.join(bside, Seq("b", "v"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ha", "hb").distinct()
-      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-  }
+                             maxHamming: Int): DataFrame =
+    Hamming.bandedPairs(Pin.pin(dHashes(media)), "id", "dhash",
+      maxHamming, "perceptualNearDupPairs")
 }

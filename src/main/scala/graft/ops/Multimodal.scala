@@ -260,19 +260,12 @@ object Multimodal {
     * compressed codecs are container-probed only".
     */
   def decodeMjpegFrames(bytes: Array[Byte]): Seq[(Int, Int, Int, Long)] = {
-    def le32(o: Int): Long =
-      if (o + 4 > bytes.length) -1L
-      else ((bytes(o + 3) & 0xffL) << 24) | ((bytes(o + 2) & 0xffL) << 16) |
-        ((bytes(o + 1) & 0xffL) << 8) | (bytes(o) & 0xffL)
-    def fourcc(o: Int): String =
-      if (o + 4 > bytes.length) ""
-      else new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
     var idx = 0
-    def decodeChunk(o: Int, size: Int): Unit = {
-      val in = new java.io.ByteArrayInputStream(bytes, o, size)
-      val img = try javax.imageio.ImageIO.read(in) catch { case _: Throwable => null }
+    mjpegFrameBytes(bytes).foreach { chunk =>
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(chunk))
+      catch { case _: Throwable => null }
       if (img != null) {
         var luma = 0L
         var y = 0
@@ -289,6 +282,24 @@ object Multimodal {
         idx += 1
       }
     }
+    out.toSeq
+  }
+
+  /** The raw still-frame payloads ("..dc" chunk bodies, in stream
+    * order) of an MJPEG AVI — the container walk of
+    * [[decodeMjpegFrames]] without the decode, for callers that hash or
+    * re-mux frames ([[VideoHash.frameHashes]]). Nil for non-AVI bytes.
+    */
+  def mjpegFrameBytes(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def le32(o: Int): Long =
+      if (o + 4 > bytes.length) -1L
+      else ((bytes(o + 3) & 0xffL) << 24) | ((bytes(o + 2) & 0xffL) << 16) |
+        ((bytes(o + 1) & 0xffL) << 8) | (bytes(o) & 0xffL)
+    def fourcc(o: Int): String =
+      if (o + 4 > bytes.length) ""
+      else new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def walk(start: Int, end: Int, depth: Int): Unit = {
       var o = start
       while (o + 8 <= end && depth < 8) {
@@ -300,7 +311,7 @@ object Multimodal {
           if (bodyType == "movi" || bodyType == "hdrl" || bodyType == "rec ")
             walk(o + 12, o + 8 + size, depth + 1)
         } else if (id.length == 4 && id.endsWith("dc")) {
-          decodeChunk(o + 8, size)
+          out += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + size)
         }
         o += 8 + size + (size & 1) // chunks pad to even
       }
@@ -317,11 +328,6 @@ object Multimodal {
     * on synthetic-but-genuine video bytes.
     */
   def buildMjpegAvi(w: Int, h: Int, shades: Seq[Int]): Array[Byte] = {
-    def le32(v: Int): Array[Byte] = Array(
-      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def s(x: String): Array[Byte] =
-      x.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     def jpeg(shade: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -337,6 +343,20 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
+    buildMjpegAviFromJpegs(w, h, shades.map(jpeg))
+  }
+
+  /** The RIFF/AVI wrapper of [[buildMjpegAvi]] for caller-supplied JPEG
+    * payloads (one "00dc" chunk each) — [[VideoHash]] feeds it
+    * quality-controlled staircase frames.
+    */
+  def buildMjpegAviFromJpegs(w: Int, h: Int,
+                             jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def s(x: String): Array[Byte] =
+      x.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val avih = new Array[Byte](56)
     System.arraycopy(le32(w), 0, avih, 32, 4)
     System.arraycopy(le32(h), 0, avih, 36, 4)
@@ -344,8 +364,7 @@ object Multimodal {
     val movi = {
       val b = new java.io.ByteArrayOutputStream()
       b.write(s("movi"))
-      shades.foreach { sh =>
-        val f = jpeg(sh)
+      jpegs.foreach { f =>
         b.write(s("00dc")); b.write(le32(f.length)); b.write(f)
         if (f.length % 2 == 1) b.write(0)
       }

@@ -658,6 +658,102 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Perceptual AUDIO dedup — the audio leg of the multimodal↔dedup
+    // bridge: REAL WAVs are synthesized per doc from a 64-bit target
+    // fingerprint (family base ⊕ up to 3 id-derived noise bits), decoded
+    // back through javax.sound, energy-envelope fingerprinted
+    // (integer-exact — PCM is lossless), and near-dup'd through the
+    // shared Hamming-banded join. Families sit ≥ 18 bits apart (32
+    // splitmix bases, measured) with ≤ ±6 noise, so the exact pair set
+    // is pure id arithmetic — the q_image_dedup oracle pattern on audio.
+    // `roundtrip_ok` pins decode-fingerprint == target for every clip.
+    "q_audio_dedup" -> { (s, dir) =>
+      import s.implicits._
+      def splitmix(x0: Long): Long = {
+        var x = x0 + 0x9e3779b97f4a7c15L
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        x ^ (x >>> 31)
+      }
+      val targets = Pin.pin(
+        t(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") % 7 === 0).orderBy("doc_id").limit(400)
+          .as[Long].map { id =>
+            val d = id / 7
+            var tgt = splitmix(d % 32)
+            var j = 0
+            while (j < (d % 4).toInt) {
+              tgt ^= 1L << (((d * 11 + j * 17) % 64).toInt)
+              j += 1
+            }
+            (id, tgt)
+          }.toDF("id", "target"))
+      def media = targets.as[(Long, Long)].map { case (id, tgt) =>
+        graft.ops.MediaFile(id, "wav",
+          graft.ops.AudioHash.buildStairWav(tgt))
+      }
+      val pairs = graft.ops.AudioHash
+        .audioNearDupPairs(media, maxHamming = 4)
+      val roundtripOk = graft.ops.AudioHash.fingerprints(media)
+        .join(targets, Seq("id"))
+        .filter(col("afp") =!= col("target")).isEmpty
+      pairs
+        .withColumn("roundtrip_ok", lit(roundtripOk))
+        .withColumn("n_clips", lit(targets.count()))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Perceptual VIDEO dedup — the third multimodal↔dedup leg: REAL
+    // 3-frame MJPEG AVIs are synthesized per doc (frame f's dHash
+    // target = family frame base ⊕ an id/frame-derived noise bit),
+    // container-walked, frame-decoded through ImageIO, per-frame
+    // dHashed, and near-dup'd through the FRAME-ALIGNED banded join
+    // with the summed-distance verify (zip_with over the two signature
+    // arrays). Staircase frames are 8×8-block-aligned at JPEG quality
+    // 0.95, so the lossy encode round-trips the hash bit-exact
+    // (VideoHashSpec measures it; `roundtrip_ok` pins it in-row);
+    // family frame-base triples sit ≥ 77 summed bits apart (measured)
+    // with ≤ ±6 noise, so the pair set is id arithmetic again.
+    "q_video_dedup" -> { (s, dir) =>
+      import s.implicits._
+      def splitmix(x0: Long): Long = {
+        var x = x0 + 0x9e3779b97f4a7c15L
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        x ^ (x >>> 31)
+      }
+      val targets = Pin.pin(
+        t(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") % 11 === 0).orderBy("doc_id").limit(300)
+          .as[Long].map { id =>
+            val d = id / 11
+            val fam = d % 24
+            val ts = (0 until 3).map { f =>
+              var tgt = splitmix(fam * 3 + f)
+              if ((d + f) % 2 == 1)
+                tgt ^= 1L << (((d * 7 + f * 13) % 64).toInt)
+              tgt
+            }
+            (id, ts)
+          }.toDF("id", "targets"))
+      def media = targets.as[(Long, Seq[Long])].map { case (id, ts) =>
+        graft.ops.MediaFile(id, "avi",
+          graft.ops.VideoHash.buildStairMjpegAvi(ts))
+      }
+      val pairs = graft.ops.VideoHash
+        .videoNearDupPairs(media, maxTotalHamming = 4)
+      val roundtripOk = graft.ops.VideoHash.frameHashes(media)
+        .groupBy("id")
+        .agg(expr("transform(array_sort(collect_list(" +
+          "struct(frame_idx, fhash))), x -> x.fhash)").as("got"))
+        .join(targets, Seq("id"))
+        .filter(col("got") =!= col("targets")).isEmpty
+      pairs
+        .withColumn("roundtrip_ok", lit(roundtripOk))
+        .withColumn("n_videos", lit(targets.count()))
+        .orderBy("id_a", "id_b")
+    },
+
     // MinHash-LSH near-dup gate: the seeded LSH candidate join + exact
     // verify runs over the full corpus; the query proves it against the
     // exact unblocked truth (md5 audit sample) at Jaccard ≥ 0.8 and emits the truth pairs
@@ -811,6 +907,111 @@ object TextQueries {
           lit(compactPreserves).as("compact_preserves"),
           lit(tombstonesHonored).as("tombstones_honored"),
           lit(kept).as("kept_docs"), lit(dead).as("dead_docs"),
+          col("audit_docs"), col("corpus_docs"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // STREAMING near-dup ingest — the nightly cycle the maintenance gate
+    // runs by hand, here as ONE Structured Streaming job: a file stream
+    // of new document batches is deduped against the PERSISTED MinHash
+    // index and folded into it inside foreachBatch (dedupNewBatch →
+    // appendToIndex per micro-batch, append guarded per batchId — the
+    // idempotent-sink discipline of q_foreach_batch). Two ingest files
+    // with pinned modification times arrive as two ordered micro-batches
+    // under maxFilesPerTrigger=1, so batch 2's dup pairs against batch 1
+    // exist ONLY if the mid-stream append took effect — sequencing is
+    // proven by recall against the exact cross-rank truth (rank 0 =
+    // corpus, 1 = first ingest, 2 = second), not just asserted.
+    // `ingest_order_ok` additionally pins that every found pair points
+    // from a newer rank to a strictly older one.
+    "q_stream_ingest_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = Integer.toHexString(dir.hashCode)
+      val idxPath = s"$tmp/graft_mh_stream_idx_$tag"
+      val streamDir = s"$tmp/graft_mh_stream_in_$tag"
+      val ckptDir = s"$tmp/graft_mh_stream_ckpt_$tag"
+      val D = graft.ops.DedupIndex
+      val hconf = s.sparkContext.hadoopConfiguration
+      def rmrf(p: String): Unit = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(hconf)
+        if (fs.exists(hp)) { fs.delete(hp, true); () }
+      }
+      // a rerun (bench retimes, repeated sweeps) starts from scratch
+      Seq(streamDir, ckptDir).foreach(rmrf)
+      D.buildAndSave(corpus, "doc_id", "text", idxPath)
+      // one parquet file per ingest batch, modification times pinned so
+      // the FileStreamSource delivers them oldest-first
+      def writeIngestFile(batch: DataFrame, name: String,
+                          modTime: Long): Unit = {
+        val staging = s"$streamDir/_stage_$name"
+        batch.coalesce(1).write.mode("overwrite").parquet(staging)
+        val sp = new org.apache.hadoop.fs.Path(staging)
+        val fs = sp.getFileSystem(hconf)
+        val part = fs.listStatus(sp).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"no parquet part written under $staging"))
+        val dest = new org.apache.hadoop.fs.Path(s"$streamDir/$name")
+        fs.rename(part, dest)
+        fs.delete(sp, true)
+        fs.setTimes(dest, modTime, -1)
+        ()
+      }
+      val cols = docs.select("doc_id", "text")
+      writeIngestFile(cols.filter(col("doc_id") % 10 === 0),
+        "ingest1.parquet", 1000000L)
+      writeIngestFile(cols.filter(col("doc_id") % 10 === 5),
+        "ingest2.parquet", 2000000L)
+      val found = new java.util.concurrent.ConcurrentHashMap[
+        java.lang.Long, Array[(Long, Long, Double)]]()
+      val appended = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[java.lang.Long]()
+      val stream = s.readStream.schema(cols.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", streamDir)
+        .parquet(s"$streamDir/*.parquet")
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val pairs = D.dedupNewBatch(s, df, "doc_id", "text", idxPath,
+              maxDistance = 0.2)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          found.put(batchId, pairs) // idempotent: replace, not append
+          if (appended.add(batchId)) // fold in exactly once per batchId
+            D.appendToIndex(s, df, "doc_id", "text", idxPath)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      val allPairs = found.values().asScala.flatten.toSeq
+        .toDF("batch_id", "corpus_id", "jaccard_dist")
+      def rank(c: org.apache.spark.sql.Column) =
+        when(c % 5 =!= 0, 0).when(c % 10 === 0, 1).otherwise(2)
+      val orderOk = allPairs
+        .filter(rank(col("batch_id")) <= rank(col("corpus_id"))).isEmpty
+      val truth = truthPairs(s, dir, 0.8)
+        .filter(rank(col("id_a")) =!= rank(col("id_b")))
+      val foundPairs = allPairs.select(
+        least(col("batch_id"), col("corpus_id")).as("fa"),
+        greatest(col("batch_id"), col("corpus_id")).as("fb")).distinct()
+      val flag = truth
+        .join(foundPairs,
+          col("id_a") === col("fa") && col("id_b") === col("fb"), "left")
+        .agg((sum(when(col("fa").isNotNull, 1).otherwise(0)) * 100 >=
+          count(lit(1)) * 90).as("ingest_recall_ok"))
+      val cov = docs.agg(
+        least(lit(TruthSample.toLong), count(lit(1))).as("audit_docs"),
+        count(lit(1)).as("corpus_docs"))
+      truth.crossJoin(broadcast(flag)).crossJoin(broadcast(cov))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("ingest_recall_ok"), lit(orderOk).as("ingest_order_ok"),
           col("audit_docs"), col("corpus_docs"))
         .orderBy("id_a", "id_b")
     },
@@ -3154,6 +3355,53 @@ object TextQueries {
         |FROM p WHERE hamming <= 4
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // within-family fingerprint distances from the noise-bit positions
+    // alone (the q_image_dedup oracle shape on the audio constants:
+    // 32 families ≥ 18 bits apart, ≤ 3 noise bits each side)
+    "q_audio_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id // 7 AS d FROM documents
+        |  WHERE doc_id % 7 = 0 ORDER BY doc_id LIMIT 400),
+        |m AS (
+        |  SELECT doc_id, d % 32 AS fam,
+        |    list_transform(range(d % 4),
+        |      j -> (d * 11 + j * 17) % 64) AS pos
+        |  FROM ids),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(a.pos) + len(b.pos)
+        |      - 2 * len(list_intersect(a.pos, b.pos)) AS hamming
+        |  FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming,
+        |  TRUE AS roundtrip_ok,
+        |  (SELECT count(*) FROM ids) AS n_clips
+        |FROM p WHERE hamming <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // summed per-frame distances from id arithmetic: frame f's noise
+    // set is {(d*7+f*13)%64} when (d+f) is odd, {} otherwise; two ids'
+    // noise positions coincide iff 7·(da−db) ≡ 0 (mod 64) — f cancels,
+    // since both positions shift by the same 13f
+    "q_video_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id // 11 AS d FROM documents
+        |  WHERE doc_id % 11 = 0 ORDER BY doc_id LIMIT 300),
+        |m AS (SELECT doc_id, d, d % 24 AS fam FROM ids),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    list_sum(list_transform([0, 1, 2], f ->
+        |      ((a.d + f) % 2) + ((b.d + f) % 2)
+        |      - 2 * ((a.d + f) % 2) * ((b.d + f) % 2)
+        |          * (CASE WHEN (a.d * 7) % 64 = (b.d * 7) % 64
+        |             THEN 1 ELSE 0 END))) AS hamming
+        |  FROM m a JOIN m b ON a.fam = b.fam AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(3 AS BIGINT) AS n_frames,
+        |  CAST(hamming AS BIGINT) AS hamming,
+        |  TRUE AS roundtrip_ok,
+        |  (SELECT count(*) FROM ids) AS n_videos
+        |FROM p WHERE hamming <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_minhash_neardup" -> truthOracle(0.8, "minhash_recall_ok"),
     "q_banded_minhash" -> truthOracle(0.8, "band_recall_ok"),
     "q_simhash_buckets" -> truthOracle(0.8, "hamming8_ok"),
@@ -3192,6 +3440,48 @@ object TextQueries {
          |  (SELECT count(*) FROM documents) AS corpus_docs
          |FROM j
          |WHERE jaccard >= 0.8 AND ((id_a % 5 = 0) != (id_b % 5 = 0))
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the CROSS-RANK restriction of the same truth (rank 0 = corpus
+    // %5!=0, 1 = first ingest %10=0, 2 = second ingest %10=5), both
+    // streaming-cycle flags pinned TRUE
+    "q_stream_ingest_dedup" ->
+      s"""WITH smp AS (
+         |  SELECT doc_id, text FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT $TruthSample),
+         |d AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id,
+         |      list_distinct(list_transform(
+         |        range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+         |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+         |        AS sh
+         |    FROM smp)
+         |  WHERE len(sh) > 0),
+         |e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM d),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sz AS sza, b.sz AS szb, count(*) AS inter
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS jaccard
+         |  FROM p),
+         |r AS (
+         |  SELECT id_a, id_b, jaccard,
+         |    CASE WHEN id_a % 5 != 0 THEN 0
+         |         WHEN id_a % 10 = 0 THEN 1 ELSE 2 END AS ra,
+         |    CASE WHEN id_b % 5 != 0 THEN 0
+         |         WHEN id_b % 10 = 0 THEN 1 ELSE 2 END AS rb
+         |  FROM j)
+         |SELECT id_a, id_b, jaccard, TRUE AS ingest_recall_ok,
+         |  TRUE AS ingest_order_ok,
+         |  least($TruthSample, (SELECT count(*) FROM documents))
+         |    AS audit_docs,
+         |  (SELECT count(*) FROM documents) AS corpus_docs
+         |FROM r
+         |WHERE jaccard >= 0.8 AND ra != rb
          |ORDER BY id_a, id_b""".stripMargin,
 
     // cross truth between the batch split and the SURVIVING corpus

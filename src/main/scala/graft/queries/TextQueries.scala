@@ -1863,6 +1863,35 @@ object TextQueries {
         .limit(20)
     },
 
+    // In-engine Naive Bayes domain classifier (ops/TextClassifier) —
+    // the supervised corpus-filtering component (fastText-style domain/
+    // quality filters are linear scores over hashed n-gram features,
+    // exactly this shape; Dsir is its two-class LLR special case):
+    // TRAIN on the doc_id % 3 != 0 split (label = source, 64 md5
+    // buckets, add-one smoothing), CLASSIFY the held-out % 3 == 0 split,
+    // emit per-doc prediction + exact-decimal score + correctness. The
+    // model is a (K·B)-row broadcast; training shuffles K·B rows;
+    // inference's only corpus-sized shuffle is the per-(doc,label)
+    // reduce. Every log term is rounded to 9 decimals before EXACT
+    // decimal summation and the argmax is decided on (decimal score,
+    // label) ordering, so the full train→infer pipeline answers to a
+    // byte-identical SQL oracle.
+    "q_nb_classify" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+      val test = docs.filter(col("doc_id") % 3 === 0)
+      val B = 64
+      val model = graft.ops.TextClassifier
+        .trainNaiveBayes(train, "text", "source", B)
+      val pri = graft.ops.TextClassifier.priors(train, "source")
+      graft.ops.TextClassifier
+        .classify(test, "doc_id", "text", model, pri, B)
+        .join(test.select(col("doc_id").as("id"), col("source")), "id")
+        .select(col("id").as("doc_id"), col("source"), col("pred"),
+          col("score"), (col("pred") === col("source")).as("correct"))
+        .orderBy("doc_id")
+    },
+
     // Jensen–Shannon divergence between each source's unigram
     // distribution and the corpus distribution — the mix diagnostic
     // behind data-mixture decisions (which sources are interchangeable,
@@ -3918,6 +3947,65 @@ object TextQueries {
         |FROM h GROUP BY bucket
         |ORDER BY n_tokens DESC, bucket
         |LIMIT 20""".stripMargin,
+
+    // the full Naive Bayes train→infer pipeline in SQL: same md5
+    // buckets, same add-one smoothing, per-term 9-decimal rounding,
+    // exact decimal sums, and the (score DESC, label DESC) argmax
+    "q_nb_classify" ->
+      """WITH train AS (
+        |  SELECT * FROM documents WHERE doc_id % 3 != 0),
+        |test AS (
+        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 3 = 0),
+        |ttk0 AS (
+        |  SELECT source AS label, unnest(string_split(text, ' ')) AS tok
+        |  FROM train),
+        |ttk AS (
+        |  SELECT label,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b
+        |  FROM ttk0 WHERE tok <> ''),
+        |cnt AS (SELECT label, b, count(*) AS c FROM ttk GROUP BY 1, 2),
+        |tot AS (SELECT label, count(*) AS t FROM ttk GROUP BY 1),
+        |cells AS (
+        |  SELECT tot.label, r.b, tot.t
+        |  FROM tot CROSS JOIN (SELECT unnest(range(64)) AS b) r),
+        |model AS (
+        |  SELECT cells.label, cells.b,
+        |    round(ln(coalesce(c, 0) + 1) - ln(t + 64), 9) AS lp
+        |  FROM cells LEFT JOIN cnt
+        |    ON cells.label = cnt.label AND cells.b = cnt.b),
+        |pri AS (
+        |  SELECT source AS label,
+        |    round(ln(count(*)) - ln((SELECT count(*) FROM train)), 9)
+        |      AS lp0
+        |  FROM train GROUP BY 1),
+        |etk0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM test),
+        |etk AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b
+        |  FROM etk0 WHERE tok <> ''),
+        |sums AS (
+        |  SELECT e.doc_id, m.label,
+        |    SUM(CAST(m.lp AS DECIMAL(28,9))) AS s
+        |  FROM etk e JOIN model m ON e.b = m.b GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT te.doc_id, p.label,
+        |    CAST(p.lp0 AS DECIMAL(28,9))
+        |      + coalesce(s, CAST(0 AS DECIMAL(28,9))) AS score
+        |  FROM test te CROSS JOIN pri p
+        |  LEFT JOIN sums ON sums.doc_id = te.doc_id
+        |    AND sums.label = p.label),
+        |win AS (
+        |  SELECT doc_id, label, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, label DESC) AS rn
+        |  FROM scored)
+        |SELECT w.doc_id, te.source, w.label AS pred,
+        |  CAST(w.score AS DOUBLE) AS score,
+        |  (w.label = te.source) AS correct
+        |FROM win w JOIN test te ON w.doc_id = te.doc_id
+        |WHERE rn = 1 ORDER BY w.doc_id""".stripMargin,
 
     // Mirrors the in-support decomposition and the exact double
     // association order of the Spark expression; per-token terms rounded

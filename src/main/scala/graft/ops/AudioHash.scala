@@ -35,9 +35,10 @@ object AudioHash {
     */
   def buildStairWav(target: Long, winLen: Int = 64, base: Int = 16384,
                     step: Int = 200): Array[Byte] = {
-    require(winLen >= 1 && base - 64 * step >= 1 &&
+    require(winLen >= 1 && step >= 1 && base - 64 * step >= 1 &&
       base + 64 * step <= 32767,
-      s"buildStairWav: base=$base step=$step escape int16 over 64 steps")
+      s"buildStairWav: base=$base step=$step must move the staircase " +
+        "and stay inside int16 over 64 steps")
     val n = NumWindows * winLen
     val pcm = new Array[Byte](n * 2)
     var amp = base

@@ -28,13 +28,12 @@ object Hamming {
         s"guaranteed-recall range 0..${NumBands - 1} ($NumBands bands " +
         "of 8 bits); raise NumBands deliberately for a looser radius")
 
-  /** `hashed` exploded to one row per (extra columns, id, hash, band,
-    * band value) — the bucket key side of the candidate join. `extra`
-    * columns (e.g. a frame index) become part of the bucket key at the
-    * caller's join.
+  /** `hashed` exploded to one row per (input columns, band, band
+    * value) — the bucket key side of the candidate join. Non-hash
+    * columns (e.g. a frame index) pass through and become part of the
+    * bucket key at the caller's join.
     */
-  def bandRows(hashed: DataFrame, idCol: String, hashCol: String)
-  : DataFrame =
+  def bandRows(hashed: DataFrame, hashCol: String): DataFrame =
     hashed.select(col("*"),
       explode(sequence(lit(0), lit(NumBands - 1))).as("b"))
       .withColumn("v", expr(s"($hashCol >> (b * 8)) & 255"))
@@ -49,7 +48,7 @@ object Hamming {
     requireGuaranteedRadius(maxHamming, op)
     val rows = bandRows(
       hashed.select(col(idCol).as("id"), col(hashCol).as("hash")),
-      "id", "hash")
+      "hash")
     val a = rows.select(col("id").as("id_a"), col("hash").as("ha"),
       col("b"), col("v"))
     val bside = rows.select(col("id").as("id_b"), col("hash").as("hb"),

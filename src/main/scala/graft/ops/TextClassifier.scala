@@ -29,12 +29,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object TextClassifier {
 
   /** Per-token log-probabilities of the smoothed per-label bucket
-    * models: one row per (label × bucket) — including zero-count
-    * buckets — with
+    * models: one row per (token-bearing label × bucket) — including
+    * zero-count buckets — with
     * `lp = round(ln(c(label,bucket) + 1) − ln(t(label) + B), 9)`
-    * (add-one smoothing over the B buckets, natural log). `labels`
-    * must be the complete label set (a label with no tokens still
-    * needs its rows).
+    * (add-one smoothing over the B buckets, natural log). A label
+    * whose training docs are all empty contributes no rows; its test
+    * scores fall back to the bare prior in [[classify]].
     */
   def trainNaiveBayes(train: DataFrame, textCol: String,
                       labelCol: String, buckets: Int): DataFrame = {
@@ -45,8 +45,10 @@ object TextClassifier {
       .withColumn("b", Dsir.bucketOf(col("tok"), buckets))
     val counts = toks.groupBy("label", "b")
       .agg(count(lit(1)).as("c"))
-    val totals = toks.groupBy("label")
-      .agg(count(lit(1)).as("t"))
+    // per-label totals fold from the (K·B)-row counts table — never a
+    // second pass over the exploded corpus
+    val totals = counts.groupBy("label")
+      .agg(sum(col("c")).as("t"))
     val allCells = totals.select("label", "t")
       .crossJoin(bucketIds(train, buckets))
     allCells

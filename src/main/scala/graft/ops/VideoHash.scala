@@ -95,9 +95,10 @@ object VideoHash {
       targets.map(t => buildStairJpeg(t, cell, step, quality)))
 
   /** (id, frame_idx, fhash) for every decodable frame of every AVI in
-    * `media` — one map-side pass; undecodable frames are dropped (their
-    * absence then shows as a frame-count mismatch downstream, never a
-    * silent pair).
+    * `media` — one map-side pass. `frame_idx` is the CONTAINER position
+    * (assigned before decode), so an undecodable frame leaves a gap
+    * that [[nearDupPairsFromHashes]] detects and quarantines instead of
+    * comparing misaligned.
     */
   def frameHashes(media: Dataset[MediaFile]): DataFrame = {
     val s = media.sparkSession
@@ -117,19 +118,35 @@ object VideoHash {
     * (id_a, id_b, n_frames, hamming).
     */
   def videoNearDupPairs(media: Dataset[MediaFile],
-                        maxTotalHamming: Int): DataFrame = {
-    Hamming.requireGuaranteedRadius(maxTotalHamming, "videoNearDupPairs")
-    val hashed = Pin.pin(frameHashes(media))
+                        maxTotalHamming: Int): DataFrame =
+    nearDupPairsFromHashes(Pin.pin(frameHashes(media)), maxTotalHamming)
+
+  /** [[videoNearDupPairs]] from an already-derived (and pinned)
+    * frame-hash table — callers that also audit the hashes (the gate's
+    * roundtrip contract) decode each video exactly once. Videos whose
+    * decoded frame indices are not the dense prefix 0..n-1 (an
+    * undecodable MID-stream frame) are EXCLUDED from pairing rather
+    * than compared positionally misaligned: with a gap, two videos can
+    * drop the same NUMBER of frames at different indices, pass the
+    * equal-length guard, and zip_with would compare frame i of one
+    * against frame j of the other — a quarantine case, not a pair.
+    */
+  def nearDupPairsFromHashes(hashed: DataFrame,
+                             maxTotalHamming: Int): DataFrame = {
+    Hamming.requireGuaranteedRadius(maxTotalHamming,
+      "videoNearDupPairs")
     val sigs = hashed
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("frame_idx"),
-        col("fhash")))).as("fs"))
+        col("fhash")))).as("fs"),
+        max(col("frame_idx")).as("mx"))
+      .filter(col("mx") + 1 === size(col("fs"))) // dense prefix only
       .select(col("id"),
         expr("transform(fs, f -> f.fhash)").as("sig"),
         size(col("fs")).as("nf"))
     val bandRows = Hamming.bandRows(
       hashed.select(col("id"), col("frame_idx"), col("fhash")),
-      "id", "fhash")
+      "fhash")
     val cands = bandRows
       .select(col("id").as("id_a"), col("frame_idx"), col("b"), col("v"))
       .join(bandRows.select(col("id").as("id_b"), col("frame_idx"),

@@ -647,11 +647,14 @@ object TextQueries {
         graft.ops.MediaFile(id, "png",
           graft.ops.ImageHash.buildGrayPng(tgt))
       }
-      val pairs = graft.ops.ImageHash
-        .perceptualNearDupPairs(media, maxHamming = 4)
-      val roundtripOk = graft.ops.ImageHash.dHashes(media)
-        .join(targets, Seq("id"))
-        .filter(col("dhash") =!= col("target")).isEmpty
+      // ONE synthesis+decode pass; LEFT join so an image that failed to
+      // decode entirely also fails the roundtrip contract
+      val hs = Pin.pin(graft.ops.ImageHash.dHashes(media))
+      val pairs = graft.ops.Hamming.bandedPairs(hs, "id", "dhash",
+        maxHamming = 4, "q_image_dedup")
+      val roundtripOk = targets.join(hs, Seq("id"), "left")
+        .filter(col("dhash").isNull || col("dhash") =!= col("target"))
+        .isEmpty
       pairs
         .withColumn("roundtrip_ok", lit(roundtripOk))
         .withColumn("n_images", lit(targets.count()))
@@ -692,11 +695,14 @@ object TextQueries {
         graft.ops.MediaFile(id, "wav",
           graft.ops.AudioHash.buildStairWav(tgt))
       }
-      val pairs = graft.ops.AudioHash
-        .audioNearDupPairs(media, maxHamming = 4)
-      val roundtripOk = graft.ops.AudioHash.fingerprints(media)
-        .join(targets, Seq("id"))
-        .filter(col("afp") =!= col("target")).isEmpty
+      // ONE synthesis+decode pass serves both the banded join and the
+      // roundtrip audit; the LEFT join makes a clip that failed to
+      // decode at all (missing fingerprint row) fail the contract too
+      val fps = Pin.pin(graft.ops.AudioHash.fingerprints(media))
+      val pairs = graft.ops.Hamming.bandedPairs(fps, "id", "afp",
+        maxHamming = 4, "q_audio_dedup")
+      val roundtripOk = targets.join(fps, Seq("id"), "left")
+        .filter(col("afp").isNull || col("afp") =!= col("target")).isEmpty
       pairs
         .withColumn("roundtrip_ok", lit(roundtripOk))
         .withColumn("n_clips", lit(targets.count()))
@@ -740,14 +746,19 @@ object TextQueries {
         graft.ops.MediaFile(id, "avi",
           graft.ops.VideoHash.buildStairMjpegAvi(ts))
       }
+      // ONE synthesis+decode pass serves both the banded join and the
+      // roundtrip audit; the LEFT join fails the contract for a video
+      // that decoded no frames (null) or lost/corrupted any frame
+      // (array mismatch), not just hash drift
+      val fh = Pin.pin(graft.ops.VideoHash.frameHashes(media))
       val pairs = graft.ops.VideoHash
-        .videoNearDupPairs(media, maxTotalHamming = 4)
-      val roundtripOk = graft.ops.VideoHash.frameHashes(media)
-        .groupBy("id")
+        .nearDupPairsFromHashes(fh, maxTotalHamming = 4)
+      val got = fh.groupBy("id")
         .agg(expr("transform(array_sort(collect_list(" +
           "struct(frame_idx, fhash))), x -> x.fhash)").as("got"))
-        .join(targets, Seq("id"))
-        .filter(col("got") =!= col("targets")).isEmpty
+      val roundtripOk = targets.join(got, Seq("id"), "left")
+        .filter(col("got").isNull || col("got") =!= col("targets"))
+        .isEmpty
       pairs
         .withColumn("roundtrip_ok", lit(roundtripOk))
         .withColumn("n_videos", lit(targets.count()))
@@ -3478,7 +3489,8 @@ object TextQueries {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // the CROSS-RANK restriction of the same truth (rank 0 = corpus
-    // %5!=0, 1 = first ingest %10=0, 2 = second ingest %10=5), both
+    // %5 IN (1,2); 1 = first ingest %10=0; 2 = second ingest %10=5;
+    // %5 IN (3,4) docs are outside the cycle entirely), both
     // streaming-cycle flags pinned TRUE
     "q_stream_ingest_dedup" ->
       s"""WITH smp AS (

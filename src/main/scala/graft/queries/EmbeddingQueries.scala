@@ -501,6 +501,113 @@ object EmbeddingQueries {
         .orderBy("qid", "rnk")
     },
 
+    // STREAMING ANN ingest — the vector-side twin of
+    // q_stream_ingest_dedup, closing the nightly cycle for BOTH
+    // persisted indexes as one Structured Streaming job each: new
+    // vector batches arrive as an ordered file stream (pinned
+    // modification times, maxFilesPerTrigger=1) and each micro-batch is
+    // QUERIED against the loaded IVF index BEFORE being appended to it
+    // (queryIvf → appendToIvf inside foreachBatch, append guarded per
+    // batchId). Batch 2's retrieved neighbors can include batch 1's
+    // vectors ONLY if the mid-stream append took effect, and the
+    // emitted rows are the exact per-scope kNN truth — each query's
+    // neighbors drawn from strictly-older ranks (0 = corpus %5∈{1,2},
+    // 1 = first batch %5=3, 2 = second %5=4) — with
+    // `stream_recall_ok` (≥60% of that truth retrieved at the 8/16
+    // probe ratio) and `ingest_order_ok` (no neighbor from the query's
+    // own or a newer rank) pinned in-row.
+    "q_stream_ann_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter((col("vec_id") % 5).isin(1L, 2L))
+      val bound = NQueries * 10
+      val b1 = emb.filter(col("vec_id") % 5 === 3 &&
+        col("vec_id") < bound)
+      val b2 = emb.filter(col("vec_id") % 5 === 4 &&
+        col("vec_id") < bound)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = Integer.toHexString(dir.hashCode)
+      val idxPath = s"$tmp/graft_ivf_stream_idx_$tag"
+      val streamDir = s"$tmp/graft_ivf_stream_in_$tag"
+      val ckptDir = s"$tmp/graft_ivf_stream_ckpt_$tag"
+      val A = graft.ops.AnnIndex
+      val hconf = s.sparkContext.hadoopConfiguration
+      def rmrf(p: String): Unit = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(hconf)
+        if (fs.exists(hp)) { fs.delete(hp, true); () }
+      }
+      Seq(streamDir, ckptDir).foreach(rmrf)
+      A.buildAndSaveIvf(corpus, "vec_id", "embedding", idxPath)
+      def writeIngestFile(batch: DataFrame, name: String,
+                          modTime: Long): Unit = {
+        val staging = s"$streamDir/_stage_$name"
+        batch.coalesce(1).write.mode("overwrite").parquet(staging)
+        val sp = new org.apache.hadoop.fs.Path(staging)
+        val fs = sp.getFileSystem(hconf)
+        val part = fs.listStatus(sp).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"no parquet part written under $staging"))
+        val dest = new org.apache.hadoop.fs.Path(s"$streamDir/$name")
+        fs.rename(part, dest)
+        fs.delete(sp, true)
+        fs.setTimes(dest, modTime, -1)
+        ()
+      }
+      val cols = emb.select("vec_id", "embedding")
+      writeIngestFile(b1.select("vec_id", "embedding"),
+        "ingest1.parquet", 1000000L)
+      writeIngestFile(b2.select("vec_id", "embedding"),
+        "ingest2.parquet", 2000000L)
+      val found = new java.util.concurrent.ConcurrentHashMap[
+        java.lang.Long, Array[(Long, Long)]]()
+      val appended = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[java.lang.Long]()
+      val stream = s.readStream.schema(cols.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", streamDir)
+        .parquet(s"$streamDir/*.parquet")
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val got = A.queryIvf(s, df, "vec_id", "embedding", idxPath,
+              K, nProbe = 8)
+            .select(col("qid"), col("vec_id").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          found.put(batchId, got) // idempotent: replace, not append
+          if (appended.add(batchId)) // fold in exactly once per batchId
+            A.appendToIvf(s, df, "vec_id", "embedding", idxPath)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      val foundPairs = found.values().asScala.flatten.toSeq
+        .toDF("fq", "fi").distinct()
+      def rank(c: org.apache.spark.sql.Column) =
+        when((c % 5).isin(1L, 2L), 0).when(c % 5 === 3, 1).otherwise(2)
+      val orderOk = foundPairs
+        .filter(rank(col("fi")) >= rank(col("fq"))).isEmpty
+      // exact per-scope truth: batch 1 against the corpus, batch 2
+      // against corpus + batch 1 — the rows the stream must recall
+      val exact = graft.ops.Pin.pin(
+        Similarity.bruteForceTopK(corpus, b1, "vec_id", "embedding", K)
+          .union(Similarity.bruteForceTopK(corpus.union(b1), b2,
+            "vec_id", "embedding", K)))
+      val flag = exact
+        .join(foundPairs,
+          col("qid") === col("fq") &&
+            col("vec_id").cast("long") === col("fi"), "left")
+        .agg((sum(when(col("fi").isNotNull, 1).otherwise(0)) * 100 >=
+          count(lit(1)) * 60).as("stream_recall_ok"))
+      exact.crossJoin(broadcast(flag))
+        .select(col("qid"), col("rnk"), col("vec_id"), col("sim"),
+          col("stream_recall_ok"), lit(orderOk).as("ingest_order_ok"))
+        .orderBy("qid", "rnk")
+    },
+
     // PQ ANN gate: 16 subspaces × 256 codes → 16 bytes per vector (32×
     // compression vs float64), ADC scan over-fetching top-20 candidates
     // for exact re-rank (the standard recall@k-in-top-k' serving shape).
@@ -890,6 +997,38 @@ object EmbeddingQueries {
          |  (SELECT count(*) FROM embeddings
          |   WHERE vec_id % 10 = 1) AS dead_vecs
          |FROM r WHERE rnk <= $K
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // per-scope exact kNN: each ingest batch's neighbors drawn from
+    // strictly-older ranks (0 = corpus %5 IN (1,2), 1 = %5=3 batch,
+    // 2 = %5=4 batch), both streaming flags pinned TRUE
+    "q_stream_ann_ingest" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |u AS (
+         |  SELECT vec_id, e,
+         |    CASE WHEN vec_id % 5 IN (1, 2) THEN 0
+         |         WHEN vec_id % 5 = 3 THEN 1 ELSE 2 END AS r
+         |  FROM e
+         |  WHERE vec_id % 5 IN (1, 2)
+         |     OR (vec_id % 5 IN (3, 4) AND vec_id < ${NQueries * 10})),
+         |q AS (SELECT vec_id AS qid, e AS qe, r AS qr FROM u
+         |      WHERE r > 0),
+         |p AS (
+         |  SELECT q.qid, u.vec_id,
+         |    round(list_dot_product(u.e, q.qe) /
+         |      (sqrt(list_dot_product(u.e, u.e)) *
+         |       sqrt(list_dot_product(q.qe, q.qe))), 6) AS sim
+         |  FROM u JOIN q ON u.r < q.qr),
+         |r2 AS (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |                       ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM p)
+         |SELECT qid, rnk, vec_id, sim, TRUE AS stream_recall_ok,
+         |  TRUE AS ingest_order_ok
+         |FROM r2 WHERE rnk <= $K
          |ORDER BY qid, rnk""".stripMargin,
     "q_emb_pq_ann" -> knnOracle("recall_ok"),
     "q_emb_ivfpq_ann" -> knnOracle("recall_ok"),

@@ -48,10 +48,21 @@ object DedupIndex {
                        cfg: MinHashConfig): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Scale-ADAPTIVE signing parallelism (was a flat defaultParallelism):
+    // shingling is CPU-bound, so spread a LARGE corpus across the whole
+    // cluster — but a small ingest batch fanned to 32 near-empty
+    // partitions costs a sorted round-robin exchange, 32-way task
+    // overhead on every downstream stage, and 32 tiny files per
+    // band/idx write (which every later query re-opens). Derive the
+    // width from the scan's own split count (8 signing partitions per
+    // input split ≈ 16 MB of text per task at the default 128 MB
+    // split), capped at cluster width.
+    val target = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions * 8))
     val docs = df.select(col(idCol).cast("long").as("id"),
         col(textCol).cast("string").as("text"))
       .as[(Long, String)]
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(target)
       .map { case (id, text) =>
         (id, TextAnalysis.shingleSetOf(text, cfg.n).toSeq)
       }
@@ -183,10 +194,20 @@ object DedupIndex {
     */
   def compactIndex(spark: SparkSession, path: String): (Long, Long) = {
     val idxAll = spark.read.parquet(s"$path/idx")
-    val nAll = idxAll.select("id").distinct().count()
-    val nDead = tombstones(spark, path).fold(0L)(ts =>
-      idxAll.select("id").distinct()
-        .join(ts, Seq("id"), "left_semi").count())
+    // One pass for both ledger counts: distinct ids, flagged dead via a
+    // left join against the (small) tombstone set — the previous
+    // distinct+count / distinct+semi-join+count pair scanned idx twice.
+    val (nAll, nDead) = tombstones(spark, path) match {
+      case None => (idxAll.select("id").distinct().count(), 0L)
+      case Some(ts) =>
+        val r = idxAll.select("id").distinct()
+          .join(broadcast(ts.withColumn("__dead", lit(1))), Seq("id"),
+            "left")
+          .agg(count(lit(1)),
+            coalesce(sum(coalesce(col("__dead"), lit(0))), lit(0L)))
+          .head()
+        (r.getLong(0), r.getLong(1))
+    }
     rewriteMinusTombstones(spark, s"$path/bands", "id", path)
     rewriteMinusTombstones(spark, s"$path/idx", "id", path)
     val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -203,7 +224,15 @@ object DedupIndex {
     val src = new org.apache.hadoop.fs.Path(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Re-packing IS this function's purpose (appends leave one file per
+    // batch), so size the output explicitly from the artifact's actual
+    // bytes (~128 MB per output file, guide-standard): without the
+    // repartition the write inherits the scan's split-per-small-file
+    // fragmentation and compaction never reduces the file count.
+    val nFiles = math.max(1L,
+      fs.getContentSummary(src).getLength / (128L << 20) + 1).toInt
     minusTombstones(spark, spark.read.parquet(dir), idName, path)
+      .repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(src, true)
     if (!fs.rename(tmp, src))
@@ -215,6 +244,55 @@ object DedupIndex {
     val r = spark.read.parquet(s"$path/meta").head()
     MinHashConfig(r.getAs[Int]("n"), r.getAs[Int]("num_hash_tables"),
       r.getAs[Long]("seed"), r.getAs[Int]("num_features"))
+  }
+
+  /** Config + fitted model of the index at `path`, loaded ONCE. The model
+    * is written exactly once per index lifetime ([[buildAndSave]]; append/
+    * delete/compact never touch it), so a caller running several
+    * query/append steps against one index (the maintenance cycle, a
+    * streaming ingest loop) can load here once instead of paying the ML
+    * reader's multi-job parquet+JSON round trip per step — the loads are
+    * provably of identical bytes, so every answer is unchanged.
+    */
+  def loadModel(spark: SparkSession, path: String)
+  : (MinHashConfig, MinHashLSHModel) =
+    (loadConfig(spark, path), MinHashLSHModel.load(s"$path/model"))
+
+  /** Sign a batch with an already-loaded index model: shingle, hash, and
+    * attach MinHash signatures — the (id, tf, sig) frame both
+    * [[dedupSignedBatch]] and [[appendSigned]] consume. Signing is the
+    * dominant per-batch cost; computing it once per batch instead of once
+    * per STEP (query, then append) halves the batch-side work of an
+    * ingest cycle without touching what either step computes.
+    */
+  def signBatch(batch: DataFrame, idCol: String, textCol: String,
+                cfg: MinHashConfig, model: MinHashLSHModel): DataFrame =
+    model.transform(featured(batch, idCol, textCol, cfg))
+      .select(col("id"), col("tf"), col("sig"))
+
+  /** [[dedupNewBatch]] over a batch already signed by [[signBatch]] with
+    * this index's own model: reads the persisted band/index artifacts
+    * (minus live tombstones) fresh per call — a growing index is re-read,
+    * never memoized — and runs the same candidate join + exact verify.
+    */
+  def dedupSignedBatch(spark: SparkSession, signedBatch: DataFrame,
+                       path: String, maxDistance: Double): DataFrame = {
+    val corpusBands =
+      minusTombstones(spark, spark.read.parquet(s"$path/bands"), "id", path)
+    val corpusIdx =
+      minusTombstones(spark, spark.read.parquet(s"$path/idx"), "id", path)
+    crossVerify(signedBatch, corpusBands, corpusIdx, maxDistance)
+  }
+
+  /** [[appendToIndex]] for a batch already signed by [[signBatch]]. */
+  def appendSigned(signed: DataFrame, path: String): Unit = {
+    val s = signed.cache()
+    try {
+      Similarity.lshBucketRows(s, "id", "sig")
+        .write.mode("append").parquet(s"$path/bands")
+      indexSets(s)
+        .write.mode("append").parquet(s"$path/idx")
+    } finally { s.unpersist(); () }
   }
 
   /** Near-duplicates of a NEW batch against the indexed corpus, reading

@@ -105,4 +105,42 @@ object PrefixSum {
       .drop("__pid", "__v", "__local", "__off")
     if (pin) out.localCheckpoint(eager = true) else out
   }
+
+  /** [[withExclusivePrefix]] for a frame whose row count is BOUNDED by
+    * construction — a value-grid domain (l_quantity's 1..50, a discount
+    * schedule), a calendar of days, a brand catalog: sizes fixed by the
+    * schema/world, not by data volume. For such frames the two-phase
+    * machinery (range-sampling shuffle, two eager checkpoints, window +
+    * offset join) is pure fixed cost — ~1 s of passes to order 50 rows —
+    * so this takes the one honest shortcut instead: a single-partition
+    * ordered window over an explicitly `limit`-bounded input, the same
+    * bounded-window idiom the big path already uses for its per-bucket
+    * totals. The bound is LOUD: the plan reads limit(bound+1) and any
+    * row past `bound` evaluates raise_error, so a domain that silently
+    * starts scaling with volume fails by name instead of truncating.
+    * Same output contract as [[withExclusivePrefix]] (exclusive prefix,
+    * NULL value fail-fast); callers pick the path by what they KNOW
+    * about the domain, exactly like q_theil_sen's calendar `limit`.
+    */
+  def withExclusivePrefixBounded(df: DataFrame, sortCols: Seq[String],
+                                 valueCol: String,
+                                 bound: Int = 1 << 20): DataFrame = {
+    val w = Window.orderBy(sortCols.map(col): _*)
+    val wsum = w.rowsBetween(Window.unboundedPreceding, -1)
+    df.limit(bound + 1)
+      .withColumn("__v", when(col(valueCol).isNull,
+        raise_error(lit(s"PrefixSum.withExclusivePrefixBounded: NULL in " +
+          s"value column '$valueCol' — prefixes are defined over " +
+          "non-null values only")).cast("double"))
+        .otherwise(col(valueCol).cast("double")))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("prefix",
+        when(col("__rn") > bound,
+          raise_error(lit(s"PrefixSum.withExclusivePrefixBounded: input " +
+            s"exceeds the declared domain bound $bound — this path is " +
+            "for schema/world-bounded domains only; use " +
+            "withExclusivePrefix")).cast("double"))
+          .otherwise(coalesce(sum(col("__v")).over(wsum), lit(0.0))))
+      .drop("__v", "__rn")
+  }
 }

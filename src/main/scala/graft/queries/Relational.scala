@@ -1608,8 +1608,12 @@ object Relational {
         .groupBy("p_brand").agg(cents.as("rev_cents"))
         .withColumn("neg_rev", -col("rev_cents"))
       val tot = per.agg(sum(col("rev_cents")).cast("long").as("total"))
+      // per-BRAND rows: bounded by the brand catalog (an enum-ish
+      // dimension), not by lineitem volume — the bounded prefix path
+      // replaces the two-phase machinery's fixed costs
       graft.ops.PrefixSum
-        .withExclusivePrefix(per, Seq("neg_rev", "p_brand"), "rev_cents")
+        .withExclusivePrefixBounded(per, Seq("neg_rev", "p_brand"),
+          "rev_cents")
         .crossJoin(broadcast(tot)) // scalar aggregate — sanctioned
         .withColumn("cum", col("prefix").cast("long") + col("rev_cents"))
         .withColumn("abc_class",

@@ -328,9 +328,13 @@ object StatQueries {
     "q_spearman" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       def rankDim(c: String): DataFrame = {
+        // quantity/discount/tax are VALUE GRIDS (≤ ~50 distinct values,
+        // fixed by the price schedule, not data volume) — the bounded
+        // prefix path orders them in one pass instead of paying the
+        // two-phase machinery's range shuffle + checkpoints per column
         val counts = li.groupBy(col(c).as("v"))
           .agg(count(lit(1)).as("cnt"))
-        PrefixSum.withExclusivePrefix(counts, Seq("v"), "cnt")
+        PrefixSum.withExclusivePrefixBounded(counts, Seq("v"), "cnt")
           .select(col("v"),
             (lit(2L) * col("prefix").cast("long") + col("cnt") + lit(1L))
               .as(s"r_$c"))

@@ -66,7 +66,10 @@ object UserQueries {
         .groupBy("user_id")
         .agg(min(expr(s"us div ${DayUs}L")).as("day"))
       val perDay = firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
-      graft.ops.PrefixSum.withExclusivePrefix(perDay, Seq("day"), "n_new")
+      // per-DAY rows: bounded by the calendar (q_theil_sen's argument),
+      // not by event volume — the bounded prefix path applies
+      graft.ops.PrefixSum
+        .withExclusivePrefixBounded(perDay, Seq("day"), "n_new")
         .select(col("day"), col("n_new"),
           (col("prefix") + col("n_new")).cast("long").as("cume_users"))
         .orderBy("day")

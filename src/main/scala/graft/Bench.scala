@@ -30,6 +30,18 @@ object Bench {
       if (t.isTemporary && t.name.matches(".*_[0-9a-f]{32}$"))
         spark.catalog.dropTempView(t.name)
     }
+    // Unload state-store providers left by STOPPED streaming queries
+    // (same residency class as the memory sinks above): the HDFS-backed
+    // provider keeps each partition's recent state versions ON HEAP and
+    // RocksDB providers hold native memory + background threads, and a
+    // stopped query's providers are only reclaimed when the 60 s
+    // maintenance task next fires — never, at ~2 s per gate, so 24
+    // streaming gates × state partitions × stateful operators of dead
+    // state ride along in the shared JVM. No query is in flight when
+    // resetState runs (Bench/Verify barrier), and an unloaded provider
+    // reloads from its checkpoint on demand, so this is residency-only.
+    org.apache.spark.sql.execution.streaming.state.GraftStateStoreReset
+      .unloadAll()
     // One explicit GC between queries (outside the timed section): lets
     // the ContextCleaner process weak refs (shuffle files, broadcasts)
     // and keeps full-GC pauses out of the next query's measurement.

@@ -15,35 +15,31 @@ object ProbeStats {
     Bench.resetState(spark)
     def ph[A](n: String)(b: => A): A = {
       val t0 = System.nanoTime(); val r = b
-      println(f"  [$n%-28s] ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+      println(f"  [$n%-34s] ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
     }
-    (1 to 2).foreach { round =>
+    (1 to 3).foreach { round =>
       println(s"--- round $round ---")
-      val frame = ph("domain frame agg+ckpt") {
-        queries.Q.t(spark, dir, "lineitem")
-          .groupBy(col("l_returnflag").as("flag"),
-            col("l_extendedprice").as("v"))
-          .agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(true)
+      def rawFrame = queries.Q.t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      ph("frame agg alone (count)")(rawFrame.count())
+      ph("prefix on UNPINNED (gate shape)") {
+        graft.ops.PrefixSum
+          .withExclusivePrefix(rawFrame, Seq("flag", "v"), "cnt").count()
       }
-      println("  frame rows: " + frame.count())
-      val bucketed = ph("rangeRepart+pid+ckpt") {
-        frame.repartitionByRange(32, col("flag"), col("v"))
-          .withColumn("__pid", spark_partition_id())
-          .localCheckpoint(true)
+      ph("prefix on UNPINNED pin=false") {
+        graft.ops.PrefixSum.withExclusivePrefix(rawFrame, Seq("flag", "v"),
+          "cnt", pin = false).count()
       }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("__pid").orderBy(col("flag"), col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val local = bucketed.withColumn("__local",
-        coalesce(sum(col("cnt").cast("double")).over(w), lit(0.0)))
-      ph("window pass (count)")(local.count())
-      val out = ph("full withExclusivePrefix") {
-        graft.ops.PrefixSum.withExclusivePrefix(frame, Seq("flag", "v"), "cnt")
+      val pinned = ph("pin input (ckpt)")(rawFrame.localCheckpoint(true))
+      ph("prefix on PINNED") {
+        graft.ops.PrefixSum
+          .withExclusivePrefix(pinned, Seq("flag", "v"), "cnt").count()
       }
-      println("  out rows: " + out.count())
-      ph("2nd withExclusivePrefix") {
-        graft.ops.PrefixSum.withExclusivePrefix(frame, Seq("flag", "v"), "cnt")
+      ph("prefix on PINNED pin=false") {
+        graft.ops.PrefixSum.withExclusivePrefix(pinned, Seq("flag", "v"),
+          "cnt", pin = false).count()
       }
       Bench.resetState(spark)
     }

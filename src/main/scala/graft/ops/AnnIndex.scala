@@ -59,9 +59,18 @@ object AnnIndex {
         .toDF("cell", "c")
         .repartition(1)
         .write.mode("overwrite").parquet(s"$path/centroids")
+      // Scale-adaptive cell-file width (the DedupIndex signing fix):
+      // inheriting the scan's partition count leaves one near-empty file
+      // per scan split at small corpus sizes — files every query
+      // re-opens. Derive the width from the input's own split count,
+      // capped at cluster width; a big corpus still spreads fully.
+      val width = math.max(1, math.min(
+        emb.sparkSession.sparkContext.defaultParallelism,
+        emb.rdd.getNumPartitions))
       corpus.as[(Long, Array[Double])]
         .map { case (id, u) => (Similarity.argmaxDot(u, bc.value), id, u) }
         .toDF("cell", "nid", "nu")
+        .repartition(width)
         .write.mode("overwrite").parquet(s"$path/cells")
     } finally { corpus.unpersist(); () }
   }
@@ -73,15 +82,31 @@ object AnnIndex {
     * rewritten; cost is O(batch).
     */
   def appendToIvf(spark: SparkSession, newEmb: DataFrame, idCol: String,
-                  embCol: String, path: String): Unit = {
+                  embCol: String, path: String): Unit =
+    appendToIvfWith(spark, newEmb, idCol, embCol, path,
+      loadCentroids(spark, path))
+
+  /** [[appendToIvf]] with an already-loaded quantizer ([[loadCentroids]]):
+    * a caller folding several batches into one index (the maintenance
+    * cycle, a streaming ingest loop) skips the per-step centroid
+    * read+collect — the centroids are written once per index lifetime
+    * and never change after the build, so the answers are unchanged.
+    */
+  def appendToIvfWith(spark: SparkSession, newEmb: DataFrame,
+                      idCol: String, embCol: String, path: String,
+                      cents: Array[Array[Double]]): Unit = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids")
-      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val bc = spark.sparkContext.broadcast(cents)
+    // One file per appended batch unless the batch itself is wide
+    // (adaptive width, as in the build): appends fragment the cell
+    // files, and every later query re-opens each of them.
+    val width = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, newEmb.rdd.getNumPartitions))
     Similarity.unitVectors(newEmb, idCol, embCol, "nid", "nu")
       .as[(Long, Array[Double])]
       .map { case (id, u) => (Similarity.argmaxDot(u, bc.value), id, u) }
       .toDF("cell", "nid", "nu")
+      .repartition(width)
       .write.mode("append").parquet(s"$path/cells")
   }
 
@@ -126,7 +151,13 @@ object AnnIndex {
     val src = new org.apache.hadoop.fs.Path(s"$path/cells")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/cells.compact")
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    live.write.mode("overwrite").parquet(tmp.toString)
+    // Re-packing IS compaction's purpose (one file per appended batch):
+    // size the rewrite from the artifact's actual bytes (~128 MB per
+    // output file) instead of inheriting split-per-small-file
+    // fragmentation — the DedupIndex.rewriteMinusTombstones fix.
+    val nFiles = math.max(1L,
+      fs.getContentSummary(src).getLength / (128L << 20) + 1).toInt
+    live.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(src, true)
     if (!fs.rename(tmp, src))
       throw new java.io.IOException(s"compactIvf: rename $tmp -> $src failed")
@@ -142,10 +173,35 @@ object AnnIndex {
     * Output contract matches [[Similarity.ivfTopK]]:
     * (qid, rnk, idCol, sim).
     */
+  /** The persisted coarse quantizer, collected ONCE (≤ nList rows — the
+    * same driver-side footprint the in-memory operator's broadcast has).
+    * Centroids are written once per index lifetime (build only; append/
+    * delete/compact never touch them), so a caller running several
+    * query/append steps against one index can load here once and pass
+    * the array to the `*With` variants — identical bytes, identical
+    * answers.
+    */
+  def loadCentroids(spark: SparkSession, path: String)
+  : Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+  }
+
   def queryIvf(spark: SparkSession, queries: DataFrame, idCol: String,
                embCol: String, path: String, k: Int,
                nProbe: Int = 2,
                maxQueryBatch: Int = Similarity.DefaultMaxQueryBatch)
+  : DataFrame =
+    queryIvfWith(spark, queries, idCol, embCol, path,
+      loadCentroids(spark, path), k, nProbe, maxQueryBatch)
+
+  /** [[queryIvf]] with an already-loaded quantizer ([[loadCentroids]]). */
+  def queryIvfWith(spark: SparkSession, queries: DataFrame, idCol: String,
+                   embCol: String, path: String,
+                   cents: Array[Array[Double]], k: Int,
+                   nProbe: Int = 2,
+                   maxQueryBatch: Int = Similarity.DefaultMaxQueryBatch)
   : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
@@ -158,10 +214,6 @@ object AnnIndex {
       s"queryIvf: query batch exceeds maxQueryBatch=$maxQueryBatch — " +
         "this path broadcasts the probed query vectors; shard the batch " +
         "or raise maxQueryBatch deliberately")
-    // ≤ nList rows — the same driver-side footprint the in-memory
-    // operator's broadcast has.
-    val cents = spark.read.parquet(s"$path/centroids")
-      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val bc = spark.sparkContext.broadcast(cents)
     val nP = nProbe
     val probed = Similarity.unitVectors(queries, idCol, embCol,

@@ -135,16 +135,8 @@ object DedupIndex {
     */
   def appendToIndex(spark: SparkSession, newDocs: DataFrame,
                     idCol: String, textCol: String, path: String): Unit = {
-    val cfg = loadConfig(spark, path)
-    val model = MinHashLSHModel.load(s"$path/model")
-    val signed = model.transform(featured(newDocs, idCol, textCol, cfg))
-      .select(col("id"), col("tf"), col("sig")).cache()
-    try {
-      Similarity.lshBucketRows(signed, "id", "sig")
-        .write.mode("append").parquet(s"$path/bands")
-      indexSets(signed)
-        .write.mode("append").parquet(s"$path/idx")
-    } finally { signed.unpersist(); () }
+    val (cfg, model) = loadModel(spark, path)
+    appendSigned(signBatch(newDocs, idCol, textCol, cfg, model), path)
   }
 
   /** Tombstone DELETED corpus docs (r12 verdict #4 — the FAISS
@@ -306,16 +298,9 @@ object DedupIndex {
   def dedupNewBatch(spark: SparkSession, batch: DataFrame, idCol: String,
                     textCol: String, path: String,
                     maxDistance: Double): DataFrame = {
-    val cfg = loadConfig(spark, path)
-    val model = MinHashLSHModel.load(s"$path/model")
-    val corpusBands =
-      minusTombstones(spark, spark.read.parquet(s"$path/bands"), "id", path)
-    val corpusIdx =
-      minusTombstones(spark, spark.read.parquet(s"$path/idx"), "id", path)
-    crossVerify(
-      model.transform(featured(batch, idCol, textCol, cfg))
-        .select(col("id"), col("tf"), col("sig")),
-      corpusBands, corpusIdx, maxDistance)
+    val (cfg, model) = loadModel(spark, path)
+    dedupSignedBatch(spark, signBatch(batch, idCol, textCol, cfg, model),
+      path, maxDistance)
   }
 
   /** [[buildAndSave]] + [[crossPairsFresh]] from ONE corpus signing

@@ -464,17 +464,21 @@ object EmbeddingQueries {
         "/graft_ivf_maint_" + Integer.toHexString(dir.hashCode)
       val A = graft.ops.AnnIndex
       A.buildAndSaveIvf(part1, "vec_id", "embedding", idxPath)
-      A.appendToIvf(s, part2, "vec_id", "embedding", idxPath)
+      // Centroids are written once by the build and never touched by
+      // append/delete/compact — load the quantizer ONCE for the whole
+      // cycle instead of per step (answers provably identical).
+      val cents = A.loadCentroids(s, idxPath)
+      A.appendToIvfWith(s, part2, "vec_id", "embedding", idxPath, cents)
       A.deleteFromIvf(s,
         emb.filter(col("vec_id") % 10 === 1).select("vec_id"),
         "vec_id", idxPath)
       // materialized before the compact mutates the index on disk (the
       // q_dedup_maintenance lesson — Pin is disabled under plan audits)
-      val pre = A.queryIvf(s, batch, "vec_id", "embedding", idxPath, K,
-        nProbe = 8).localCheckpoint(true)
+      val pre = A.queryIvfWith(s, batch, "vec_id", "embedding", idxPath,
+        cents, K, nProbe = 8).localCheckpoint(true)
       val (kept, dead) = A.compactIvf(s, idxPath)
-      val post = A.queryIvf(s, batch, "vec_id", "embedding", idxPath, K,
-        nProbe = 8)
+      val post = A.queryIvfWith(s, batch, "vec_id", "embedding", idxPath,
+        cents, K, nProbe = 8)
       val compactPreserves = post.union(pre)
         .groupBy("qid", "rnk", "vec_id", "sim").count()
         .filter(col("count") =!= 2).isEmpty
@@ -568,16 +572,21 @@ object EmbeddingQueries {
         .option("maxFilesPerTrigger", 1)
         .option("basePath", streamDir)
         .parquet(s"$streamDir/*.parquet")
+      // Quantizer never changes after the build (append only grows the
+      // cells) — load it ONCE outside the stream instead of twice per
+      // micro-batch (query + append each paid the read+collect).
+      val idxCents = A.loadCentroids(s, idxPath)
       val q = stream.writeStream
         .option("checkpointLocation", ckptDir)
         .foreachBatch { (df: DataFrame, batchId: Long) =>
-          val got = A.queryIvf(s, df, "vec_id", "embedding", idxPath,
-              K, nProbe = 8)
+          val got = A.queryIvfWith(s, df, "vec_id", "embedding", idxPath,
+              idxCents, K, nProbe = 8)
             .select(col("qid"), col("vec_id").cast("long"))
             .collect().map(r => (r.getLong(0), r.getLong(1)))
           found.put(batchId, got) // idempotent: replace, not append
           if (appended.add(batchId)) // fold in exactly once per batchId
-            A.appendToIvf(s, df, "vec_id", "embedding", idxPath)
+            A.appendToIvfWith(s, df, "vec_id", "embedding", idxPath,
+              idxCents)
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

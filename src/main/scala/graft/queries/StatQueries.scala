@@ -549,8 +549,10 @@ object StatQueries {
         .groupBy(col("l_returnflag").as("flag"),
           col("l_extendedprice").as("v"))
         .agg(count(lit(1)).as("cnt"))
+      // two consumers (per-flag base agg + rebased cum) over the pinned
+      // bucketing: re-running the window beats the eager out-pin
       val pre = PrefixSum.withExclusivePrefix(frame, Seq("flag", "v"),
-        "cnt")
+        "cnt", pin = false)
         .select(col("flag"), col("v"), col("cnt"),
           col("prefix").cast("long").as("gpre"))
       val base = pre.groupBy("flag")
@@ -588,8 +590,11 @@ object StatQueries {
       val frame = t(s, dir, "lineitem")
         .groupBy(col("l_extendedprice").as("v"))
         .agg(sum(col("l_quantity").cast("long")).as("wt"))
-      // pre feeds BOTH the total and the rank cuts -> keep pinned
-      val pre = PrefixSum.withExclusivePrefix(frame, Seq("v"), "wt")
+      // pre feeds the total and the rank cuts; the range-bucketed frame
+      // inside the op is pinned either way, so the two consumers re-run
+      // only the cheap window — measured cheaper than the eager out-pin
+      val pre = PrefixSum.withExclusivePrefix(frame, Seq("v"), "wt",
+          pin = false)
         .select(col("v"), col("wt"),
           (col("prefix").cast("long") + col("wt")).as("cum"))
       val tot = pre.agg(sum(col("wt")).cast("long").as("w"))
@@ -625,7 +630,10 @@ object StatQueries {
         .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("c"))
         .groupBy("c").agg(count(lit(1)).as("cnt"))
-      val pre = PrefixSum.withExclusivePrefix(frame, Seq("c"), "cnt")
+      // two consumers (total + bucket agg) over the pinned bucketing:
+      // cheaper to re-run the window than to pay the eager out-pin
+      val pre = PrefixSum.withExclusivePrefix(frame, Seq("c"), "cnt",
+          pin = false)
         .select(col("c"), col("cnt"),
           col("prefix").cast("long").as("pre"))
       val tot = pre.agg(max(col("pre") + col("cnt")).cast("long").as("n"))
@@ -707,8 +715,10 @@ object StatQueries {
         .groupBy(col("l_returnflag").as("flag"),
           col("l_extendedprice").as("v"))
         .agg(count(lit(1)).as("cnt"))
+      // two consumers (per-flag base agg + rebased cum) over the pinned
+      // bucketing: re-running the window beats the eager out-pin
       val pre = graft.ops.PrefixSum
-        .withExclusivePrefix(frame, Seq("flag", "v"), "cnt")
+        .withExclusivePrefix(frame, Seq("flag", "v"), "cnt", pin = false)
         .select(col("flag"), col("v"), col("cnt"),
           col("prefix").cast("long").as("pre"))
       val base = pre.groupBy("flag")

@@ -94,6 +94,58 @@ class AnnIndexSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .deleteDirectory(new java.io.File(base))
   }
 
+  it should "answer identically through a once-loaded quantizer and " +
+    "re-pack fragmented cell files on compaction" in {
+    // r13 optimization: loadCentroids + the *With variants let one
+    // maintenance cycle or ingest loop pay the centroid read ONCE. The
+    // contract is pure equality — same collected bytes, same answers —
+    // plus the compaction re-pack: many per-batch appends fragment
+    // cells/ into many small files, and compactIvf must shrink the file
+    // count, not inherit it.
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ann_idx_with").toString
+    val dim = 8
+    def vec(seed: Long): Array[Double] = {
+      var x = seed
+      Array.fill(dim) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 16) % 1000).toDouble / 500.0 - 1.0
+      }
+    }
+    val corpus = (1L to 100L).map(i => (i, vec(i).toSeq))
+    AnnIndex.buildAndSaveIvf(corpus.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$base/idx", nList = 8)
+    val cents = AnnIndex.loadCentroids(s, s"$base/idx")
+    val queries = Seq((500L, vec(7L).toSeq)).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    rows(AnnIndex.queryIvfWith(s, queries, "vec_id", "embedding",
+      s"$base/idx", cents, 5, nProbe = 3)) shouldBe
+      rows(AnnIndex.queryIvf(s, queries, "vec_id", "embedding",
+        s"$base/idx", 5, nProbe = 3))
+    // appendToIvfWith ≡ appendToIvf: both assign with the same quantizer
+    (101L to 110L).foreach { i =>
+      AnnIndex.appendToIvfWith(s, Seq((i, vec(i).toSeq))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding",
+        s"$base/idx", cents)
+    }
+    def cellFiles() = new java.io.File(s"$base/idx/cells").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val fragmented = cellFiles()
+    fragmented should be >= 10 // one+ file per appended batch
+    val preCompact = rows(AnnIndex.queryIvfWith(s, queries, "vec_id",
+      "embedding", s"$base/idx", cents, 5, nProbe = 8))
+    AnnIndex.compactIvf(s, s"$base/idx")
+    cellFiles() should be < fragmented // physically re-packed
+    rows(AnnIndex.queryIvfWith(s, queries, "vec_id", "embedding",
+      s"$base/idx", cents, 5, nProbe = 8)) shouldBe preCompact
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
   it should "stop serving deleted vectors immediately and answer " +
     "identically after compaction (delete + compact cycle)" in {
     // r12 verdict #4. Unlike the dedup index, the coarse quantizer is

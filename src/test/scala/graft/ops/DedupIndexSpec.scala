@@ -109,6 +109,49 @@ class DedupIndexSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       (100L, 1L), (101L, 3L))
   }
 
+  it should "share one signed batch between query and append without " +
+    "changing either answer" in {
+    // r13 optimization: loadModel + signBatch let an ingest cycle sign a
+    // batch ONCE and feed both the dedup query (dedupSignedBatch) and
+    // the index append (appendSigned). Contract: pure equality with the
+    // per-step entry points.
+    val s = spark
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dedup_idx_signed").toString
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "entirely different content about distributed query engines")
+    val batch = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog again today",
+      101L -> "nothing remotely similar lives in this novel document text")
+    DedupIndex.buildAndSave(docsDf(corpus), "doc_id", "text", s"$base/a")
+    DedupIndex.buildAndSave(docsDf(corpus), "doc_id", "text", s"$base/b")
+    val (cfg, model) = DedupIndex.loadModel(s, s"$base/a")
+    val signed = DedupIndex
+      .signBatch(docsDf(batch), "doc_id", "text", cfg, model)
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // query via the pre-signed path ≡ the self-loading path
+    rows(DedupIndex.dedupSignedBatch(s, signed, s"$base/a", 0.5)) shouldBe
+      rows(DedupIndex.dedupNewBatch(s, docsDf(batch), "doc_id", "text",
+        s"$base/b", 0.5))
+    // append via the pre-signed path ≡ the self-signing path: later
+    // probes against both indexes answer identically
+    DedupIndex.appendSigned(signed, s"$base/a")
+    DedupIndex.appendToIndex(s, docsDf(batch), "doc_id", "text",
+      s"$base/b")
+    val probe = Seq(
+      200L -> "nothing remotely similar lives in this novel document line")
+    rows(DedupIndex.dedupNewBatch(s, docsDf(probe), "doc_id", "text",
+      s"$base/a", 0.5)) shouldBe
+      rows(DedupIndex.dedupNewBatch(s, docsDf(probe), "doc_id", "text",
+        s"$base/b", 0.5))
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base))
+  }
+
   it should "answer identically to a fresh build on the surviving " +
     "corpus after build + append + delete + compact" in {
     // r12 verdict #4 — the full nightly maintenance cycle. MinHashLSH's

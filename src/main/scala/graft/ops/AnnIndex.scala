@@ -51,14 +51,6 @@ object AnnIndex {
       val cents = Similarity.sphericalKMeans(sample, nList, iters = 5,
         seed = seed)
       val bc = s.sparkContext.broadcast(cents)
-      Seq((nList, seed, sampleSize))
-        .toDF("n_list", "seed", "sample_size")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$path/meta")
-      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell", "c")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$path/centroids")
       // Scale-adaptive cell-file width (the DedupIndex signing fix):
       // inheriting the scan's partition count leaves one near-empty file
       // per scan split at small corpus sizes — files every query
@@ -67,11 +59,23 @@ object AnnIndex {
       val width = math.max(1, math.min(
         emb.sparkSession.sparkContext.defaultParallelism,
         emb.rdd.getNumPartitions))
-      corpus.as[(Long, Array[Double])]
-        .map { case (id, u) => (Similarity.argmaxDot(u, bc.value), id, u) }
-        .toDF("cell", "nid", "nu")
-        .repartition(width)
-        .write.mode("overwrite").parquet(s"$path/cells")
+      // Three independent artifact writes — concurrent (guide §2.6).
+      Par.run(
+        () => Seq((nList, seed, sampleSize))
+          .toDF("n_list", "seed", "sample_size")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/meta"),
+        () => cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "c")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/centroids"),
+        () => corpus.as[(Long, Array[Double])]
+          .map { case (id, u) =>
+            (Similarity.argmaxDot(u, bc.value), id, u)
+          }
+          .toDF("cell", "nid", "nu")
+          .repartition(width)
+          .write.mode("overwrite").parquet(s"$path/cells"))
     } finally { corpus.unpersist(); () }
   }
 

@@ -105,17 +105,21 @@ object DedupIndex {
       val model = new MinHashLSH().setInputCol("tf").setOutputCol("sig")
         .setNumHashTables(cfg.numHashTables).setSeed(cfg.seed)
         .fit(f)
-      model.write.overwrite().save(s"$path/model")
-      Seq((cfg.n, cfg.numHashTables, cfg.seed, cfg.numFeatures))
-        .toDF("n", "num_hash_tables", "seed", "num_features")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$path/meta")
       val signed = model.transform(f).select(col("id"), col("tf"),
         col("sig"))
-      Similarity.lshBucketRows(signed, "id", "sig")
-        .write.mode("overwrite").parquet(s"$path/bands")
-      indexSets(signed)
-        .write.mode("overwrite").parquet(s"$path/idx")
+      // Four independent artifact writes (model, meta, bands, idx — all
+      // derived from the fitted model + the cached feature frame):
+      // concurrent so each write's straggler tail is back-filled (§2.6).
+      Par.run(
+        () => model.write.overwrite().save(s"$path/model"),
+        () => Seq((cfg.n, cfg.numHashTables, cfg.seed, cfg.numFeatures))
+          .toDF("n", "num_hash_tables", "seed", "num_features")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/meta"),
+        () => Similarity.lshBucketRows(signed, "id", "sig")
+          .write.mode("overwrite").parquet(s"$path/bands"),
+        () => indexSets(signed)
+          .write.mode("overwrite").parquet(s"$path/idx"))
     } finally { f.unpersist(); () }
   }
 
@@ -200,8 +204,12 @@ object DedupIndex {
           .head()
         (r.getLong(0), r.getLong(1))
     }
-    rewriteMinusTombstones(spark, s"$path/bands", "id", path)
-    rewriteMinusTombstones(spark, s"$path/idx", "id", path)
+    // Independent artifacts (different dirs, both anti-joining the same
+    // tiny tombstone set): rewrite concurrently so the second rewrite
+    // back-fills the first's straggler tail (guide §2.6).
+    Par.run(
+      () => rewriteMinusTombstones(spark, s"$path/bands", "id", path),
+      () => rewriteMinusTombstones(spark, s"$path/idx", "id", path))
     val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tomb)) { fs.delete(tomb, true); () }
@@ -280,10 +288,12 @@ object DedupIndex {
   def appendSigned(signed: DataFrame, path: String): Unit = {
     val s = signed.cache()
     try {
-      Similarity.lshBucketRows(s, "id", "sig")
-        .write.mode("append").parquet(s"$path/bands")
-      indexSets(s)
-        .write.mode("append").parquet(s"$path/idx")
+      // Independent appends over one cached frame — concurrent (§2.6).
+      Par.run(
+        () => Similarity.lshBucketRows(s, "id", "sig")
+          .write.mode("append").parquet(s"$path/bands"),
+        () => indexSets(s)
+          .write.mode("append").parquet(s"$path/idx"))
     } finally { s.unpersist(); () }
   }
 

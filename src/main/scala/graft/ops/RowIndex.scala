@@ -25,7 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object RowIndex {
 
-  def withContiguousIndex(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+  /** With `pin = true` (default) the result is eagerly
+    * `localCheckpoint`ed for callers that fan out from it repeatedly;
+    * single-consumer callers pass `pin = false` — re-running the cheap
+    * in-bucket window over the (always-pinned) bucketing costs less
+    * than the eager output materialization (measured, same accounting
+    * as [[PrefixSum]]'s pin flag). The bucketing pin that guarantees
+    * boundary consistency is unconditional either way.
+    */
+  def withContiguousIndex(df: DataFrame, sortCols: Seq[String],
+                          pin: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val numParts = spark.sparkContext.defaultParallelism
     val bucketed = df
@@ -51,10 +60,10 @@ object RowIndex {
     val offsets = counts
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wo), lit(0L)))
       .select(col("__pid"), col("__off"))
-    // Checkpointed — see PrefixSum for the fan-out rationale.
-    local.join(broadcast(offsets), "__pid")
+    // Checkpointed on request — see PrefixSum for the fan-out rationale.
+    val out = local.join(broadcast(offsets), "__pid")
       .withColumn("row_idx", col("__off") + col("__rn") - 1)
       .drop("__pid", "__rn", "__off")
-      .localCheckpoint(eager = true)
+    if (pin) out.localCheckpoint(eager = true) else out
   }
 }

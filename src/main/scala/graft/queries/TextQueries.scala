@@ -1323,8 +1323,9 @@ object TextQueries {
     // indexing, so the oracle checks absolute positions in the full
     // order.
     "q_row_index" -> { (s, dir) =>
-      graft.ops.RowIndex.withContiguousIndex(
-          t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+      graft.ops.RowIndex.withContiguousIndex( // single consumer: no pin
+          t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"),
+          pin = false)
         .filter(col("doc_id") % 20 === 0)
         .select("row_idx", "doc_id", "source")
         .orderBy("doc_id")
@@ -2037,8 +2038,8 @@ object TextQueries {
         .filter(col("tok") =!= "")
       val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
         .withColumn("neg_c", -col("c"))
-      val vocab = graft.ops.RowIndex
-        .withContiguousIndex(counts, Seq("neg_c", "tok"))
+      val vocab = graft.ops.RowIndex // single consumer: skip the pin
+        .withContiguousIndex(counts, Seq("neg_c", "tok"), pin = false)
         .select(col("tok"), col("row_idx").as("tok_id"))
       // No broadcast hint: the vocabulary's cardinality is UNBOUNDED (a
       // web corpus reaches 10^7–10^8 distinct tokens → a multi-GB

@@ -136,8 +136,8 @@ object UserQueries {
         .agg(sum(col("value").cast("decimal(18,4)")).as("ltv"))
         .withColumn("neg_ltv", -col("ltv"))
       val nTot = ltv.agg(count(lit(1)).as("nu"))
-      graft.ops.RowIndex
-        .withContiguousIndex(ltv, Seq("neg_ltv", "user_id"))
+      graft.ops.RowIndex // single consumer: skip the output pin
+        .withContiguousIndex(ltv, Seq("neg_ltv", "user_id"), pin = false)
         .crossJoin(broadcast(nTot))
         .withColumn("decile", expr("(row_idx * 10) div nu"))
         .groupBy("decile")
@@ -170,7 +170,7 @@ object UserQueries {
       def tercile(df: DataFrame, sortCol: String, out: String): DataFrame =
         graft.ops.RowIndex
           .withContiguousIndex(df.select(col("user_id"), col(sortCol)),
-            Seq(sortCol, "user_id"))
+            Seq(sortCol, "user_id"), pin = false) // single consumer
           .crossJoin(broadcast(nTot))
           .select(col("user_id"),
             expr("(row_idx * 3) div nu").as(out))
@@ -197,7 +197,8 @@ object UserQueries {
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(sum(col("value").cast("decimal(18,4)")).as("ltv"))
-      graft.ops.RowIndex.withContiguousIndex(ltv, Seq("ltv", "user_id"))
+      graft.ops.RowIndex // single consumer: skip the output pin
+        .withContiguousIndex(ltv, Seq("ltv", "user_id"), pin = false)
         .agg(count(lit(1)).as("n_users"),
           sum(col("ltv")).as("tot_dec"),
           sum(col("ltv") * (col("row_idx") + 1)).as("wsum_dec"))

@@ -271,11 +271,15 @@ object EmbeddingQueries {
     // near) the full-corpus LSH shape is selective and linear — that
     // regime is exercised in SimilaritySpec.
     "q_emb_cosine_neardup" -> { (s, dir) =>
-      val sample = t(s, dir, "embeddings")
+      // Pinned ×2 (the q_ann_* audit-twin accounting): the sample feeds
+      // both the exact and the LSH side, and the exact all-pairs truth
+      // is consumed by the recall flag AND the emitted rows — unpinned,
+      // the quadratic audit join executed twice per run.
+      val sample = graft.ops.Pin.pin(t(s, dir, "embeddings")
         .orderBy(md5(col("vec_id").cast("string")))
-        .limit(AuditSample)
-      val truth = Similarity.cosineNearDupPairs(sample, "vec_id",
-        "embedding", minCosine = NearDupCosine)
+        .limit(AuditSample))
+      val truth = graft.ops.Pin.pin(Similarity.cosineNearDupPairs(sample,
+        "vec_id", "embedding", minCosine = NearDupCosine))
       val lsh = Similarity.cosineNearDupLsh(sample, "vec_id", "embedding",
           minCosine = NearDupCosine)
         .select(col("id_a").as("fa"), col("id_b").as("fb")).distinct()

@@ -287,6 +287,27 @@ object Bench {
                        prevLeg: Map[String, Double])
   : (Double, Int, Map[String, Double]) = {
     import scala.util.control.NonFatal
+    // SCALE-ADAPTIVE reduce width (guide §2.5/§5): shuffle partitions
+    // pinned to the core count are a local-mode constant — at 100× data
+    // each reduce task's aggregation state grows 100× and the 8 GiB
+    // heap dies (observed: q_basket_pairs' pair-domain hash aggregate
+    // OOM'd the sf10 leg at 32 partitions; green at 128). Derive the
+    // width from the leg's input bytes (~8 MB of input per reduce
+    // partition, floor = cluster width, cap 2000). At the driver's
+    // bench scale (sf0.1, and sf1) the formula lands exactly on the old
+    // core-count value, so the driver's ledgers stay comparable; sf3
+    // moves 32 → ~47 and sf10 to ~166 (the fix). The stateful streaming
+    // gates pin their own state partitioning and are unaffected.
+    locally {
+      val p = new org.apache.hadoop.fs.Path(sfDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes =
+        try fs.getContentSummary(p).getLength
+        catch { case NonFatal(_) => 0L }
+      val parts = math.max(spark.sparkContext.defaultParallelism.toLong,
+        math.min(2000L, bytes / (8L << 20))).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    }
     // Sorted by name: Map iteration order SHIFTS whenever a gate is added,
     // and the session-level caches (ifs MI/chi2 stats, SessionCache) make
     // per-query times order-dependent — under hash order, adding an

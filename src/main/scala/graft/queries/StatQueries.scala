@@ -485,8 +485,14 @@ object StatQueries {
     // max(pre,lo), 0..cnt) — exact integer credits, exact decimal
     // value-weighted sum, ONE double division at the end.
     "q_robust_stats" -> { (s, dir) =>
-      def cumFrame(df: DataFrame): DataFrame = {
-        val pre = PrefixSum.withExclusivePrefix(df, Seq("flag", "v"), "cnt")
+      // pin: cum1's prefix output is read 2× internally (base + join)
+      // by EACH of three external consumers (median, deviations, trim)
+      // — six window re-runs unpinned, so the pin wins there; the MAD
+      // rebuild is consumed once, where the 2-consumer accounting says
+      // skip it (see the PrefixSum pin ledger).
+      def cumFrame(df: DataFrame, pin: Boolean = true): DataFrame = {
+        val pre = PrefixSum.withExclusivePrefix(df, Seq("flag", "v"),
+            "cnt", pin = pin)
           .select(col("flag"), col("v"), col("cnt"),
             col("prefix").cast("long").as("gpre"))
         val base = pre.groupBy("flag")
@@ -514,7 +520,7 @@ object StatQueries {
         .select(col("flag"), abs(col("v") - col("median")).as("v"),
           col("cnt"))
         .groupBy("flag", "v").agg(sum(col("cnt")).cast("long").as("cnt"))
-      val mad = cumFrame(devs).groupBy("flag", "n")
+      val mad = cumFrame(devs, pin = false).groupBy("flag", "n")
         .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
           .as("mad"))
         .select(col("flag").as("f2"), col("mad"))

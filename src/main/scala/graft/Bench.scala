@@ -103,7 +103,12 @@ object Bench {
       // resetState GCs between queries instead.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm_sec accounting (r13 verdict #3): every leg's total line
+    // discloses how long its UNTIMED warmScale block took, so the warm
+    // scope is visible in the ledger instead of only in the code diff.
+    val warmT0 = System.nanoTime()
     warmScale(spark, sfDir)
+    val warmSec0 = (System.nanoTime() - warmT0) / 1e9
     // NEUTRAL machinery warmers — synthetic inputs, NOT gate queries, so no
     // timed query gets a head start its siblings don't (each still compiles
     // its own generated classes; what these remove is the one-time
@@ -239,8 +244,12 @@ object Bench {
           // q_bucketed_join against the wrong scale. ensureBucketed
           // re-validates on tag change, so the re-warm is cheap when
           // the physical tables already match.
-          warmScale(spark, d); resetState(spark)
-          val r = runScale(spark, d, only, paired = true, prevLeg = prevLeg)
+          val wT0 = System.nanoTime()
+          warmScale(spark, d)
+          val wSec = (System.nanoTime() - wT0) / 1e9
+          resetState(spark)
+          val r = runScale(spark, d, only, paired = true, prevLeg = prevLeg,
+            warmSec = wSec)
           prevLeg = r._3
           d -> ((r._1, r._2))
         }
@@ -265,7 +274,7 @@ object Bench {
         System.err.println("[bench] paired-scale line -> bench_full_pair.json")
       case None =>
         runScale(spark, sfDir, only, paired = false,
-          prevLeg = Map.empty); ()
+          prevLeg = Map.empty, warmSec = warmSec0); ()
     }
     spark.stop()
   }
@@ -284,7 +293,8 @@ object Bench {
     */
   private def runScale(spark: SparkSession, sfDir: String,
                        only: Set[String], paired: Boolean,
-                       prevLeg: Map[String, Double])
+                       prevLeg: Map[String, Double],
+                       warmSec: Double)
   : (Double, Int, Map[String, Double]) = {
     import scala.util.control.NonFatal
     // SCALE-ADAPTIVE reduce width (guide §2.5/§5): shuffle partitions
@@ -298,7 +308,7 @@ object Bench {
     // core-count value, so the driver's ledgers stay comparable; sf3
     // moves 32 → ~47 and sf10 to ~166 (the fix). The stateful streaming
     // gates pin their own state partitioning and are unaffected.
-    locally {
+    val shufflePartitions = {
       val p = new org.apache.hadoop.fs.Path(sfDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val bytes =
@@ -307,6 +317,13 @@ object Bench {
       val parts = math.max(spark.sparkContext.defaultParallelism.toLong,
         math.min(2000L, bytes / (8L << 20))).toInt
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // Logged + emitted on the total line (ADVICE r13 #4): the "lands on
+      // the old core-count value at sf0.1" claim holds only while the
+      // dir's byte count stays under 8 MB × cores — make a comparability
+      // shift visible in the output instead of silent.
+      System.err.println(
+        s"[bench] shuffle.partitions=$parts for $sfDir (input bytes=$bytes)")
+      parts
     }
     // Sorted by name: Map iteration order SHIFTS whenever a gate is added,
     // and the session-level caches (ifs MI/chi2 stats, SessionCache) make
@@ -476,8 +493,9 @@ object Bench {
       s"""{"metric":"queries","unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     val lineSolo =
       s"""{"metric":"solo_heavies","unit":"sec","queries":$soloJson,"repeats":$soloRepeatsJson,"solo_protocol":"median_of_3_under_${SoloRepeatCeilingSec.toInt}s","cache_warm":$cacheWarmJson,"sf":"$sfDir"}"""
+    val cpus = spark.sparkContext.defaultParallelism
     val lineTotal =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"ambient_ratio":$ambientRatio,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"ambient_ratio":$ambientRatio,"warm_sec":$warmSec,"cpus":$cpus,"shuffle_partitions":$shufflePartitions,"sf":"$sfDir"}"""
     println(lineQueries)
     println(lineSolo)
     println(lineTotal)
@@ -487,10 +505,45 @@ object Bench {
     // (and the judge's cross-round diff) reads. Full registry runs only;
     // a partial `Bench <gate>` probe must not clobber the ledger.
     if (only.isEmpty) {
-      val w = new java.io.PrintWriter(outPath, "UTF-8")
-      try { w.println(lineQueries); w.println(lineSolo); w.println(lineTotal) }
-      finally w.close()
-      System.err.println(s"[bench] full per-query ledger -> $outPath")
+      def writeLedger(path: String): Unit = {
+        val w = new java.io.PrintWriter(path, "UTF-8")
+        try {
+          w.println(lineQueries); w.println(lineSolo); w.println(lineTotal)
+        } finally w.close()
+        System.err.println(s"[bench] full per-query ledger -> $path")
+      }
+      // CPUs-qualified ledger paths (r13 verdict #2): the driver's
+      // low-core scaling run used to OVERWRITE the canonical
+      // bench_full_<sf>.json right after the full-width run wrote it, so
+      // the committed ledger stopped matching the headline total and no
+      // per-query row could be paired across rounds. Every full run now
+      // also writes bench_full_<sf>_c<cpus>.json, and the canonical
+      // (unqualified) file is left alone when it already holds a ledger
+      // from a WIDER run — so whichever order the driver runs its
+      // core-count legs in, the canonical path ends up with the widest
+      // (headline) run and each width keeps its own qualified ledger.
+      val dirName = new java.io.File(sfDir).getName
+      val qualifiedOut = s"bench_full_${dirName}_c$cpus.json"
+      if (!paired && sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+        writeLedger(outPath) // explicit dev override: exact path, no twin
+      } else {
+        writeLedger(qualifiedOut)
+        val priorCpus: Option[Int] =
+          try {
+            val src = scala.io.Source.fromFile(outPath, "UTF-8")
+            try src.getLines()
+              .find(l => l.contains("\"metric\":\"total\"") &&
+                l.contains(s""""sf":"$sfDir""""))
+              .flatMap("\"cpus\":(\\d+)".r.findFirstMatchIn(_))
+              .map(_.group(1).toInt)
+            finally src.close()
+          } catch { case NonFatal(_) => None }
+        if (priorCpus.exists(_ > cpus))
+          System.err.println(s"[bench] keeping $outPath (existing ledger " +
+            s"from cpus=${priorCpus.get} > $cpus run); this run's ledger " +
+            s"is $qualifiedOut")
+        else writeLedger(outPath)
+      }
     }
     (total, errors.size, inRun.filter(_._2 >= 0))
   }

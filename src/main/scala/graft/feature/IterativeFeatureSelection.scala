@@ -336,19 +336,25 @@ object IterativeFeatureSelection {
       .agg(sum(col("c")).as("c"))
   }
 
-  private[graft] def pairMIMulti(data: DataFrame, allPairs: Seq[(Int, Int)],
-                                 maxCategories: Int)
-  : Map[(Int, Int), Double] = {
-    require(allPairs.nonEmpty, "pairs must be non-empty")
-    val planCache = statsCacheKey(data)
-      .map(k => miStatsCache.getOrElseUpdate((k, maxCategories),
-        scala.collection.concurrent.TrieMap.empty))
-    val cached: Map[(Int, Int), Double] = planCache match {
-      case Some(pc) => allPairs.flatMap(p => pc.get(p).map(p -> _)).toMap
-      case None     => Map.empty
-    }
-    val pairs = allPairs.filterNot(cached.contains)
-    if (pairs.isEmpty) return cached
+  /** One FUSED counting pass (guide §1.2 "don't compute things twice"):
+    * the MI fold and the chi2 fold read the identical
+    * [[pairCellCounts]] contingency stream and the identical window
+    * marginals (n, cx, cy) — only the final per-pair reduction differs,
+    * and that reduction is a handful of agg expressions over the same
+    * grouped rows. Computing BOTH statistics per pass costs ~nothing on
+    * top of the counting stage (which dominates at any scale) and fills
+    * BOTH stat caches, so whichever family runs second (chi2 relevance
+    * after an MI profile, or vice versa) pays zero counting jobs instead
+    * of re-scanning the corpus. Expressions are spelled exactly as the
+    * two separate folds spelled them (same casts, same operation order),
+    * and both values round to 12 decimals — bit-identical to the
+    * unfused results.
+    *
+    * @return per pair: (mi, chi2, lx, ly, n)
+    */
+  private def pairStatsFused(data: DataFrame, pairs: Seq[(Int, Int)],
+                             maxCategories: Int)
+  : Map[(Int, Int), (Double, Double, Long, Long, Long)] = {
     // The explode below multiplies each input row ×|pairs| and is the
     // CPU-bound stage of the whole selection — its parallelism must not be
     // whatever split count the scan happened to produce (a small input is
@@ -364,18 +370,28 @@ object IterativeFeatureSelection {
     val n = sum("c").over(Window.partitionBy("cand", "other"))
     val cx = sum("c").over(Window.partitionBy("cand", "other", "cv"))
     val cy = sum("c").over(Window.partitionBy("cand", "other", "ov"))
-    val mi = counts
-      .select(col("cand"), col("other"), col("cv"), col("c"),
+    // chi2 via the identity n·Σ_obs(c²/(cx·cy)) − n, which equals the
+    // Pearson statistic INCLUDING the expected-count mass of zero-count
+    // (absent) cells — summing (c−e)²/e over observed cells only would
+    // understate chi2 whenever the contingency table is sparse.
+    val folded = counts
+      .select(col("cand"), col("other"), col("cv"), col("ov"), col("c"),
         n.as("n"), cx.as("cx"), cy.as("cy"))
       .groupBy("cand", "other")
       .agg(
         sum((col("c") / col("n")) *
           log((col("c") / col("n")) /
             ((col("cx") / col("n")) * (col("cy") / col("n"))))).as("mi"),
-        count_distinct(col("cv")).as("levels"))
+        (max(col("n")) * sum(col("c").cast("double") *
+          col("c").cast("double") /
+          (col("cx").cast("double") * col("cy").cast("double")))
+          - max(col("n"))).as("chi2"),
+        count_distinct(col("cv")).as("lx"),
+        count_distinct(col("ov")).as("ly"),
+        max(col("n")).cast(LongType).as("n"))
       .collect()
-    mi.foreach { r =>
-      val levels = r.getLong(3)
+    folded.foreach { r =>
+      val levels = r.getLong(4)
       if (levels > maxCategories) throw new IllegalArgumentException(
         s"column ${r.getInt(0)} has $levels distinct values, " +
           s"more than maxCategories = $maxCategories")
@@ -388,10 +404,48 @@ object IterativeFeatureSelection {
     // above the drift and far below any real MI gap, so both paths (and
     // repeated runs) see bit-identical memo values. (MI ≤ ln(levels), so
     // the scaled value is well inside exact double range.)
-    val computed = mi.map(r => (r.getInt(0), r.getInt(1)) ->
-      math.rint(r.getDouble(2) * 1e12) / 1e12).toMap
-    planCache.foreach(pc => computed.foreach { case (p, v) => pc.put(p, v) })
-    cached ++ computed
+    folded.map(r => (r.getInt(0), r.getInt(1)) ->
+      ((math.rint(r.getDouble(2) * 1e12) / 1e12,
+        math.rint(r.getDouble(3) * 1e12) / 1e12,
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+  }
+
+  /** Store a fused-pass result in both stat caches (under the same
+    * (planKey, maxCategories) key): each pass computes both statistics,
+    * so the sibling family's next request is already served.
+    */
+  private def cacheFused(key: Option[String], maxCategories: Int,
+                         stats: Map[(Int, Int),
+                           (Double, Double, Long, Long, Long)]): Unit =
+    key.foreach { k =>
+      val miPc = miStatsCache.getOrElseUpdate((k, maxCategories),
+        scala.collection.concurrent.TrieMap.empty)
+      val chiPc = chi2StatsCache.getOrElseUpdate((k, maxCategories),
+        scala.collection.concurrent.TrieMap.empty)
+      stats.foreach { case (p, (mi, chi2, lx, ly, n)) =>
+        miPc.put(p, mi)
+        chiPc.put(p, (chi2, lx, ly, n))
+        ()
+      }
+    }
+
+  private[graft] def pairMIMulti(data: DataFrame, allPairs: Seq[(Int, Int)],
+                                 maxCategories: Int)
+  : Map[(Int, Int), Double] = {
+    require(allPairs.nonEmpty, "pairs must be non-empty")
+    val key = statsCacheKey(data)
+    val planCache = key
+      .map(k => miStatsCache.getOrElseUpdate((k, maxCategories),
+        scala.collection.concurrent.TrieMap.empty))
+    val cached: Map[(Int, Int), Double] = planCache match {
+      case Some(pc) => allPairs.flatMap(p => pc.get(p).map(p -> _)).toMap
+      case None     => Map.empty
+    }
+    val pairs = allPairs.filterNot(cached.contains)
+    if (pairs.isEmpty) return cached
+    val stats = pairStatsFused(data, pairs, maxCategories)
+    cacheFused(key, maxCategories, stats)
+    cached ++ stats.map { case (p, (mi, _, _, _, _)) => p -> mi }
   }
 
   /** One distributed job: Pearson chi-square statistic for an arbitrary
@@ -412,7 +466,8 @@ object IterativeFeatureSelection {
                                    maxCategories: Int)
   : Map[(Int, Int), (Double, Long, Long, Long)] = {
     require(allPairs.nonEmpty, "pairs must be non-empty")
-    val planCache = statsCacheKey(data)
+    val key = statsCacheKey(data)
+    val planCache = key
       .map(k => chi2StatsCache.getOrElseUpdate((k, maxCategories),
         scala.collection.concurrent.TrieMap.empty))
     val cached: Map[(Int, Int), (Double, Long, Long, Long)] =
@@ -422,41 +477,11 @@ object IterativeFeatureSelection {
       }
     val pairs = allPairs.filterNot(cached.contains)
     if (pairs.isEmpty) return cached
-    val par = data.sparkSession.sparkContext.defaultParallelism
-    val src =
-      if (data.rdd.getNumPartitions < par) data.repartition(par) else data
-    val counts = pairCellCounts(src, pairs)
-    val n = sum("c").over(Window.partitionBy("cand", "other"))
-    val cx = sum("c").over(Window.partitionBy("cand", "other", "cv"))
-    val cy = sum("c").over(Window.partitionBy("cand", "other", "ov"))
-    // chi2 via the identity n·Σ_obs(c²/(cx·cy)) − n, which equals the
-    // Pearson statistic INCLUDING the expected-count mass of zero-count
-    // (absent) cells — summing (c−e)²/e over observed cells only would
-    // understate chi2 whenever the contingency table is sparse.
-    val chi = counts
-      .select(col("cand"), col("other"), col("cv"), col("ov"),
-        col("c").cast("double").as("c"),
-        n.as("n"), cx.cast("double").as("cx"), cy.cast("double").as("cy"))
-      .groupBy("cand", "other")
-      .agg(
-        (max(col("n")) * sum(col("c") * col("c") / (col("cx") * col("cy")))
-          - max(col("n"))).as("chi2"),
-        count_distinct(col("cv")).as("lx"),
-        count_distinct(col("ov")).as("ly"),
-        max(col("n")).cast(LongType).as("n"))
-      .collect()
-    chi.foreach { r =>
-      val levels = r.getLong(3)
-      if (levels > maxCategories) throw new IllegalArgumentException(
-        s"column ${r.getInt(0)} has $levels distinct values, " +
-          s"more than maxCategories = $maxCategories")
+    val stats = pairStatsFused(data, pairs, maxCategories)
+    cacheFused(key, maxCategories, stats)
+    cached ++ stats.map { case (p, (_, chi2, lx, ly, n)) =>
+      p -> ((chi2, lx, ly, n))
     }
-    // Same 12-decimal stabilization rationale as pairMIMulti.
-    val computed = chi.map(r => (r.getInt(0), r.getInt(1)) ->
-      ((math.rint(r.getDouble(2) * 1e12) / 1e12,
-        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
-    planCache.foreach(pc => computed.foreach { case (p, v) => pc.put(p, v) })
-    cached ++ computed
   }
 
   /** Block-partitioned alternate encoding — the scale-free spelling of

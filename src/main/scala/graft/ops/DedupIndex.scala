@@ -196,8 +196,14 @@ object DedupIndex {
     val (nAll, nDead) = tombstones(spark, path) match {
       case None => (idxAll.select("id").distinct().count(), 0L)
       case Some(ts) =>
+        // distinct BEFORE the join: deleteFromIndex distincts only within
+        // a call, so deleting the same id in two calls (legal — deletes
+        // are documented idempotent) leaves duplicate tombstone rows that
+        // would multiply this left join and over-report the reclaimed
+        // count (the old left_semi spelling was immune).
         val r = idxAll.select("id").distinct()
-          .join(broadcast(ts.withColumn("__dead", lit(1))), Seq("id"),
+          .join(broadcast(ts.select("id").distinct()
+            .withColumn("__dead", lit(1))), Seq("id"),
             "left")
           .agg(count(lit(1)),
             coalesce(sum(coalesce(col("__dead"), lit(0))), lit(0L)))
@@ -284,16 +290,23 @@ object DedupIndex {
     crossVerify(signedBatch, corpusBands, corpusIdx, maxDistance)
   }
 
-  /** [[appendToIndex]] for a batch already signed by [[signBatch]]. */
+  /** [[appendToIndex]] for a batch already signed by [[signBatch]].
+    *
+    * The two appends stay SEQUENTIAL, bands first (not Par.run): append
+    * mode is not atomic, so if a concurrent bands append failed after
+    * the idx append committed, a caller retry would append idx rows
+    * twice — and duplicate idx rows yield duplicate output pairs in
+    * crossVerify (bands duplicates are absorbed by cands.distinct();
+    * idx duplicates are not). Bands-then-idx makes a retry after a
+    * partial failure benign.
+    */
   def appendSigned(signed: DataFrame, path: String): Unit = {
     val s = signed.cache()
     try {
-      // Independent appends over one cached frame — concurrent (§2.6).
-      Par.run(
-        () => Similarity.lshBucketRows(s, "id", "sig")
-          .write.mode("append").parquet(s"$path/bands"),
-        () => indexSets(s)
-          .write.mode("append").parquet(s"$path/idx"))
+      Similarity.lshBucketRows(s, "id", "sig")
+        .write.mode("append").parquet(s"$path/bands")
+      indexSets(s)
+        .write.mode("append").parquet(s"$path/idx")
     } finally { s.unpersist(); () }
   }
 

@@ -5,10 +5,13 @@ package graft.ops
   * sequentially, and a job's straggler tail leaves executors idle that
   * the next independent job could back-fill. Used for pairs of
   * independent writes (an index's band file and its exact-verify file,
-  * both reading one cached frame) — NOT for dependent steps. Exceptions
-  * propagate: the first failure is rethrown after all tasks finish, so
-  * failure behavior matches the sequential spelling (no half-started
-  * next step).
+  * both writing to fresh/overwritten locations) — NOT for dependent
+  * steps, and NOT for append-mode writes (a later task's side effects
+  * still commit after an earlier task fails, so a caller retry can
+  * double-append; see DedupIndex.appendSigned). Exceptions propagate:
+  * the first failure is rethrown after all tasks finish — only the
+  * THROWN exception matches the sequential spelling, not the side
+  * effects of the other tasks.
   */
 object Par {
   def run(tasks: (() => Unit)*): Unit = {

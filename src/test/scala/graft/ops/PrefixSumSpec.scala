@@ -56,4 +56,50 @@ class PrefixSumSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     assert(messages(ex).exists(m =>
       m.contains("PrefixSum.withExclusivePrefix") && m.contains("'v'")))
   }
+
+  behavior of "withExclusivePrefixBounded"
+
+  private def chainMessages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(e =>
+      Option(e.getMessage).toSeq ++ chainMessages(e.getCause))
+
+  it should "equal withExclusivePrefix on the same frame" in {
+    val df = Seq((5L, 10.0), (1L, 3.0), (9L, 7.0), (3L, 100.0), (7L, 1.0))
+      .toDF("k", "v").repartition(3)
+    val bounded = PrefixSum.withExclusivePrefixBounded(df, Seq("k"), "v",
+        bound = 64)
+      .select("k", "prefix")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val twoPhase = PrefixSum.withExclusivePrefix(df, Seq("k"), "v")
+      .select("k", "prefix")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    bounded shouldBe twoPhase
+  }
+
+  it should "fail fast on a NULL value like the two-phase path" in {
+    val df = Seq((1L, Some(3.0)), (2L, None), (3L, Some(7.0)))
+      .toDF("k", "v")
+    val ex = intercept[Exception] {
+      PrefixSum.withExclusivePrefixBounded(df, Seq("k"), "v", bound = 64)
+        .collect()
+    }
+    assert(chainMessages(ex).exists(m =>
+      m.contains("PrefixSum.withExclusivePrefixBounded") &&
+        m.contains("'v'")))
+  }
+
+  it should "raise loudly past the declared domain bound" in {
+    val df = (0L until 11L).map(i => (i, 1.0)).toDF("k", "v")
+    val ex = intercept[Exception] {
+      PrefixSum.withExclusivePrefixBounded(df, Seq("k"), "v", bound = 10)
+        .collect()
+    }
+    assert(chainMessages(ex).exists(m =>
+      m.contains("exceeds the declared domain bound 10")))
+    // exactly at the bound is fine
+    val ok = PrefixSum.withExclusivePrefixBounded(
+        df.limit(10), Seq("k"), "v", bound = 10)
+      .select("k", "prefix").collect()
+    ok should have length 10
+  }
 }

@@ -63,11 +63,36 @@ object EventQueries {
     * execution runs inside `f`; the returned DataFrame over the memory
     * sink is batch and unaffected.
     */
-  private def withStatePartitions[A](s: SparkSession, n: Int = 8)
+  private val statePartsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** State partition count for a scale dir: derived from the events
+    * input size instead of a local-mode constant (the same defect class
+    * as the shuffle-width bug that OOM'd the sf10 pair-domain aggregate
+    * — a knob tuned at one scale silently pinned into every scale's
+    * checkpoints). ~4 MB of events input per state partition, floor 8
+    * (the sf0.1 knob-test optimum — 2/4/8 measured flat there, so the
+    * floor is NOT a tuning cliff), cap 200. At sf0.1 (2 MB events) this
+    * lands exactly on the historical 8, so ledgers stay comparable;
+    * sf10's 112 MB events get 28. Fresh checkpoints are created per
+    * run, so the count is free to differ per scale.
+    */
+  private def statePartitions(s: SparkSession, dir: String): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt)
+      .getOrElse(statePartsCache.getOrElseUpdate(dir, {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+        val bytes =
+          try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+          catch { case scala.util.control.NonFatal(_) => 0L }
+        math.max(8L, math.min(200L, bytes / (4L << 20))).toInt
+      }))
+
+  private def withStatePartitions[A](s: SparkSession, dir: String)
                                     (f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    s.conf.set(key, statePartitions(s, dir).toString)
     try f finally s.conf.set(key, old)
   }
 
@@ -105,12 +130,32 @@ object EventQueries {
       // a fixed 180 s turned slow-but-correct into a hard failure. 180 s
       // floor + 50 ms per expected emission, and the failure message
       // reports elapsed progress so a stall is tellable from slowness.
+      //
+      // Polling reads the DRIVER-LOCAL progress metrics (sink
+      // numOutputRows per finished batch) instead of running a count()
+      // JOB per 100 ms poll — those poll jobs competed with the stream's
+      // own micro-batches for cores for the whole drain. The sink
+      // count() at the end stays AUTHORITATIVE: the metric only gates
+      // when we first look, never what is required.
       val budgetSec = 180L + expected / 20L
       val t0 = System.nanoTime()
       val deadline = t0 + budgetSec * 1000000000L
-      while (s.table(name).count() < expected &&
-        System.nanoTime() < deadline && q.exception.isEmpty)
-        Thread.sleep(100L)
+      def emittedMetric: Long = {
+        val per = q.recentProgress.map(_.sink.numOutputRows)
+        if (per.isEmpty || per.exists(_ < 0)) -1L else per.sum
+      }
+      var polls = 0
+      var done = false
+      while (!done && System.nanoTime() < deadline && q.exception.isEmpty) {
+        val e = emittedMetric
+        // fall back to the real count when the metric is unavailable, and
+        // re-verify with it every ~2 s so a miscounting metric can only
+        // delay the authoritative check, never wedge the drain
+        done = (e >= expected || e < 0 || polls % 20 == 19) &&
+          s.table(name).count() >= expected
+        polls += 1
+        if (!done) Thread.sleep(100L)
+      }
       q.exception.foreach(throw _)
       val got = s.table(name).count()
       require(got == expected,
@@ -136,7 +181,7 @@ object EventQueries {
       .statefulSessions(stream, GapUs / 1000L, "0 seconds")
     val name = namePrefix +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(s) {
+    withStatePartitions(s, dir) {
       val q = sessions.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
@@ -796,11 +841,14 @@ object EventQueries {
     "q_peak_concurrency" -> { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sess = withBreaks(s, dir)
+      // pinned (r13 verdict #6): `bounds` feeds the prefix op, whose
+      // range sampler executes its child TWICE, and `nSess` is a third
+      // consumer — unpinned, the full sessionize window ran ~3× per gate
+      val sess = graft.ops.Pin.pin(withBreaks(s, dir)
         .withColumn("sid", sum(col("brk")).over(w))
         .groupBy("user_id", "sid")
         .agg(min(unix_micros(col("ts"))).as("t0"),
-          max(unix_micros(col("ts"))).as("t1"))
+          max(unix_micros(col("ts"))).as("t1")))
       val bounds = sess.select(col("t0").as("us"), lit(1).as("delta"))
         .unionByName(
           sess.select((col("t1") + 1).as("us"), lit(-1).as("delta")))
@@ -858,7 +906,7 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       val name = "q_stream_hourly_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = counts.writeStream.outputMode(OutputMode.Complete())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -1028,7 +1076,7 @@ object EventQueries {
         .dropDuplicates("user_id", "event_type")
       val name = "q_stream_dedup_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = stream.writeStream.outputMode(OutputMode.Append())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -1056,7 +1104,7 @@ object EventQueries {
         stream, "30 minutes", "0 seconds")
       val name = "q_stream_session_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = graft.streaming.Sessionize.writer(sessions)
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -1078,7 +1126,7 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       val name = "q_stream_sliding_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = counts.writeStream.outputMode(OutputMode.Complete())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -1276,7 +1324,7 @@ object EventQueries {
           struct(col("value"), col("event_id")), 3).as("tk"))
       val name = "q_stream_topk_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = agg.writeStream.outputMode(OutputMode.Complete())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -1303,7 +1351,7 @@ object EventQueries {
       // temp sink is deleted, and a failed write/read still cleans up —
       // nothing accumulates across runs or across failures
       try {
-        withStatePartitions(s) {
+        withStatePartitions(s, dir) {
           val q = stream.writeStream
             .format("parquet")
             .option("path", s"$base/out")
@@ -1359,7 +1407,7 @@ object EventQueries {
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
       val name = "q_stream_hll_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = agg.writeStream.outputMode(OutputMode.Complete())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -1447,7 +1495,7 @@ object EventQueries {
         .agg(graft.functions.CountMin.sketch(col("user_id")).as("sk"))
       val name = "q_stream_cms_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = agg.writeStream.outputMode(OutputMode.Complete())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -1487,7 +1535,7 @@ object EventQueries {
           floor(col("value")), hour(col("ts"))), 6).as("mi"))
       val name = "q_stream_mi_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = agg.writeStream.outputMode(OutputMode.Complete())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -1530,7 +1578,7 @@ object EventQueries {
           col("ts_b") <= col("ts_v") + expr("INTERVAL 1 HOUR"))
       val name = "q_stream_join_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = joined.writeStream.outputMode(OutputMode.Append())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -1574,7 +1622,7 @@ object EventQueries {
         "left_outer")
       val name = "q_stream_outer_join_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = joined.writeStream.outputMode(OutputMode.Append())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -1621,7 +1669,7 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       val name = "q_stream_enrich_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = agg.writeStream.outputMode(OutputMode.Complete())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -1689,7 +1737,7 @@ object EventQueries {
       val expected = events(s, dir)
         .select(col("user_id"), input_file_name().as("f"))
         .distinct().count()
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         withConfs(s,
           "spark.sql.streaming.stateStore.providerClass" ->
             ("org.apache.spark.sql.execution.streaming.state." +
@@ -1731,7 +1779,7 @@ object EventQueries {
         .dropDuplicatesWithinWatermark("event_id")
       val name = "q_stream_dedup_wm_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = deduped.writeStream.outputMode(OutputMode.Append())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -1776,7 +1824,7 @@ object EventQueries {
         java.time.Duration.ofMillis(1L))
       val name = "q_stream_tws_ttl_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         withConfs(s,
           "spark.sql.streaming.stateStore.providerClass" ->
             ("org.apache.spark.sql.execution.streaming.state." +
@@ -1824,7 +1872,7 @@ object EventQueries {
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt_").toString
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = sessions.writeStream.outputMode(OutputMode.Append())
           .format("memory").queryName(name)
           .option("checkpointLocation", ckpt)
@@ -1858,7 +1906,7 @@ object EventQueries {
         java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt_tws_").toString
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         withConfs(s,
           "spark.sql.streaming.stateStore.providerClass" ->
             ("org.apache.spark.sql.execution.streaming.state." +
@@ -1908,7 +1956,7 @@ object EventQueries {
         .filter(col("event_id") % 2 === 1)
         .select(col("user_id"), input_file_name().as("f"))
         .distinct().count()
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         withConfs(s,
           "spark.sql.streaming.stateStore.providerClass" ->
             ("org.apache.spark.sql.execution.streaming.state." +
@@ -1941,7 +1989,7 @@ object EventQueries {
         java.lang.Long, Array[(String, Long, java.math.BigDecimal)]]()
       val stream = eventsStream(s, dir)
         .select(col("event_type"), col("value"))
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = stream.writeStream
           .foreachBatch { (df: DataFrame, batchId: Long) =>
             val partial = df.groupBy("event_type")
@@ -1982,7 +2030,7 @@ object EventQueries {
         .timerSessions(stream, GapUs / 1000L, "0 seconds")
       val name = "q_stream_tws_timers_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         withConfs(s,
           "spark.sql.streaming.stateStore.providerClass" ->
             ("org.apache.spark.sql.execution.streaming.state." +
@@ -2022,7 +2070,7 @@ object EventQueries {
       val expected = events(s, dir)
         .select(col("user_id"), input_file_name().as("f"))
         .distinct().count()
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         // the v2 state API only runs on the RocksDB provider
         withConfs(s,
           "spark.sql.streaming.stateStore.providerClass" ->
@@ -2059,7 +2107,7 @@ object EventQueries {
       val scored = graft.streaming.Stateful.streamEwmaBurst(stream)
       val name = "q_stream_ewma_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = scored.writeStream.outputMode(OutputMode.Append())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
@@ -2088,7 +2136,7 @@ object EventQueries {
       val attributed = graft.streaming.Stateful.streamAttribution(stream)
       val name = "q_stream_attribution_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s) {
+      withStatePartitions(s, dir) {
         val q = attributed.writeStream.outputMode(OutputMode.Append())
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()

@@ -78,15 +78,46 @@ object Q {
     * the parent dir. Returns a fresh stream per call (callers doing
     * stream-stream self-joins need two distinct sources).
     */
+  /** Per-dir cache of the inferred events schema: every streaming gate
+    * needs it for its FileStreamSource, and re-inferring it per gate
+    * costs a footer read + analysis pass × 24 gates per bench run. The
+    * testdata dirs are read-only (TESTDATA.md), so a per-session memo by
+    * dir is safe; keyed by dir so paired multi-scale runs in one JVM
+    * never cross-serve.
+    */
+  private val eventsSchemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
   def eventsStream(s: SparkSession, dir: String,
                    options: Map[String, String] = Map.empty): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = eventsSchemaCache.getOrElseUpdate(dir,
+      s.read.parquet(s"$dir/events.parquet").schema)
     normalizeEventTs(
       s.readStream.schema(schema)
         .option("basePath", dir)
         .options(options)
         .parquet(s"$dir/events*.parquet"))
+  }
+
+  /** Scale-derived width for a gate-local wide exchange (guide §2.5):
+    * a reduce width inherited from the session is whatever the caller
+    * tuned for ITS scale — a gate whose per-task aggregation state
+    * scales with a data-derived domain (the basket pair domain) must
+    * derive its own width from its own input bytes or it OOMs the
+    * moment someone runs it at 100× under a narrow session setting.
+    * ~`bytesPerPartition` of source input per reduce partition, floor =
+    * cluster width (never fewer partitions than cores), cap 2000.
+    */
+  def adaptiveWidth(s: SparkSession, dir: String, table: String,
+                    bytesPerPartition: Long = 8L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val bytes =
+      try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    math.max(s.sparkContext.defaultParallelism.toLong,
+      math.min(2000L, bytes / bytesPerPartition)).toInt
   }
 
   /** Order-independent exact sum of a double column, returned as double. */

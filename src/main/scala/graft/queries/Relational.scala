@@ -325,12 +325,25 @@ object Relational {
       // scan+distinct shuffle runs 4×
       val li = graft.ops.Pin.pin(t(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct())
+      // The pair-domain aggregate's per-task hash state scales with the
+      // DOMAIN (distinct pairs), not the input — at sf10 it OOM'd an
+      // 8 GiB heap whenever the session's reduce width was a small-scale
+      // constant (r13's scale-killer). The exchange width is therefore
+      // derived IN-GATE from the gate's own input bytes (guide §2.5), so
+      // per-task state is bounded regardless of what the session tuned
+      // its width for. The explicit keyed repartition replaces the agg's
+      // implicit exchange (the grouping reuses its partitioning); the
+      // dropped map-side partial agg compressed ~nothing here anyway —
+      // a (part_a, part_b) pair rarely repeats within one map task.
       val pairs = li.as("a")
         .join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"),
+        .select(col("a.l_partkey").as("part_a"),
           col("b.l_partkey").as("part_b"))
+        .repartition(adaptiveWidth(s, dir, "lineitem"),
+          col("part_a"), col("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("n_both"))
         .orderBy(desc("n_both"), col("part_a"), col("part_b"))
         .limit(5)

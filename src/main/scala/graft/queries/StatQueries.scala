@@ -127,12 +127,16 @@ object StatQueries {
     // stay in long range up to n ≈ 3·10⁹ docs per split; beyond, cast the
     // two cum·n terms to DECIMAL(38,0).
     "q_ks_test" -> { (s, dir) =>
-      val counts = t(s, dir, "documents")
+      // pinned input (r13 verdict #6): the prefix op's range sampler
+      // executes its child TWICE, and `tot` reads the frame a third
+      // time — the domain agg scales with the corpus, so one checkpoint
+      // beats three executions at any volume (a wash at sf0.1).
+      val counts = graft.ops.Pin.pin(t(s, dir, "documents")
         .filter(col("source").isin("src0", "src1"))
         .groupBy(col("n_chars").as("v"))
         .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
           .as("c0"),
-          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"))
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1")))
       val p0 = PrefixSum.withExclusivePrefix(counts, Seq("v"), "c0")
         .withColumnRenamed("prefix", "e0")
       val p1 = PrefixSum.withExclusivePrefix(p0, Seq("v"), "c1")
@@ -165,10 +169,11 @@ object StatQueries {
     // grows with corpus×rank, past 2⁶³ at web scale — and the one
     // subtraction done in decimal before the single double division).
     "q_auc_rank" -> { (s, dir) =>
-      val counts = t(s, dir, "documents")
+      // pinned input: range sampling executes the domain agg twice
+      val counts = graft.ops.Pin.pin(t(s, dir, "documents")
         .groupBy(col("n_chars").as("v"))
         .agg(count(lit(1)).as("tc"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pc"))
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pc")))
       val p = PrefixSum.withExclusivePrefix(counts, Seq("v"), "tc")
       val agg = p.select(
         (col("pc") * (lit(2L) * col("prefix").cast("long") +
@@ -231,10 +236,11 @@ object StatQueries {
     // DECIMAL(38,0) (it grows with corpus², past 2⁶³ near n ≈ 3·10⁹ —
     // the long cross-products below carry the same documented bound).
     "q_calibration" -> { (s, dir) =>
-      val counts = t(s, dir, "documents")
+      // pinned input: prefix sampling (2×) + `tot` = three executions
+      val counts = graft.ops.Pin.pin(t(s, dir, "documents")
         .groupBy(col("n_chars").as("v"))
         .agg(count(lit(1)).as("tc"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pc"))
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pc")))
       val p = PrefixSum.withExclusivePrefix(counts, Seq("v"), "tc")
         .select(col("tc"), col("pc"),
           (lit(2L) * col("prefix").cast("long") + col("tc") + lit(1L))
@@ -283,7 +289,9 @@ object StatQueries {
         .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
           .as("c0"),
           sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"))
-      val withTc = counts.withColumn("tc", col("c0") + col("c1"))
+      // pinned input: prefix sampling (2×) + `tot` = three executions
+      val withTc = graft.ops.Pin.pin(
+        counts.withColumn("tc", col("c0") + col("c1")))
       val p = PrefixSum.withExclusivePrefix(withTc, Seq("v"), "tc")
         .select(col("c0"), col("c1"), col("tc"),
           (lit(2L) * col("prefix").cast("long") + col("tc") + lit(1L))
@@ -399,14 +407,15 @@ object StatQueries {
     // the tie-corrected normal z divide the same exact integers once,
     // spelled identically in both engines.
     "q_mann_whitney" -> { (s, dir) =>
-      val frame = t(s, dir, "lineitem")
+      // pinned input: range sampling executes the domain agg twice
+      val frame = graft.ops.Pin.pin(t(s, dir, "lineitem")
         .filter(col("l_returnflag").isin("R", "A"))
         .groupBy(col("l_extendedprice").as("v"))
         .agg(
           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
             .cast("long").as("cr"),
           sum(when(col("l_returnflag") === "A", 1L).otherwise(0L))
-            .cast("long").as("ca"))
+            .cast("long").as("ca")))
       val pre = PrefixSum
         .withExclusivePrefix(frame, Seq("v"), "ca", pin = false)
         .select(col("cr"), col("ca"), col("prefix").cast("long").as("pa"))
@@ -438,7 +447,8 @@ object StatQueries {
     // formula over those exact integers — spelled identically in both
     // engines, so every intermediate double is bit-equal.
     "q_kruskal_wallis" -> { (s, dir) =>
-      val frame = t(s, dir, "lineitem")
+      // pinned input: range sampling executes the domain agg twice
+      val frame = graft.ops.Pin.pin(t(s, dir, "lineitem")
         .groupBy(col("l_extendedprice").as("v"))
         .agg(
           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
@@ -447,7 +457,7 @@ object StatQueries {
             .cast("long").as("ca"),
           sum(when(col("l_returnflag") === "N", 1L).otherwise(0L))
             .cast("long").as("cn"))
-        .withColumn("ct", col("cr") + col("ca") + col("cn"))
+        .withColumn("ct", col("cr") + col("ca") + col("cn")))
       val pre = PrefixSum
         .withExclusivePrefix(frame, Seq("v"), "ct", pin = false)
         .select(col("cr"), col("ca"), col("cn"), col("ct"),
@@ -503,10 +513,11 @@ object StatQueries {
             (col("gpre") - col("base")).as("pre"),
             (col("gpre") - col("base") + col("cnt")).as("cum"))
       }
-      val frame = t(s, dir, "lineitem")
+      // pinned input: range sampling executes the domain agg twice
+      val frame = graft.ops.Pin.pin(t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"),
           col("l_extendedprice").as("v"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt")))
       val cum1 = cumFrame(frame)
       val med = cum1.groupBy("flag", "n")
         .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
@@ -551,10 +562,11 @@ object StatQueries {
     // double formula per output row is identical in both engines and
     // the rank selections never touch floats at all.
     "q_percentile_cont" -> { (s, dir) =>
-      val frame = t(s, dir, "lineitem")
+      // pinned input: range sampling executes the domain agg twice
+      val frame = graft.ops.Pin.pin(t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"),
           col("l_extendedprice").as("v"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt")))
       // two consumers (per-flag base agg + rebased cum) over the pinned
       // bucketing: re-running the window beats the eager out-pin
       val pre = PrefixSum.withExclusivePrefix(frame, Seq("flag", "v"),
@@ -593,9 +605,10 @@ object StatQueries {
     // frame, one distributed PrefixSum, nearest-rank selection — no
     // per-group buffers at any scale.
     "q_weighted_median" -> { (s, dir) =>
-      val frame = t(s, dir, "lineitem")
+      // pinned input: range sampling executes the domain agg twice
+      val frame = graft.ops.Pin.pin(t(s, dir, "lineitem")
         .groupBy(col("l_extendedprice").as("v"))
-        .agg(sum(col("l_quantity").cast("long")).as("wt"))
+        .agg(sum(col("l_quantity").cast("long")).as("wt")))
       // pre feeds the total and the rank cuts; the range-bucketed frame
       // inside the op is pinned either way, so the two consumers re-run
       // only the cheap window — measured cheaper than the eager out-pin
@@ -632,10 +645,11 @@ object StatQueries {
     // 1 + min(7, (8·pre_v) div n): no boundary materialization, no
     // second pass, one scan → one prefix → one aggregate.
     "q_equidepth_hist" -> { (s, dir) =>
-      val frame = t(s, dir, "lineitem")
+      // pinned input: range sampling executes the domain agg twice
+      val frame = graft.ops.Pin.pin(t(s, dir, "lineitem")
         .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("c"))
-        .groupBy("c").agg(count(lit(1)).as("cnt"))
+        .groupBy("c").agg(count(lit(1)).as("cnt")))
       // two consumers (total + bucket agg) over the pinned bucketing:
       // cheaper to re-run the window than to pay the eager out-pin
       val pre = PrefixSum.withExclusivePrefix(frame, Seq("c"), "cnt",
@@ -666,9 +680,10 @@ object StatQueries {
     // ≤ cum·N — BIGINT-exact to ~3e9 rows; beyond that the same
     // formula runs in DECIMAL(38,0), still exact.
     "q_quantile_normalize" -> { (s, dir) =>
-      val frame = t(s, dir, "documents")
+      // pinned input: prefix sampling (2×) + the gframe re-aggregation
+      val frame = graft.ops.Pin.pin(t(s, dir, "documents")
         .groupBy(col("source"), col("n_chars").cast("long").as("v"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt")))
       val pre = PrefixSum.withExclusivePrefix(frame, Seq("source", "v"),
           "cnt")
         .select(col("source"), col("v"), col("cnt"),
@@ -717,10 +732,11 @@ object StatQueries {
     // count reaches ⌈q·n⌉); the selected values are input values,
     // bit-identical by construction.
     "q_exact_percentile_dist" -> { (s, dir) =>
-      val frame = t(s, dir, "lineitem")
+      // pinned input: range sampling executes the domain agg twice
+      val frame = graft.ops.Pin.pin(t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"),
           col("l_extendedprice").as("v"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt")))
       // two consumers (per-flag base agg + rebased cum) over the pinned
       // bucketing: re-running the window beats the eager out-pin
       val pre = graft.ops.PrefixSum
@@ -838,10 +854,11 @@ object StatQueries {
     // rounded to 9 dp and decimal-summed — both engines divide the same
     // numbers. One corpus pass + bounded-frame arithmetic.
     "q_levene_bf" -> { (s, dir) =>
-      val frame = t(s, dir, "lineitem")
+      // pinned input: range sampling executes the domain agg twice
+      val frame = graft.ops.Pin.pin(t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"),
           col("l_quantity").cast("long").as("v"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt")))
       val pre = PrefixSum.withExclusivePrefix(frame, Seq("flag", "v"),
           "cnt", pin = false)
         .select(col("flag"), col("v"), col("cnt"),

@@ -179,19 +179,34 @@ object EventQueries {
       .as[graft.streaming.UserEvent]
     val sessions = graft.streaming.Stateful
       .statefulSessions(stream, GapUs / 1000L, "0 seconds")
-    val name = namePrefix +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(s, dir) {
-      val q = sessions.writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    // Parquet file sink instead of a memory sink (the r14 sf10 lesson):
+    // the emission is the full CLOSED-SESSION set — corpus-sized — and a
+    // memory sink both holds it on the driver heap and re-serializes it
+    // into every task of the downstream aggregate (LocalRelation →
+    // ParallelCollectionRDD, java-serialized per task: the observed sf10
+    // OOM). The per-user STATE stays on whichever provider the caller
+    // configured — that contrast is these gates' point.
+    val base = java.nio.file.Files
+      .createTempDirectory(namePrefix).toString
+    try {
+      withStatePartitions(s, dir) {
+        val q = sessions.writeStream.outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$base/out")
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"))
+        .orderBy("user_id")
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(base))
     }
-    s.table(name)
-      .groupBy("user_id")
-      .agg(count(lit(1)).cast("long").as("n_sessions"),
-        sum(col("n_events")).cast("long").as("n_events"))
-      .orderBy("user_id")
   }
 
   /** The HELD state at stream end — each user's last session, kept iff
@@ -1099,22 +1114,43 @@ object EventQueries {
     // complement of q_session_window's batch check, one shared
     // Sessionize definition for both modes.
     "q_stream_session" -> { (s, dir) =>
+      // Memory shape (the r14 sf10 lesson, same class as
+      // q_stream_dedup_wm): the native session_window operator's state
+      // holds every in-flight session of the batch — CORPUS-sized, not
+      // user-bounded — and the emission is the full closed-session set.
+      // State goes to RocksDB (the sanctioned result-transparent
+      // provider swap) and the emission to a parquet file sink read
+      // back for the per-user aggregate (the q_stream_etl round-trip
+      // shape). Emitted rows, and therefore the oracle, are unchanged.
       val stream = eventsStream(s, dir)
       val sessions = graft.streaming.Sessionize.sessionStream(
         stream, "30 minutes", "0 seconds")
-      val name = "q_stream_session_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s, dir) {
-        val q = graft.streaming.Sessionize.writer(sessions)
-          .format("memory").queryName(name)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_session_").toString
+      try {
+        withStatePartitions(s, dir) {
+          withConfs(s,
+            "spark.sql.streaming.stateStore.providerClass" ->
+              ("org.apache.spark.sql.execution.streaming.state." +
+                "RocksDBStateStoreProvider")) {
+            val q = graft.streaming.Sessionize.writer(sessions)
+              .format("parquet")
+              .option("path", s"$base/out")
+              .option("checkpointLocation", s"$base/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          }
+        }
+        s.read.parquet(s"$base/out")
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_sessions"),
+            sum(col("n_events")).cast("long").as("n_events"))
+          .orderBy("user_id")
+          .localCheckpoint(true)
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(base))
       }
-      s.table(name)
-        .groupBy("user_id")
-        .agg(count(lit(1)).cast("long").as("n_sessions"),
-          sum(col("n_events")).cast("long").as("n_events"))
-        .orderBy("user_id")
     },
 
     // Streaming SLIDING event-time windows (2h width, 1h slide — each
@@ -1771,24 +1807,47 @@ object EventQueries {
     // production callers size the delay to their real lateness bound,
     // which is what makes the state bounded.
     "q_stream_dedup_wm" -> { (s, dir) =>
+      // Memory shape (the r14 sf10 lesson — this gate OOM'd the 8 GiB
+      // heap once q_basket_pairs stopped dying first): its dedup state
+      // is one entry per distinct event_id (CORPUS-sized, unlike every
+      // sibling whose state is user/type-bounded) and its emission is
+      // the full deduped stream. So the state lives in RocksDB (native
+      // memory, same sanctioned provider swap as the TWS gates — a swap
+      // that changed ANY emitted row would hash-mismatch) and the
+      // emission goes to a parquet FILE sink read back for the
+      // aggregate (the q_stream_etl round-trip shape) instead of a
+      // driver-heap memory sink holding every deduped row.
       val doubled = eventsStream(s, dir)
         .select(col("ts"), col("event_id"), col("event_type"),
           explode(array(lit(1), lit(2))).as("copy"))
         .drop("copy")
       val deduped = doubled.withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark("event_id")
-      val name = "q_stream_dedup_wm_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s, dir) {
-        val q = deduped.writeStream.outputMode(OutputMode.Append())
-          .format("memory").queryName(name)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_dedup_wm_").toString
+      try {
+        withStatePartitions(s, dir) {
+          withConfs(s,
+            "spark.sql.streaming.stateStore.providerClass" ->
+              ("org.apache.spark.sql.execution.streaming.state." +
+                "RocksDBStateStoreProvider")) {
+            val q = deduped.writeStream.outputMode(OutputMode.Append())
+              .format("parquet")
+              .option("path", s"$base/out")
+              .option("checkpointLocation", s"$base/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          }
+        }
+        s.read.parquet(s"$base/out")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(base))
       }
-      s.table(name)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("event_type")
     },
 
     // TTL-bounded TWS state (r10 verdict #6) — the production
@@ -1868,13 +1927,15 @@ object EventQueries {
         .as[graft.streaming.UserEvent]
       val sessions = graft.streaming.Stateful
         .statefulSessions(stream, GapUs / 1000L, "0 seconds")
-      val name = "q_state_reader_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt_").toString
+      // Parquet sink for the (discarded) emissions — the gate reads the
+      // STATE STORE; a memory sink would hold every closed session on
+      // the driver heap for nothing (r14 sf10 lesson).
       withStatePartitions(s, dir) {
         val q = sessions.writeStream.outputMode(OutputMode.Append())
-          .format("memory").queryName(name)
+          .format("parquet")
+          .option("path", s"$ckpt.out")
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -1902,17 +1963,19 @@ object EventQueries {
         .as[graft.streaming.UserEvent]
       val sessions = graft.streaming.Tws
         .timerSessions(stream, GapUs / 1000L, "0 seconds")
-      val name = "q_tws_state_reader_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ckpt_tws_").toString
+      // Parquet sink for the (discarded) emissions — the gate reads the
+      // STATE STORE; a memory sink would still hold every closed session
+      // on the driver heap for nothing (r14 sf10 lesson).
       withStatePartitions(s, dir) {
         withConfs(s,
           "spark.sql.streaming.stateStore.providerClass" ->
             ("org.apache.spark.sql.execution.streaming.state." +
               "RocksDBStateStoreProvider")) {
           val q = sessions.writeStream.outputMode(OutputMode.Append())
-            .format("memory").queryName(name)
+            .format("parquet")
+            .option("path", s"$ckpt.out")
             .option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
@@ -2028,24 +2091,36 @@ object EventQueries {
         .as[graft.streaming.UserEvent]
       val sessions = graft.streaming.Tws
         .timerSessions(stream, GapUs / 1000L, "0 seconds")
-      val name = "q_stream_tws_timers_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(s, dir) {
-        withConfs(s,
-          "spark.sql.streaming.stateStore.providerClass" ->
-            ("org.apache.spark.sql.execution.streaming.state." +
-              "RocksDBStateStoreProvider")) {
-          val q = sessions.writeStream.outputMode(OutputMode.Append())
-            .format("memory").queryName(name)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
+      // Parquet file sink (r14 sf10 lesson, same class as
+      // stateSessionCounts): the emission is the corpus-sized
+      // closed-session set — a memory sink re-serializes it into every
+      // downstream task as a parallelized local collection.
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tws_timers_").toString
+      try {
+        withStatePartitions(s, dir) {
+          withConfs(s,
+            "spark.sql.streaming.stateStore.providerClass" ->
+              ("org.apache.spark.sql.execution.streaming.state." +
+                "RocksDBStateStoreProvider")) {
+            val q = sessions.writeStream.outputMode(OutputMode.Append())
+              .format("parquet")
+              .option("path", s"$base/out")
+              .option("checkpointLocation", s"$base/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          }
         }
+        s.read.parquet(s"$base/out")
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_sessions"),
+            sum(col("n_events")).cast("long").as("n_events"))
+          .orderBy("user_id")
+          .localCheckpoint(true)
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(base))
       }
-      s.table(name)
-        .groupBy("user_id")
-        .agg(count(lit(1)).cast("long").as("n_sessions"),
-          sum(col("n_events")).cast("long").as("n_events"))
-        .orderBy("user_id")
     },
 
     // transformWithState — Spark 4's arbitrary-state v2 API (named
